@@ -1,0 +1,29 @@
+from .base import (
+    Sketch,
+    deserialize,
+    from_base64,
+    read_hash,
+    read_kind,
+    read_params,
+)
+from .bloom import DEFAULT_EXPECTED_INSERTIONS, DEFAULT_FPP, BloomFilter
+from .countmin import CountMin
+from .hll import HyperLogLog
+from .kll import KLL
+from .tdigest import TDigest
+
+__all__ = [
+    "Sketch",
+    "BloomFilter",
+    "HyperLogLog",
+    "CountMin",
+    "TDigest",
+    "KLL",
+    "deserialize",
+    "from_base64",
+    "read_hash",
+    "read_kind",
+    "read_params",
+    "DEFAULT_EXPECTED_INSERTIONS",
+    "DEFAULT_FPP",
+]
