@@ -1,0 +1,28 @@
+from .agg import SketchAgg, build_sketch, grouped_sketch, merge_serialized_column
+from .ops import (
+    ContainsFilter,
+    contains_column,
+    from_base64,
+    get_expected_insertions,
+    get_false_positive_percentage,
+    get_or_load,
+    semi_join,
+    to_base64,
+)
+from .store import SketchStore
+
+__all__ = [
+    "SketchAgg",
+    "build_sketch",
+    "grouped_sketch",
+    "merge_serialized_column",
+    "ContainsFilter",
+    "semi_join",
+    "contains_column",
+    "to_base64",
+    "from_base64",
+    "get_expected_insertions",
+    "get_false_positive_percentage",
+    "get_or_load",
+    "SketchStore",
+]

@@ -1,0 +1,217 @@
+"""Sketch UDAFs over Ray Data — the aggregation core.
+
+Reimplements the reference's partial/combine/output aggregation contract
+(``AbstractBloomFilterAggregation.java:25-59``,
+``BloomFilterStateFactory.java:48-124``) on Ray Data's execution model:
+
+* :class:`SketchAgg` — a generic ``AggregateFnV2`` turning ANY
+  :class:`~presto_bloomfilter_ray.sketches.base.Sketch` into a mergeable
+  UDAF usable with ``ds.aggregate(...)`` / ``ds.groupby(k).aggregate(...)``.
+* :func:`build_sketch` — the scale path for GLOBAL sketches: per-block
+  partials via ``map_batches`` (state is per-block, data-independent
+  size) followed by a parallel fan-in merge tree — no row shuffle at
+  all, and no single reducer ORs 800k bitsets sequentially.
+* :func:`grouped_sketch` — the scale path for GROUP BY sketches: emits
+  one serialized partial per (key, block) inside ``map_batches`` and
+  shuffles ONLY those partials (size data-independent) through a small
+  ``groupby().map_groups`` merge — Zipf-skewed keys cost the same as
+  uniform keys because the per-key shuffle payload is #blocks × sketch
+  bytes, not #rows (SURVEY §4 skew note).
+"""
+
+from __future__ import annotations
+
+
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFnV2
+from ray.data.block import BlockAccessor
+
+from ..sketches.base import Sketch, deserialize
+
+SketchFactory = Callable[[], Sketch]
+
+
+def _to_arrow(block) -> pa.Table:
+    return BlockAccessor.for_block(block).to_arrow()
+
+
+class SketchAgg(AggregateFnV2):
+    """``ds.aggregate(SketchAgg(BloomFilter, on="url"))`` →
+    ``{"bloom(url)": <envelope bytes>}``.
+
+    The accumulator flowing through Ray's combine tree is the
+    serialized envelope (``bytes``) — Arrow-native, so intermediate
+    accumulator blocks stay zero-copy binary columns instead of pickled
+    Python objects. ``zero`` is ``None`` so that an empty partition
+    merges as the identity and parameters are inherited from the
+    non-null side, mirroring ``AbstractBloomFilterAggregation.java:36-52``.
+    """
+
+    def __init__(
+        self,
+        factory: SketchFactory,
+        on: str,
+        alias_name: Optional[str] = None,
+        finalize_mode: str = "bytes",  # "bytes" | "sketch" | "estimate"
+    ):
+        self._factory = factory
+        self._finalize_mode = finalize_mode
+        name = alias_name or f"{factory().__class__.__name__.lower()}({on})"
+        super().__init__(name, zero_factory=lambda: None, on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block) -> Optional[bytes]:
+        col = _to_arrow(block).column(self._target_col_name)
+        sk = self._factory()
+        sk.update_arrow(col)
+        return sk.serialize()
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> Optional[bytes]:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        acc = deserialize(current)
+        acc.merge(deserialize(new))
+        return acc.serialize()
+
+    def finalize(self, acc: Optional[bytes]):
+        if acc is None:
+            acc = self._factory().serialize()
+        if self._finalize_mode == "bytes":
+            return acc
+        sk = deserialize(acc)
+        if self._finalize_mode == "estimate":
+            return float(sk.estimate())  # type: ignore[attr-defined]
+        return sk
+
+
+def _partial_fn(factory: SketchFactory, col: str):
+    def make_partial(batch: pa.Table) -> pa.Table:
+        sk = factory().update_arrow(batch.column(col))
+        return pa.table({"sketch": pa.array([sk.serialize()], type=pa.large_binary())})
+
+    return make_partial
+
+
+def _merge_block_fn():
+    def merge_block(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("sketch").to_pylist()
+        acc = deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(deserialize(b))
+        return pa.table({"sketch": pa.array([acc.serialize()], type=pa.large_binary())})
+
+    return merge_block
+
+
+def build_sketch(
+    ds,
+    col: str,
+    factory: SketchFactory,
+    batch_size: Optional[int] = None,
+    fan_in: int = 32,
+    merge_rounds: int = 2,
+) -> Sketch:
+    """Global sketch over a Dataset column, scale path.
+
+    read → ``map_batches`` partials (one serialized sketch per batch,
+    ``batch_size=None`` = whole block) → parallel merge tree with
+    ``fan_in`` (each round is a ``map_batches(batch_size=fan_in)`` over
+    the partials dataset, merging fan_in envelopes into one) → final
+    driver merge of ≤ fan_in envelopes. Mirrors the reference's
+    accumulate → exchange-serialized-state → combine pipeline
+    (SURVEY §3.1) with a bounded-depth tree instead of a single reducer.
+    """
+    partials = ds.map_batches(
+        _partial_fn(factory, col), batch_format="pyarrow", batch_size=batch_size
+    )
+    # Bound the tree depth: each round is a parallel map_batches that
+    # merges ``fan_in`` one-row partial blocks into one; ``merge_rounds``
+    # rounds shrink the count by fan_in^rounds (32^2 = 1024x by default,
+    # enough that even a 10^6-block input leaves only ~10^3 envelopes
+    # for the final driver-side fold). Rounds are cheap no-ops when the
+    # partial count is already small.
+    for _ in range(max(0, merge_rounds)):
+        partials = partials.map_batches(
+            _merge_block_fn(), batch_format="pyarrow", batch_size=fan_in
+        )
+    blobs = [r["sketch"] for r in partials.take_all()]
+    if not blobs:
+        return factory()
+    acc = deserialize(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(deserialize(b))
+    return acc
+
+
+def grouped_sketch(
+    ds,
+    key: str,
+    col: str,
+    factory: SketchFactory,
+    batch_size: Optional[int] = None,
+    finalize: Callable[[Sketch], Any] = lambda s: s.serialize(),
+    out_col: str = "sketch",
+):
+    """GROUP BY ``key`` sketch over ``col`` — shuffles partials, not rows.
+
+    Stage 1 (map side): within each batch, group rows by key with a
+    vectorized sort+``reduceat`` split and build one partial sketch per
+    (key, batch) — the analog of the reference's grouped state array
+    (``BloomFilterStateFactory.java:48-91``), but distributed.
+    Stage 2: ``groupby(key)`` over the tiny partials table, merging
+    envelopes per key in ``map_groups``.
+
+    Returns a Dataset with columns ``[key, out_col]``.
+    """
+
+    def partials_per_key(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key)
+        order = pa.compute.sort_indices(keys)
+        sorted_tbl = batch.take(order)
+        karr = sorted_tbl.column(key).combine_chunks()
+        carr = sorted_tbl.column(col).combine_chunks()
+        # run boundaries over the sorted key column
+        enc = karr.dictionary_encode()
+        codes = np.asarray(enc.indices)
+        starts = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], starts, [len(codes)]))
+        out_keys, out_blobs = [], []
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            sk = factory().update_arrow(carr.slice(lo, hi - lo))
+            out_keys.append(karr[lo].as_py())
+            out_blobs.append(sk.serialize())
+        return pa.table(
+            {key: pa.array(out_keys, type=karr.type),
+             "partial": pa.array(out_blobs, type=pa.large_binary())}
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in g["partial"]:
+            sk = deserialize(bytes(blob))
+            acc = sk if acc is None else acc.merge(sk)
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [finalize(acc)]})
+
+    partials = ds.map_batches(
+        partials_per_key, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+def merge_serialized_column(ds, col: str = "sketch") -> Optional[Sketch]:
+    """Union a column of serialized sketches — the reference's
+    ``bloom_filter_from_string`` / ``bloom_filter_load`` aggregation
+    shape (``BloomFilterFromString.java:30-38``)."""
+    acc: Optional[Sketch] = None
+    for batch in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
+        for blob in batch.column(col):
+            sk = deserialize(blob.as_py() if not isinstance(blob, bytes) else blob)
+            acc = sk if acc is None else acc.merge(sk)
+    return acc
