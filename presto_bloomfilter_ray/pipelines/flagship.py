@@ -1,0 +1,181 @@
+"""Flagship pipeline: the north-star sketch suite over web pages.
+
+One pass over a Common-Crawl-style parquet table builds, in a single
+``map_batches``-shaped stage per input shard:
+
+* Bloom over ``url``          (reference A1 semantics at web scale)
+* HLL distinct ``url`` and distinct ``url_host``
+* count-min heavy hitters over ``url_host``
+* t-digest + KLL quantiles of ``length(text)``
+* per-``lang`` Bloom over ``url_host`` (grouped, skew-proof: partial
+  sketches per (shard, lang), merged at the end — SURVEY §4)
+
+Scale + resumability design: the unit of work is an input FILE shard
+(stable identity across runs, unlike Ray block ids). Each shard task
+reads only the columns it needs, builds all partials in one pass,
+writes ONE checkpoint envelope under ``checkpoints/<run_id>/suite/part-N``
+plus a lineage record, and is skipped entirely on re-run when its
+checkpoint exists (north_rule: resume with no double-count). The merge
+stage unions the per-shard envelopes — data-independent sizes, so the
+reduce is O(#shards × sketch bytes) regardless of row count or skew.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..engine.store import SketchStore
+from ..sketches import KLL, BloomFilter, CountMin, HyperLogLog, TDigest, deserialize
+from ..sources.webpages import url_host
+
+SUITE_COLUMNS = ["url", "text", "lang"]
+
+
+def _suite_factories(n_hint: int):
+    return {
+        "bloom_url": lambda: BloomFilter(max(n_hint, 1000), 0.01),
+        "hll_url": lambda: HyperLogLog(14),
+        "hll_host": lambda: HyperLogLog(14),
+        "cm_host": lambda: CountMin(1e-4, 1e-3),
+        "td_textlen": lambda: TDigest(200),
+        "kll_textlen": lambda: KLL(200),
+    }
+
+
+def build_shard_partials(table: pa.Table, n_hint: int) -> Dict[str, bytes]:
+    """All partial sketches for one shard, one vectorized pass."""
+    facts = _suite_factories(n_hint)
+    url = table.column("url")
+    host = url_host(url)
+    textlen = pc.utf8_length(table.column("text"))
+    out: Dict[str, bytes] = {}
+    out["bloom_url"] = facts["bloom_url"]().update_arrow(url).serialize()
+    out["hll_url"] = facts["hll_url"]().update_arrow(url).serialize()
+    out["hll_host"] = facts["hll_host"]().update_arrow(host).serialize()
+    out["cm_host"] = facts["cm_host"]().update_arrow(host).serialize()
+    out["td_textlen"] = facts["td_textlen"]().update_arrow(textlen).serialize()
+    out["kll_textlen"] = facts["kll_textlen"]().update_arrow(textlen).serialize()
+
+    # per-lang bloom over host: sort by lang, split runs (vectorized)
+    order = pc.sort_indices(table.column("lang"))
+    langs = table.column("lang").take(order).combine_chunks()
+    hosts_sorted = host.take(order) if isinstance(host, pa.ChunkedArray) else pa.chunked_array([host]).take(order)
+    codes = np.asarray(langs.dictionary_encode().indices)
+    if len(codes):
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]))
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            lang = langs[lo].as_py()
+            sk = BloomFilter(100_000, 0.01).update_arrow(hosts_sorted.slice(lo, hi - lo))
+            out[f"lang_bloom/{lang}"] = sk.serialize()
+    return out
+
+
+@ray.remote
+def _process_shard(
+    files: List[str], part_id: int, store_root: str, run_id: str, n_hint: int
+) -> Dict:
+    """One resumable unit: read shard files → partials → checkpoint."""
+    store = SketchStore(store_root)
+    ckpt_key = store.checkpoint_key(run_id, "suite", part_id)
+    lineage_key = f"lineage/{run_id}/suite/part-{part_id:06d}.json"
+    if store.exists(ckpt_key):
+        lineage = json.loads(store.get(lineage_key).decode())
+        lineage["resumed"] = True
+        return lineage
+    t0 = time.time()
+    table = pa.concat_tables(
+        [pq.read_table(f, columns=SUITE_COLUMNS) for f in files]
+    )
+    partials = build_shard_partials(table, n_hint)
+    lineage = {
+        "run_id": run_id,
+        "stage": "suite",
+        "partition": part_id,
+        "files": files,
+        "rows": table.num_rows,
+        "input_bytes": int(table.nbytes),
+        "sketch_bytes": int(sum(len(v) for v in partials.values())),
+        "wall_s": round(time.time() - t0, 4),
+        "resumed": False,
+    }
+    # lineage first, checkpoint last: the checkpoint's existence is the
+    # commit point, so a crash between the two writes is re-done safely
+    store.put(lineage_key, json.dumps(lineage).encode())
+    store.put(ckpt_key, pickle.dumps(partials))
+    return lineage
+
+
+def run_suite(
+    input_dir: str,
+    store_root: str = "/tmp/sketch-store",
+    run_id: str = "default",
+    n_hint: int = 1_000_000,
+    max_shards: Optional[int] = None,
+) -> Dict:
+    """Run (or resume) the flagship suite. Returns summary estimates +
+    lineage. Ray must already be initialized by the caller."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    # shard = one file (stable resume identity); large deployments would
+    # group row-groups instead — same key scheme.
+    shards = [[f] for f in files]
+    if max_shards and len(shards) > max_shards:
+        merged: List[List[str]] = [[] for _ in range(max_shards)]
+        for i, s in enumerate(shards):
+            merged[i % max_shards].extend(s)
+        shards = merged
+
+    futures = [
+        _process_shard.remote([str(f) for f in s], i, store_root, run_id, n_hint)
+        for i, s in enumerate(shards)
+    ]
+    lineages = ray.get(futures)
+
+    # merge partials (driver-side fold over #shards envelopes; for 10^5+
+    # shards switch to the build_sketch tree — same envelopes)
+    store = SketchStore(store_root)
+    merged_sk: Dict[str, object] = {}
+    for i in range(len(shards)):
+        blob = pickle.loads(store.get(store.checkpoint_key(run_id, "suite", i)))
+        for name, env in blob.items():
+            sk = deserialize(env)
+            if name in merged_sk:
+                merged_sk[name].merge(sk)
+            else:
+                merged_sk[name] = sk
+
+    td: TDigest = merged_sk["td_textlen"]  # type: ignore[assignment]
+    kll: KLL = merged_sk["kll_textlen"]  # type: ignore[assignment]
+    summary = {
+        "rows": int(sum(l["rows"] for l in lineages)),
+        "partitions": len(shards),
+        "resumed_partitions": int(sum(1 for l in lineages if l.get("resumed"))),
+        "distinct_urls_hll": float(merged_sk["hll_url"].estimate()),
+        "distinct_hosts_hll": float(merged_sk["hll_host"].estimate()),
+        "textlen_p50_td": float(td.quantile(0.5)),
+        "textlen_p99_td": float(td.quantile(0.99)),
+        "textlen_p50_kll": float(kll.quantile(0.5)),
+        "langs": sorted(
+            k.split("/", 1)[1] for k in merged_sk if k.startswith("lang_bloom/")
+        ),
+    }
+    # persist merged sketches for cross-run reuse (reference persist path)
+    for name, sk in merged_sk.items():
+        store.persist(sk, f"merged/{run_id}/{name}")  # type: ignore[arg-type]
+    store.put(f"lineage/{run_id}/summary.json", json.dumps(summary).encode())
+    return {"summary": summary, "lineage": lineages, "sketches": merged_sk}
