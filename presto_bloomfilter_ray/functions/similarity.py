@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+* :func:`topk_cosine` — exact brute-force top-k: each batch does one
+  numpy matmul against a broadcast query matrix (``ray.put`` once) and
+  emits only its local top-k; the driver folds the tiny partials. No
+  shuffle; wall time scales with corpus/CPUs.
+* :class:`IVFIndex` — the scale path: coarse k-means centroids (built
+  from a sample), rows bucketed by nearest centroid into partitioned
+  parquet; a query probes only ``nprobe`` buckets. Recall depends on
+  nprobe/ncentroids; exact within probed buckets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _l2norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # fixed-size or variable list → (n, d) float32 without a Python loop
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def topk_cosine(ds, query: np.ndarray, k: int = 10, vec_col: str = "embedding",
+                id_col: str = "vec_id", concurrency: Optional[int] = None):
+    """Exact cosine top-k of every row against ONE query vector.
+
+    Returns a pandas DataFrame (vec_id, score) of the global top-k,
+    sorted by (-score, vec_id) — deterministic ties.
+    """
+    qref = ray.put(_l2norm(np.asarray(query, dtype=np.float32).reshape(1, -1)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        m = _batch_matrix(batch, vec_col)
+        if m.shape[0] == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        sims = (_l2norm(m) @ q.T).ravel().astype(np.float64)
+        ids = np.asarray(batch.column(id_col))
+        top = min(k, sims.size)
+        part = np.argpartition(-sims, top - 1)[:top]
+        return pa.table({id_col: pa.array(ids[part]), "score": pa.array(sims[part])})
+
+    kwargs = {"batch_format": "pyarrow"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    partials = ds.map_batches(local_topk, **kwargs).to_pandas()
+    partials = partials.sort_values(["score", id_col], ascending=[False, True])
+    return partials.head(k).reset_index(drop=True)
+
+
+class IVFIndex:
+    """Inverted-file ANN index over a Dataset embedding column.
+
+    ``build`` samples the corpus, runs a few Lloyd iterations on the
+    driver (centroids are tiny), then writes each row into
+    ``root/bucket=<c>/`` partitioned parquet via a vectorized assign
+    stage. ``search`` reads only the ``nprobe`` closest buckets.
+    """
+
+    def __init__(self, root: str, ncentroids: int = 16):
+        self.root = root
+        self.ncentroids = ncentroids
+        self.centroids: Optional[np.ndarray] = None
+
+    def build(self, ds, vec_col: str = "embedding", id_col: str = "vec_id",
+              sample_fraction: float = 0.1, iters: int = 5, seed: int = 7):
+        sample = ds.random_sample(sample_fraction, seed=seed).to_pandas()
+        m = _l2norm(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+        rng = np.random.default_rng(seed)
+        c = m[rng.choice(len(m), size=min(self.ncentroids, len(m)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(m @ c.T, axis=1)
+            for j in range(len(c)):
+                sel = m[assign == j]
+                if len(sel):
+                    c[j] = sel.mean(axis=0)
+            c = _l2norm(c)
+        self.centroids = c
+        cref = ray.put(c)
+
+        def assign_bucket(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            mm = _l2norm(_batch_matrix(batch, vec_col))
+            b = np.argmax(mm @ cc.T, axis=1).astype(np.int32)
+            return batch.append_column("bucket", pa.array(b))
+
+        bucketed = ds.map_batches(assign_bucket, batch_format="pyarrow")
+        bucketed.write_parquet(self.root, partition_cols=["bucket"])
+        np.save(os.path.join(self.root, "centroids.npy"), c)
+        return self
+
+    def load_centroids(self) -> np.ndarray:
+        if self.centroids is None:
+            self.centroids = np.load(os.path.join(self.root, "centroids.npy"))
+        return self.centroids
+
+    def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+        import ray.data as rd
+
+        c = self.load_centroids()
+        q = _l2norm(np.asarray(query, dtype=np.float32).reshape(1, -1))
+        order = np.argsort(-(q @ c.T).ravel())[: min(nprobe, len(c))]
+        paths = [os.path.join(self.root, f"bucket={int(b)}") for b in order]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            import pandas as pd
+
+            return pd.DataFrame({id_col: [], "score": []})
+        ds = rd.read_parquet(paths)
+        return topk_cosine(ds, q.ravel(), k=k, vec_col=vec_col, id_col=id_col)
