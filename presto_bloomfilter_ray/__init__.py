@@ -19,6 +19,7 @@ from .sketches import (
     deserialize,
     from_base64,
     read_hash,
+    read_kind,
     read_params,
 )
 

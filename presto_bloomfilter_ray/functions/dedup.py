@@ -92,7 +92,7 @@ class MinHasher:
     into (band, band_hash) rows by :func:`lsh_candidates`.
     """
 
-    def __init__(self, num_perm: int = 128, bands: int = 16, shingle_k: int = 5,
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                  text_col: str = "text", id_col: str = "doc_id"):
         if num_perm % bands:
             raise ValueError("bands must divide num_perm")
@@ -146,7 +146,7 @@ class MinHasher:
         })
 
 
-def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
+def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
                         shingle_k: int = 5, text_col: str = "text",
                         id_col: str = "doc_id", concurrency: Optional[int] = None):
     """documents → (band,band_hash) groups → candidate doc-id pairs with
@@ -182,13 +182,16 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
 
 
 def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
-                  bands: int = 16, shingle_k: int = 5,
+                  bands: int = 32, shingle_k: int = 5,
                   text_col: str = "text", id_col: str = "doc_id"):
     """Near-dup removal: keep one representative (min id) per connected
     component of the ≥threshold candidate graph. Returns (deduped_ds,
     dup_map) where dup_map maps removed id → kept id."""
     pairs = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, id_col)
     edges = pairs.to_pandas()
+    if edges.empty or "est_jaccard" not in edges.columns:
+        return ds, {}
+    edges = edges.drop_duplicates(subset=["a", "b"])
     edges = edges[edges["est_jaccard"] >= threshold]
     # union-find over the (small) candidate edge set
     parent: Dict[int, int] = {}

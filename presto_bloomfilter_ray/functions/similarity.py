@@ -119,8 +119,12 @@ class IVFIndex:
         c = self.load_centroids()
         q = _l2norm(np.asarray(query, dtype=np.float32).reshape(1, -1))
         order = np.argsort(-(q @ c.T).ravel())[: min(nprobe, len(c))]
-        paths = [os.path.join(self.root, f"bucket={int(b)}") for b in order]
-        paths = [p for p in paths if os.path.isdir(p)]
+        import glob as _glob
+
+        paths = []
+        for b in order:
+            paths.extend(sorted(_glob.glob(
+                os.path.join(self.root, f"bucket={int(b)}", "*.parquet"))))
         if not paths:
             import pandas as pd
 

@@ -1,0 +1,117 @@
+"""Text / dedup / fingerprint operator contracts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from presto_bloomfilter_ray.functions import (
+    LangId,
+    add_text_stats,
+    exact_dedup,
+    fingerprint64,
+    minhash_dedup,
+    ngram_jaccard,
+    quality_score,
+    simhash64,
+    simhash_candidates,
+    token_count,
+)
+
+
+def test_token_count_matches_sql_semantics(duck):
+    texts = [r[0] for r in duck.sql("select text from documents limit 200").fetchall()]
+    mine = np.asarray(token_count(pa.array(texts)))
+    theirs = np.array([
+        r[0] for r in duck.sql(
+            "select len(regexp_extract_all(text, '\\S+')) from documents limit 200"
+        ).fetchall()
+    ])
+    assert np.array_equal(mine, theirs)
+
+
+def test_text_stats_columns():
+    t = pa.table({"text": ["Hello, world! the cat", "", "one two"]})
+    out = add_text_stats(t)
+    assert out.column("n_tokens").to_pylist() == [4, 0, 2]
+    assert out.column("n_chars").to_pylist() == [21, 0, 7]
+    q = quality_score(out)
+    s = q.column("quality").to_pylist()
+    assert all(0.0 <= x <= 1.0 for x in s)
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"doc_id": 3, "text": "same  text"},
+        {"doc_id": 1, "text": "same text"},   # same after normalization
+        {"doc_id": 2, "text": "Other"},
+    ])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_minhash_flags_near_duplicates(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about other topics " * 20
+    ds = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": far},
+    ])
+    deduped, dup_map = minhash_dedup(ds, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in deduped.take_all())
+    assert kept == [1, 3]
+    assert dup_map.get(2) == 1
+
+
+def test_simhash_hamming_properties():
+    a = simhash64(["the quick brown fox jumps over the lazy dog"] )
+    b = simhash64(["the quick brown fox jumps over the lazy cat"])
+    c = simhash64(["totally unrelated words about databases and sketches"])
+    from presto_bloomfilter_ray.functions.dedup import hamming64
+
+    assert hamming64(a, b)[0] < hamming64(a, c)[0]
+    assert hamming64(a, a)[0] == 0
+
+
+def test_simhash_candidates_finds_exact_dup(ray_session):
+    import ray.data as rd
+
+    t = "repeated content for simhash duplicate detection " * 10
+    ds = rd.from_items([
+        {"doc_id": 1, "text": t},
+        {"doc_id": 2, "text": t},
+        {"doc_id": 3, "text": "something else entirely different here"},
+    ])
+    pairs = simhash_candidates(ds).to_pandas().drop_duplicates(subset=["a", "b"])
+    assert {(int(r.a), int(r.b)) for r in pairs.itertuples()} == {(1, 2)}
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "uvwxyz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdefgh", "abcdefxx") < 1.0
+
+
+def test_fingerprint_deterministic_and_normalizing():
+    f1 = fingerprint64(pa.array(["Hello   World"]))
+    f2 = fingerprint64(pa.array(["hello world"]))
+    assert f1[0].as_py() == f2[0].as_py()
+    f3 = fingerprint64(pa.array(["different"]))
+    assert f1[0].as_py() != f3[0].as_py()
+
+
+def test_langid_stage(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"text": "the cat and the dog went to the market for food and water"},
+        {"text": "der Hund und die Katze gehen mit dem Mann auf der Strasse"},
+        {"text": "le chat et le chien dans la maison pour les enfants"},
+    ])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert out["lang_pred"].tolist() == ["en", "de", "fr"]

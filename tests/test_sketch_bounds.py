@@ -1,0 +1,125 @@
+"""Published-bound + merge-associativity contracts for the companion
+sketches (BASELINE.md rebuild targets; FIXTURES.md §3)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from presto_bloomfilter_ray import KLL, CountMin, HyperLogLog, TDigest, deserialize
+
+
+def _random_merge(cls_factory, chunks, rng):
+    sketches = [cls_factory().update_arrow(c) for c in chunks]
+    order = rng.permutation(len(sketches))
+    acc = None
+    for i in order:
+        sk = deserialize(sketches[i].serialize())  # exercise the envelope too
+        acc = sk if acc is None else acc.merge(sk)
+    return acc
+
+
+class TestHLL:
+    def test_error_within_published_bound(self):
+        # 1.04/sqrt(m) relative standard error; 3-sigma slack
+        for n in (1_000, 50_000, 200_000):
+            h = HyperLogLog(14).update_arrow(pa.array([f"v{i}" for i in range(n)]))
+            err = abs(h.estimate() - n) / n
+            assert err < 3 * h.relative_error_bound(), (n, err)
+
+    def test_duplicates_dont_inflate(self):
+        h = HyperLogLog(14).update_arrow(pa.array(["a", "b", "c"] * 10_000))
+        assert abs(h.estimate() - 3) < 1
+
+    def test_merge_equals_serial(self):
+        rng = np.random.default_rng(11)
+        data = np.array([f"u{i}" for i in range(30_000)], dtype=object)
+        serial = HyperLogLog(12).update_arrow(pa.array(list(data)))
+        chunks = [pa.array(list(c)) for c in np.array_split(data, 7)]
+        merged = _random_merge(lambda: HyperLogLog(12), chunks, rng)
+        # register-max merge is exact: identical registers
+        assert np.array_equal(merged.regs, serial.regs)
+
+    def test_incompatible_precision_raises(self):
+        with pytest.raises(ValueError):
+            HyperLogLog(12).merge(HyperLogLog(14))
+
+
+class TestCountMin:
+    def test_overestimate_only_and_bounded(self):
+        rng = np.random.default_rng(5)
+        items = np.repeat([f"k{i}" for i in range(200)],
+                          rng.integers(1, 500, size=200))
+        cm = CountMin(1e-3, 1e-3).update_arrow(pa.array(list(items)))
+        import collections
+
+        true = collections.Counter(items)
+        keys = list(true)
+        est = cm.estimate_many(pa.array(keys))
+        t = np.array([true[k] for k in keys])
+        assert (est >= t).all()  # never underestimates
+        assert (est <= t + cm.error_bound()).all()
+
+    def test_merge_equals_serial_counts(self):
+        rng = np.random.default_rng(6)
+        data = np.array([f"k{i % 50}" for i in range(20_000)], dtype=object)
+        serial = CountMin(1e-3, 1e-3).update_arrow(pa.array(list(data)))
+        chunks = [pa.array(list(c)) for c in np.array_split(data, 5)]
+        merged = _random_merge(lambda: CountMin(1e-3, 1e-3), chunks, rng)
+        assert np.array_equal(merged.counts, serial.counts)
+        assert merged.total == serial.total
+
+    def test_weighted_update(self):
+        cm = CountMin(1e-3, 1e-3)
+        cm.update_arrow(pa.array(["x", "y"]), weights=np.array([10, 3]))
+        assert cm.estimate("x") >= 10
+        assert cm.total == 13
+
+
+class TestTDigest:
+    @pytest.mark.parametrize("dist", ["normal", "uniform", "lognormal"])
+    def test_rank_error_bound(self, dist):
+        rng = np.random.default_rng(3)
+        vals = getattr(rng, dist)(size=100_000)
+        td = TDigest(200)
+        for c in np.array_split(vals, 8):
+            td.update_arrow(c)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = td.quantile(q)
+            rank_err = abs((vals <= est).mean() - q)
+            assert rank_err < 2 * td.rank_error_bound(), (dist, q, rank_err)
+
+    def test_merge_tree_within_bound(self):
+        rng = np.random.default_rng(4)
+        vals = rng.normal(size=60_000)
+        chunks = np.array_split(vals, 13)
+        merged = _random_merge(lambda: TDigest(200), chunks, rng)
+        for q in (0.05, 0.5, 0.95):
+            rank_err = abs((vals <= merged.quantile(q)).mean() - q)
+            assert rank_err < 3 * merged.rank_error_bound()
+
+    def test_extremes(self):
+        td = TDigest(100).update_arrow(np.arange(1000, dtype=float))
+        assert td.quantile(0.0) == 0.0
+        assert td.quantile(1.0) == 999.0
+
+
+class TestKLL:
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(9)
+        vals = rng.exponential(size=80_000)
+        k = KLL(200)
+        for c in np.array_split(vals, 9):
+            k.update_arrow(c)
+        assert k.n == len(vals)
+        for q in (0.1, 0.5, 0.9):
+            rank_err = abs((vals <= k.quantile(q)).mean() - q)
+            assert rank_err < 2 * k.rank_error_bound(), (q, rank_err)
+
+    def test_merge_tree_within_bound(self):
+        rng = np.random.default_rng(10)
+        vals = rng.normal(size=50_000)
+        merged = _random_merge(lambda: KLL(200), np.array_split(vals, 11), rng)
+        assert merged.n == len(vals)
+        for q in (0.25, 0.5, 0.75):
+            rank_err = abs((vals <= merged.quantile(q)).mean() - q)
+            assert rank_err < 3 * merged.rank_error_bound()

@@ -1,0 +1,103 @@
+"""SketchStore + checkpoint/resume contracts (persist/load parity with
+run_tests.sh:124-125; resume per north_rule)."""
+
+import json
+import os
+
+import pytest
+
+from presto_bloomfilter_ray import BloomFilter, deserialize
+from presto_bloomfilter_ray.engine import SketchStore
+
+
+@pytest.fixture
+def store(tmp_path):
+    return SketchStore(str(tmp_path / "store"))
+
+
+def test_put_get_roundtrip(store):
+    store.put("k1", b"hello")
+    assert store.get("k1") == b"hello"
+    assert store.exists("k1")
+    assert not store.exists("nope")
+
+
+def test_null_key_noop_returns_true(store):
+    # BloomFilterPersistScalarFunction.java: null URL → true, no-op
+    assert store.put(None, b"x") is True
+
+
+def test_persist_load_probe(store):
+    # run_tests.sh:124-125 analog: persist, load, probe
+    bf = BloomFilter(100)
+    bf.put("robin")
+    assert store.persist(bf, "demo/bf") is True
+    loaded = store.load("demo/bf")
+    assert loaded.might_contain("robin")
+    assert not loaded.might_contain("john")
+
+
+def test_load_and_merge_column_of_keys(store):
+    # bloom_filter_load aggregation (BloomFilterLoad.java:30-39)
+    for key, items in [("a", ["x"]), ("b", ["y"]), ("c", ["z"])]:
+        store.persist(BloomFilter(100).update_arrow(
+            __import__("pyarrow").array(items)), f"part/{key}")
+    merged = store.load_and_merge([f"part/{k}" for k in "abc"])
+    assert all(merged.might_contain(i) for i in "xyz")
+
+
+def test_keys_prefix_and_escape(store):
+    store.put("a/b/c", b"1")
+    store.put("a/d", b"2")
+    assert store.keys("a") == ["a/b/c", "a/d"]
+    with pytest.raises(ValueError):
+        store.put("../evil", b"x")
+
+
+def test_atomic_write_no_partial_files(store):
+    store.put("big", b"x" * 1_000_000)
+    files = store.keys()
+    assert files == ["big"]  # no .tmp- leftovers
+
+
+class TestSuiteResume:
+    @pytest.fixture(scope="class")
+    def webdir(self):
+        from presto_bloomfilter_ray.sources import ensure_webpages
+
+        return ensure_webpages(4000)
+
+    def test_resume_skips_completed_and_estimates_match(
+        self, ray_session, webdir, tmp_path_factory
+    ):
+        from presto_bloomfilter_ray.pipelines import run_suite
+
+        root = str(tmp_path_factory.mktemp("suite-store"))
+        r1 = run_suite(webdir, store_root=root, run_id="t", n_hint=4000)
+        assert r1["summary"]["resumed_partitions"] == 0
+        parts = r1["summary"]["partitions"]
+
+        # simulate a crash that lost some partitions: delete 1 checkpoint
+        store = SketchStore(root)
+        victim = store.checkpoint_key("t", "suite", 0)
+        store.delete(victim)
+        r2 = run_suite(webdir, store_root=root, run_id="t", n_hint=4000)
+        assert r2["summary"]["resumed_partitions"] == parts - 1
+        # identical estimates to the uninterrupted run — no double-count
+        assert r2["summary"]["distinct_urls_hll"] == r1["summary"]["distinct_urls_hll"]
+        assert r2["summary"]["rows"] == r1["summary"]["rows"]
+
+    def test_lineage_records_exactly_once(self, ray_session, webdir, tmp_path_factory):
+        from presto_bloomfilter_ray.pipelines import run_suite
+
+        root = str(tmp_path_factory.mktemp("suite-store2"))
+        res = run_suite(webdir, store_root=root, run_id="lin", n_hint=4000)
+        store = SketchStore(root)
+        lineage_keys = [k for k in store.keys("lineage/lin/suite")]
+        assert len(lineage_keys) == res["summary"]["partitions"]
+        seen = set()
+        for k in lineage_keys:
+            rec = json.loads(store.get(k).decode())
+            assert rec["partition"] not in seen
+            seen.add(rec["partition"])
+            assert rec["rows"] > 0 and rec["wall_s"] >= 0
