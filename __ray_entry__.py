@@ -56,7 +56,7 @@ def _bloom_semijoin_orders(sf_dir: str):
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     build_side = cust.filter(expr="c_nationkey == 5")
-    bf = build_sketch(build_side, "c_custkey", lambda: BloomFilter(100_000, 1e-9))
+    bf = build_sketch(build_side, "c_custkey", lambda: BloomFilter(100_000, 1e-9), batch_size=100_000)
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
     probed = semi_join(orders, "o_custkey", bf)
     agg = probed.groupby("o_orderstatus").aggregate(
@@ -74,7 +74,7 @@ def _bloom_antijoin_customer(sf_dir: str):
     from presto_bloomfilter_ray.engine import build_sketch, semi_join
 
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    bf = build_sketch(orders, "o_custkey", lambda: BloomFilter(1_000_000, 1e-9))
+    bf = build_sketch(orders, "o_custkey", lambda: BloomFilter(250_000, 1e-9), batch_size=65_536)
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     kept = semi_join(cust, "c_custkey", bf, anti=True)
     return pd.DataFrame({"n_no_orders": [kept.count()]})

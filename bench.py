@@ -1,0 +1,143 @@
+"""Benchmark harness — headline sketch pipelines at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling`` runs the same job twice in fresh processes at
+num_cpus=8 and num_cpus=32 (the sandbox stand-in for two cluster
+sizes, per BASELINE.md) and reports both throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+import uuid
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _webpage_rows(sf: float) -> int:
+    return max(20_000, int(2_000_000 * sf))
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from presto_bloomfilter_ray.pipelines import run_suite
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    import __ray_entry__ as entrymod
+
+    n_rows = _webpage_rows(sf)
+    web_dir = ensure_webpages(n_rows)  # cached, excluded from timing
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    for name in ("orders", "documents", "customer", "embeddings"):
+        with open(f"{sf_dir}/{name}.parquet", "rb") as f:
+            while f.read(1 << 22):
+                pass
+    for fn in sorted(os.listdir(web_dir)):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(web_dir, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+    queries: dict[str, float] = {}
+
+    # headline: flagship sketch suite over the CC-style webpages table —
+    # fresh run_id + store so checkpoints never short-circuit the work
+    store_root = f"/tmp/bench-store-{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    res = run_suite(web_dir, store_root=store_root, run_id="bench",
+                    n_hint=n_rows)
+    suite_sec = time.perf_counter() - t0
+    queries["suite_webpages"] = round(suite_sec, 3)
+    shutil.rmtree(store_root, ignore_errors=True)
+
+    q = entrymod.queries()
+    for name in ("bloom_semijoin_orders", "bloom_antijoin_customer",
+                 "exact_dedup_documents", "text_stats_by_lang",
+                 "hll_distinct_custkey", "quantiles_textlen",
+                 "minhash_dedup_documents", "ann_topk_cosine"):
+        t0 = time.perf_counter()
+        out = q[name](sf_dir)
+        # consume lazily-returned datasets
+        if hasattr(out, "to_pandas"):
+            out.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "sketch-suite + headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "webpages_rows": n_rows,
+        "suite_docs_per_sec": round(n_rows / suite_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes — the
+    sandbox evidence for the north_rule's N vs 4N cluster criterion."""
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = one(lo_n)
+    hi = one(hi_n)
+    # efficiency on the headline suite (docs/s is the throughput metric)
+    tp_lo = lo["suite_docs_per_sec"]
+    tp_hi = hi["suite_docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_n / lo_n)
+    return {
+        "metric": "scaling efficiency (suite docs/s, 8 → 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus_lo": lo_n, "cpus_hi": hi_n,
+        "docs_per_sec_lo": tp_lo, "docs_per_sec_hi": tp_hi,
+        "sec_lo": lo["queries"]["suite_webpages"],
+        "sec_hi": hi["queries"]["suite_webpages"],
+        "total_sec_lo": lo["value"], "total_sec_hi": hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

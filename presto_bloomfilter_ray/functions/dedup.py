@@ -64,33 +64,24 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 # ----------------------------------------------------------------- MinHash
-def _doc_shingle_hashes(texts: List[Optional[str]], k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Flat char-k-gram hash array + doc start offsets.
-
-    Shingle strings for the whole batch are assembled into ONE flat
-    Arrow array and hashed in a single vectorized call; only the
-    slicing loop is Python (cheap string slicing, no hashing per row).
-    """
-    flat: List[str] = []
-    starts = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = (t or "").lower()
-        n_sh = max(1, len(t) - k + 1)
-        flat.extend(t[j : j + k] for j in range(0, max(1, len(t) - k + 1)))
-        starts[i + 1] = starts[i] + n_sh
-    h = hash64(pa.array(flat, type=pa.large_string()), 0x51A17)
-    return h, starts
-
-
 class MinHasher:
     """Actor-pool stage: MinHash signatures + LSH band keys per doc.
 
-    ``num_perm`` permutations via affine transforms ``(a*h + b) mod p``
-    of one base hash (standard one-hash MinHash); ``bands`` LSH bands of
-    ``num_perm/bands`` rows each. Emits per input row: doc id, the
-    signature (fixed-size list), and ``bands`` band-hash columns rolled
-    into (band, band_hash) rows by :func:`lsh_candidates`.
+    Fully vectorized, no per-shingle Python: the batch's texts are
+    normalized and viewed as ONE flat byte array; char-``shingle_k``-gram
+    hashes come from a rolling polynomial over the padded bytes
+    (``k-1`` sentinel bytes between docs so windows never cross a doc
+    boundary) finished with splitmix64; ``num_perm`` permutations are
+    odd-multiplier affine maps over Z/2^64 (bijections), min-reduced per
+    doc with ``np.minimum.reduceat``.
+
+    Emits ONE row per doc: (id, sig fixed-list, band_hash fixed-list) —
+    band rows are exploded WITHOUT the signature downstream, so the
+    LSH shuffle carries ~16 bytes per (doc, band), not the signature.
     """
+
+    _POLY = np.uint64(1099511628211)
+    _SENTINEL = np.uint64(0x1F)
 
     def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -103,81 +94,198 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
         rng = np.random.default_rng(1337)  # fixed: identical in every actor
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
 
-    def signatures(self, texts: List[Optional[str]]) -> np.ndarray:
-        h, starts = _doc_shingle_hashes(texts, self.k)
-        h61 = (h % np.uint64(_MERSENNE)).astype(np.uint64)
-        sig = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        red_starts = starts[:-1]
+    @staticmethod
+    def _splitmix(z: np.ndarray) -> np.ndarray:
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def _shingle_stream(self, texts):
+        """→ (flat shingle hashes, per-doc reduce starts, empty-doc mask).
+
+        Windows whose span would cross into the next doc's bytes are
+        masked to uint64-max so they never win a min — doc signatures
+        are therefore independent of batch composition and order.
+        """
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(list(texts), type=pa.large_string())
+        arr = normalize_text(texts)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.cast(pa.large_string())
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offs)
+        n = len(lens)
+        k = self.k
+        pad = k - 1
+        nbytes = int(offs[-1] - offs[0])
+        total = nbytes + pad * n
+        padded = np.full(total, self._SENTINEL, dtype=np.uint64)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        src = np.arange(nbytes, dtype=np.int64)
+        padded[src + pad * row_of] = data[offs[0] + src]
+        # rolling degree-(k-1) polynomial over the padded stream
+        m = max(0, total - k + 1)
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * self._POLY + padded[j : m + j]
+        sh = self._splitmix(acc)
+        padded_starts = (offs[:-1] - offs[0]) + pad * np.arange(n, dtype=np.int64)
+        # contamination mask: the last k-1 windows of every non-final
+        # segment peek into the next doc's bytes — they must never win a
+        # min, under ANY permutation (the mask is re-applied per perm in
+        # ``signatures`` because an affine map scrambles sentinels)
+        contam = np.zeros(m, dtype=bool)
+        if n > 1 and m > 0:
+            seg_ends = padded_starts[1:]
+            for j in range(1, k):
+                idx = seg_ends - j
+                ok = (idx >= padded_starts[:-1]) & (idx >= 0) & (idx < m)
+                contam[idx[ok]] = True
+        starts = np.minimum(padded_starts, max(0, m - 1))
+        return sh, starts, (lens == 0), contam
+
+    def signatures(self, texts) -> np.ndarray:
+        sh, starts, empty_mask, contam = self._shingle_stream(texts)
+        n = len(starts)
+        sig = np.empty((n, self.num_perm), dtype=np.uint64)
+        if sh.size == 0:
+            sig[:] = self._splitmix(self.b)[None, :]
+            return sig
+        UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+        any_contam = bool(contam.any())
         for p in range(self.num_perm):
-            v = (self.a[p] * h61 + self.b[p]) % np.uint64(_MERSENNE)
-            sig[:, p] = np.minimum.reduceat(v, red_starts)
+            v = self.a[p] * sh + self.b[p]
+            if any_contam:
+                v[contam] = UMAX
+            sig[:, p] = np.minimum.reduceat(v, starts)
+        if empty_mask.any():
+            sig[empty_mask] = self._splitmix(self.b)[None, :]
         return sig
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
-        """(n_docs, bands) uint64 — hash of each band's signature rows."""
+        """(n_docs, bands) uint64 — hash of each band's signature rows.
+
+        The band index is folded into the seed, so hashes are globally
+        unique per (band, chunk-value) and grouping on the hash alone
+        suffices (cross-band collisions only create extra candidates,
+        which verification discards)."""
         n = sig.shape[0]
         out = np.empty((n, self.bands), dtype=np.uint64)
         for b in range(self.bands):
             chunk = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
-            acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+            acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64) ^ self._splitmix(
+                np.array([b + 1], dtype=np.uint64)
+            )[0]
             for r in range(self.rows_per_band):
                 acc = (acc ^ chunk[:, r]) * np.uint64(0x100000001B3)
             out[:, b] = acc
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
         ids = np.asarray(batch.column(self.id_col))
-        sig = self.signatures(texts)
+        sig = self.signatures(batch.column(self.text_col))
         bh = self.band_hashes(sig)
-        n = len(texts)
-        # explode: one row per (doc, band)
         return pa.table({
-            self.id_col: pa.array(np.repeat(ids, self.bands)),
-            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-            "sig": pa.array(
-                list(np.repeat(sig, self.bands, axis=0).astype(np.int64)),
-                type=pa.list_(pa.int64(), self.num_perm),
-            ),
+            self.id_col: pa.array(ids),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1).astype(np.int64)), self.num_perm),
+            "band_hash": pa.FixedSizeListArray.from_arrays(
+                pa.array(bh.reshape(-1).astype(np.int64)), self.bands),
         })
 
 
 def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
                         shingle_k: int = 5, text_col: str = "text",
-                        id_col: str = "doc_id", concurrency: Optional[int] = None):
-    """documents → (band,band_hash) groups → candidate doc-id pairs with
-    their signature-estimated Jaccard."""
+                        id_col: str = "doc_id", concurrency: Optional[int] = None) -> pd.DataFrame:
+    """documents → signatures (one materialized pass) → (band, band_hash)
+    explode (ids only) → groupby → candidate pairs → signature-verified
+    Jaccard estimates. Returns a pandas DataFrame (a, b, est_jaccard).
+
+    Scale notes: the LSH shuffle moves only (id, band, band_hash) rows;
+    signatures are fetched solely for candidate ids. The signature
+    dataset is materialized here (fine up to ~10^8 docs); beyond that,
+    write it to parquet and re-read per phase — same topology.
+    """
     kwargs = {"batch_format": "pyarrow"}
     if concurrency:
         kwargs["concurrency"] = concurrency
-        exploded = ds.map_batches(
+        sig_ds = ds.map_batches(
             MinHasher, fn_constructor_kwargs=dict(
                 num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                 text_col=text_col, id_col=id_col), **kwargs)
     else:
         mh = MinHasher(num_perm, bands, shingle_k, text_col, id_col)
-        exploded = ds.map_batches(mh, **kwargs)
+        sig_ds = ds.map_batches(mh, **kwargs)
+    sig_ds = sig_ds.materialize()
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i]); out_b.append(ids[j])
-                out_j.append(float((sigs[i] == sigs[j]).mean()))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col))
+        bh = np.asarray(batch.column("band_hash").combine_chunks().flatten()).reshape(len(ids), bands)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band_hash": pa.array(bh.reshape(-1)),
+        })
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs_in_group, batch_format="pandas"
+    from ray.data.aggregate import Count
+
+    exploded = sig_ds.select_columns([id_col, "band_hash"]).map_batches(
+        explode, batch_format="pyarrow"
     )
+    # vectorized hash-agg (NOT per-group Python): find duplicated buckets
+    counts = exploded.groupby("band_hash").aggregate(Count(alias_name="n"))
+    dup_hashes = counts.filter(expr="n > 1").select_columns(["band_hash"]).to_pandas()
+    if dup_hashes.empty:
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+    import ray
+
+    dup_ref = ray.put(np.sort(dup_hashes["band_hash"].to_numpy()))
+
+    def in_dup_bucket(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        keep = np.isin(np.asarray(batch.column("band_hash")), d, assume_unique=False)
+        return batch.filter(pa.array(keep))
+
+    # only rows in duplicated buckets reach the driver (true candidates)
+    cand_rows = exploded.map_batches(in_dup_bucket, batch_format="pyarrow").to_pandas()
+    out_a, out_b = [], []
+    for _h, g in cand_rows.groupby("band_hash", sort=False):
+        ids = np.sort(np.unique(g[id_col].to_numpy()))
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ii]); out_b.append(ids[jj])
+    if not out_a:
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+    pairs = pd.DataFrame({
+        "a": np.concatenate(out_a), "b": np.concatenate(out_b)
+    }).drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+
+    # fetch signatures only for candidate ids, estimate Jaccard
+    cand = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+    import ray
+
+    cand_ref = ray.put(cand)
+
+    def filter_cand(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        keep = np.isin(np.asarray(batch.column(id_col)), c)
+        return batch.select([id_col, "sig"]).filter(pa.array(keep))
+
+    sub = sig_ds.map_batches(filter_cand, batch_format="pyarrow").to_pandas()
+    sig_of = {int(i): np.asarray(s) for i, s in zip(sub[id_col], sub["sig"])}
+    est = np.array([
+        float((sig_of[int(a)] == sig_of[int(b)]).mean())
+        for a, b in zip(pairs["a"], pairs["b"])
+    ])
+    pairs["est_jaccard"] = est
     return pairs
 
 
@@ -187,11 +295,9 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     """Near-dup removal: keep one representative (min id) per connected
     component of the ≥threshold candidate graph. Returns (deduped_ds,
     dup_map) where dup_map maps removed id → kept id."""
-    pairs = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, id_col)
-    edges = pairs.to_pandas()
-    if edges.empty or "est_jaccard" not in edges.columns:
+    edges = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, id_col)
+    if edges.empty:
         return ds, {}
-    edges = edges.drop_duplicates(subset=["a", "b"])
     edges = edges[edges["est_jaccard"] >= threshold]
     # union-find over the (small) candidate edge set
     parent: Dict[int, int] = {}

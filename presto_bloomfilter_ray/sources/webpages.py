@@ -155,16 +155,23 @@ def generate_dataset(n_rows: int, override_num_blocks: Optional[int] = None):
     def gen(batch: pa.Table) -> pa.Table:
         return make_batch(np.asarray(batch.column("id")))
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=4096)
+    # one batch per block → block count (and output file count) is
+    # exactly override_num_blocks
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
-def ensure_webpages(n_rows: int, root: str = "/tmp/webpages") -> str:
-    """Materialize (once) a deterministic webpages parquet dir for a size."""
+def ensure_webpages(n_rows: int, root: str = "/tmp/webpages",
+                    num_files: int = 96) -> str:
+    """Materialize (once) a deterministic webpages parquet dir for a size.
+
+    ``num_files`` fixes the shard count (96 = a clean multiple of both
+    bench parallelism levels, so scaling runs aren't quantization-bound).
+    """
     out = os.path.join(root, f"n{n_rows}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    ds = generate_dataset(n_rows)
+    ds = generate_dataset(n_rows, override_num_blocks=min(num_files, max(1, n_rows // 250)))
     ds.write_parquet(out)
     with open(marker, "w") as f:
         f.write("ok")
