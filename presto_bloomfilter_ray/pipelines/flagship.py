@@ -23,7 +23,6 @@ reduce is O(#shards × sketch bytes) regardless of row count or skew.
 from __future__ import annotations
 
 import json
-import pickle
 import time
 from typing import Dict, List, Optional
 
@@ -39,6 +38,12 @@ from ..sketches import KLL, BloomFilter, CountMin, HyperLogLog, TDigest, deseria
 from ..sources.webpages import url_host
 
 SUITE_COLUMNS = ["url", "text", "lang"]
+
+
+#: per-lang Bloom sizing: hosts are drawn from a bounded host universe
+#: (N_HOSTS), so a fixed small n per lang suffices and keeps the per-
+#: shard partial bitsets (and the merge traffic) small
+LANG_BLOOM_N = 20_000
 
 
 def _suite_factories(n_hint: int):
@@ -76,20 +81,44 @@ def build_shard_partials(table: pa.Table, n_hint: int) -> Dict[str, bytes]:
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
             lang = langs[lo].as_py()
-            sk = BloomFilter(100_000, 0.01).update_arrow(hosts_sorted.slice(lo, hi - lo))
+            sk = BloomFilter(LANG_BLOOM_N, 0.01).update_arrow(hosts_sorted.slice(lo, hi - lo))
             out[f"lang_bloom/{lang}"] = sk.serialize()
     return out
+
+
+def _cap_worker_threads() -> None:
+    """Inside a Ray worker, intra-op thread pools must be 1: Ray already
+    runs one process per CPU, and pyarrow/polars would otherwise each
+    start a machine-width pool PER WORKER (N^2 threads — measured 13x
+    per-task inflation at 32-way concurrency in this sandbox)."""
+    try:
+        if pa.cpu_count() > 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
+def _part_prefix(run_id: str, part_id: int) -> str:
+    return f"checkpoints/{run_id}/suite/part-{part_id:06d}"
 
 
 @ray.remote
 def _process_shard(
     files: List[str], part_id: int, store_root: str, run_id: str, n_hint: int
 ) -> Dict:
-    """One resumable unit: read shard files → partials → checkpoint."""
+    """One resumable unit: read shard files → partials → checkpoint.
+
+    Checkpoint layout: one envelope file per sketch name under the
+    partition directory, plus a ``.done`` marker written LAST — the
+    marker is the commit point, so a crash mid-write is simply re-done
+    (atomic per-file writes, no partial state observable)."""
+    _cap_worker_threads()
     store = SketchStore(store_root)
-    ckpt_key = store.checkpoint_key(run_id, "suite", part_id)
+    prefix = _part_prefix(run_id, part_id)
+    done_key = f"{prefix}.done"
     lineage_key = f"lineage/{run_id}/suite/part-{part_id:06d}.json"
-    if store.exists(ckpt_key):
+    if store.exists(done_key):
         lineage = json.loads(store.get(lineage_key).decode())
         lineage["resumed"] = True
         return lineage
@@ -106,13 +135,14 @@ def _process_shard(
         "rows": table.num_rows,
         "input_bytes": int(table.nbytes),
         "sketch_bytes": int(sum(len(v) for v in partials.values())),
+        "sketch_names": sorted(partials),
         "wall_s": round(time.time() - t0, 4),
         "resumed": False,
     }
-    # lineage first, checkpoint last: the checkpoint's existence is the
-    # commit point, so a crash between the two writes is re-done safely
+    for name, env in partials.items():
+        store.put(f"{prefix}/{name}", env)
     store.put(lineage_key, json.dumps(lineage).encode())
-    store.put(ckpt_key, pickle.dumps(partials))
+    store.put(done_key, b"ok")
     return lineage
 
 
@@ -146,18 +176,31 @@ def run_suite(
     ]
     lineages = ray.get(futures)
 
-    # merge partials (driver-side fold over #shards envelopes; for 10^5+
-    # shards switch to the build_sketch tree — same envelopes)
+    # merge partials in parallel: one task per sketch name folds ONLY
+    # that name's per-shard envelope files (for 10^5+ shards, insert a
+    # fan-in round per name — same envelopes, deeper tree)
     store = SketchStore(store_root)
-    merged_sk: Dict[str, object] = {}
-    for i in range(len(shards)):
-        blob = pickle.loads(store.get(store.checkpoint_key(run_id, "suite", i)))
-        for name, env in blob.items():
-            sk = deserialize(env)
-            if name in merged_sk:
-                merged_sk[name].merge(sk)
-            else:
-                merged_sk[name] = sk
+    names: set = set()
+    for ln in lineages:
+        names.update(ln.get("sketch_names", []))
+
+    @ray.remote
+    def _merge_name(name: str, n_parts: int):
+        _cap_worker_threads()
+        st = SketchStore(store_root)
+        acc = None
+        for i in range(n_parts):
+            key = f"{_part_prefix(run_id, i)}/{name}"
+            if not st.exists(key):
+                continue
+            sk = deserialize(st.get(key))
+            acc = sk if acc is None else acc.merge(sk)
+        return name, acc.serialize() if acc is not None else None
+
+    merged = ray.get([_merge_name.remote(n, len(shards)) for n in sorted(names)])
+    merged_sk: Dict[str, object] = {
+        name: deserialize(env) for name, env in merged if env is not None
+    }
 
     td: TDigest = merged_sk["td_textlen"]  # type: ignore[assignment]
     kll: KLL = merged_sk["kll_textlen"]  # type: ignore[assignment]

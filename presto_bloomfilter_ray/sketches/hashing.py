@@ -14,8 +14,16 @@ associativity) are what we preserve.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+
+# Ray runs one worker process per CPU; polars would otherwise start a
+# full-width thread pool in EVERY worker (N^2 threads, catastrophic
+# oversubscription under map_batches). One thread per worker is the
+# right parallelism model here — Ray owns the cores.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 try:  # polars is the fast path; baked into this environment
     import polars as pl

@@ -78,9 +78,9 @@ class TestSuiteResume:
         parts = r1["summary"]["partitions"]
 
         # simulate a crash that lost some partitions: delete 1 checkpoint
+        # commit marker (the partition is then recomputed from scratch)
         store = SketchStore(root)
-        victim = store.checkpoint_key("t", "suite", 0)
-        store.delete(victim)
+        store.delete("checkpoints/t/suite/part-000000.done")
         r2 = run_suite(webdir, store_root=root, run_id="t", n_hint=4000)
         assert r2["summary"]["resumed_partitions"] == parts - 1
         # identical estimates to the uninterrupted run — no double-count
