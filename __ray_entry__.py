@@ -228,6 +228,41 @@ def _text_stats_by_lang(sf_dir: str):
     return agg
 
 
+def _word_count_top20(sf_dir: str):
+    from presto_bloomfilter_ray.functions import word_count
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return word_count(docs, top_k=20)
+
+
+def _events_sliding(sf_dir: str):
+    """Sliding 1h windows stepping 30min over events (count + sum)."""
+    from presto_bloomfilter_ray.functions import sliding_aggregate
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    agg = sliding_aggregate(ev, "ts", ["event_type"], size_s=3600, step_s=1800,
+                            value_col="value")
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    return df[["event_type", "window_start", "n_events", "sum_value"]]
+
+
+def _events_sessions(sf_dir: str):
+    """Per-user 30-minute-gap sessionization, top-level stats."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from presto_bloomfilter_ray.functions import session_windows
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_id"])
+    sess = session_windows(ev, "ts", "user_id", gap_s=1800, order_cols=["event_id"])
+    agg = sess.groupby("user_id").aggregate(
+        Count(alias_name="n_sessions"),
+        Sum("n_events", alias_name="n_events"),
+        Max("session_id", alias_name="max_session_id"),
+    )
+    return agg
+
+
 # ---------------------------------------------------------------- similarity
 def _ann_topk_cosine(sf_dir: str):
     import duckdb
@@ -243,6 +278,13 @@ def _ann_topk_cosine(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     top = topk_cosine(emb, q, k=10)
     return top[["vec_id"]]
+
+
+def _embedding_neardup(sf_dir: str):
+    from presto_bloomfilter_ray.functions import cosine_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(emb, threshold=0.45)
 
 
 # ------------------------------------------------------------- sketch (est.)
@@ -347,7 +389,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": _minhash_dedup_documents,
         "simhash_candidates_documents": _simhash_candidates_documents,
         "text_stats_by_lang": _text_stats_by_lang,
+        "word_count_top20": _word_count_top20,
+        "events_sliding": _events_sliding,
+        "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
+        "embedding_neardup": _embedding_neardup,
         "hll_distinct_custkey": _hll_distinct,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
@@ -413,6 +459,43 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(text)) AS sum_chars
             FROM documents GROUP BY lang
         """,
+        "word_count_top20": """
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+                FROM documents
+            ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "events_sliding": """
+            WITH fan AS (SELECT 0 AS k UNION ALL SELECT 1)
+            SELECT event_type,
+                   to_timestamp(floor(epoch(ts) / 1800) * 1800 - k * 1800)
+                       AT TIME ZONE 'UTC' AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events CROSS JOIN fan
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   count(DISTINCT session_id) AS n_sessions,
+                   count(*) AS n_events,
+                   max(session_id) AS max_session_id
+            FROM sessions GROUP BY user_id
+        """,
         "ann_topk_cosine": """
             SELECT vec_id FROM (
                 SELECT vec_id, list_cosine_similarity(
@@ -420,6 +503,11 @@ def oracle_sql() -> dict[str, str]:
                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
                 FROM embeddings ORDER BY s DESC, vec_id ASC LIMIT 10
             )
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
         # minhash/simhash/hll/cm/quantiles/webpages_suite: estimate or
         # non-SQL-expressible pipelines → rows-only check by design;

@@ -7,5 +7,17 @@ from .dedup import (
     simhash64,
     simhash_candidates,
 )
-from .similarity import IVFIndex, topk_cosine
-from .text import LangId, add_text_stats, fingerprint64, quality_score, token_count
+from .similarity import IVFIndex, cosine_neardup_pairs, topk_cosine
+from .text import (
+    LangId,
+    add_text_stats,
+    fingerprint64,
+    quality_score,
+    token_count,
+    word_count,
+)
+from .windows import (
+    session_windows,
+    sliding_aggregate,
+    tumbling_aggregate,
+)

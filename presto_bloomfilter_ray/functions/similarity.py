@@ -66,6 +66,49 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, vec_col: str = "embedding",
     return partials.head(k).reset_index(drop=True)
 
 
+def cosine_neardup_pairs(ds, threshold: float = 0.99, vec_col: str = "embedding",
+                         id_col: str = "vec_id", concurrency: Optional[int] = None):
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+
+    Broadcast design: the full normalized matrix + ids ship once via
+    ``ray.put``; every batch matmuls its rows against it and emits only
+    the qualifying pairs. O(N²/B) flops spread across the cluster with
+    no shuffle. Scale path for N beyond broadcast size: bucket by IVF
+    centroid first (see :class:`IVFIndex`) and run this per bucket.
+    Sim math is float64 so results agree with a SQL oracle's doubles.
+    """
+    import pandas as pd
+
+    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = all_df[id_col].to_numpy()
+    mat_all = _l2norm(np.stack(all_df[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        arr = batch.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        m = _l2norm(np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), -1))
+        ids_b = np.asarray(batch.column(id_col))
+        sims = m @ mat.T  # (batch, N)
+        bi, aj = np.nonzero(sims >= threshold)
+        a_ids, b_ids = ids_b[bi], ids_a[aj]
+        keep = a_ids < b_ids  # dedupe + drop self-pairs
+        return pa.table({"a": pa.array(a_ids[keep]), "b": pa.array(b_ids[keep])})
+
+    kwargs = {"batch_format": "pyarrow"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    out = ds.map_batches(pairs, **kwargs).to_pandas()
+    if out.empty or "a" not in out.columns:
+        import pandas as pd
+
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 class IVFIndex:
     """Inverted-file ANN index over a Dataset embedding column.
 

@@ -126,6 +126,36 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
+def word_count(ds, text_col: str = "text", top_k: Optional[int] = None):
+    """Distributed word count with map-side pre-aggregation.
+
+    Each batch tokenizes vectorized (Arrow regex), counts words WITHIN
+    the batch (``value_counts``), and emits one (word, n) row per
+    distinct word — so the shuffle moves per-batch distinct words, not
+    per-occurrence rows (the combiner pattern; Zipf skew on hot words is
+    absorbed map-side). Then a small ``groupby(word).sum`` finalizes.
+    """
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(batch.column(text_col), r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": vc.field("counts"),
+        })
+
+    counts = (
+        ds.map_batches(batch_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if top_k:
+        counts = counts.sort(["n", "word"], descending=[True, False]).limit(top_k)
+    return counts
+
+
 def fingerprint64(text_col, ngram: int = 8) -> pa.Array:
     """Rolling-hash document fingerprint: min of character-n-gram hashes
     (one-permutation MinHash). Equal fingerprints ⇒ near-identical

@@ -1,0 +1,129 @@
+"""Event-time windowed aggregates over a batch log table.
+
+Ray Data has no native event-time windows/watermarks (it's a batch
+engine); these operators express the standard window shapes with the
+Dataset primitives, per the documented pattern: tumbling/sliding =
+vectorized window-key assignment inside ``map_batches`` + groupby
+(each event maps to its window keys map-side — the shuffle moves
+pre-keyed rows once); session = ``groupby(key).map_groups`` over
+ts-sorted per-key groups (ordering assumption: one group = one key,
+sorted here, stated per the guide).
+
+Late data: a batch table has no lateness — all rows are present; the
+window assignment is deterministic, so re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_US = 1_000_000
+
+
+def _ts_us(col) -> np.ndarray:
+    return np.asarray(col.cast(pa.int64()))
+
+
+def add_tumbling_window(batch: pa.Table, ts_col: str, size_s: int,
+                        out_col: str = "window_start") -> pa.Table:
+    """Vectorized tumbling-window assignment (floor to the window grid)."""
+    us = _ts_us(batch.column(ts_col))
+    size = size_s * _US
+    start = (us // size) * size
+    return batch.append_column(out_col, pa.array(start).cast(pa.timestamp("us")))
+
+
+def explode_sliding_windows(batch: pa.Table, ts_col: str, size_s: int,
+                            step_s: int, out_col: str = "window_start") -> pa.Table:
+    """Each event → one output row per covering sliding window.
+
+    Windows start on the ``step_s`` grid; an event at t is in windows
+    with start in (t - size, t]. Fan-out is size/step rows per event —
+    assigned map-side, so the shuffle sees pre-keyed rows (scale note:
+    for large size/step ratios pre-aggregate per (batch, window) before
+    the groupby, same as sketch partials).
+    """
+    if size_s % step_s:
+        raise ValueError("step must divide size")
+    fan = size_s // step_s
+    us = _ts_us(batch.column(ts_col))
+    step = step_s * _US
+    last = (us // step) * step  # latest window start covering the event
+    starts = last[:, None] - step * np.arange(fan, dtype=np.int64)[None, :]
+    idx = np.repeat(np.arange(len(us), dtype=np.int64), fan)
+    out = batch.take(pa.array(idx))
+    return out.append_column(
+        out_col, pa.array(starts.reshape(-1)).cast(pa.timestamp("us"))
+    )
+
+
+def tumbling_aggregate(ds, ts_col: str, key_cols: List[str], size_s: int,
+                       value_col: Optional[str] = None):
+    """count + optional sum per (keys, tumbling window)."""
+    from ray.data.aggregate import Count, Sum
+
+    keyed = ds.map_batches(
+        lambda b: add_tumbling_window(b, ts_col, size_s), batch_format="pyarrow"
+    )
+    aggs = [Count(alias_name="n_events")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name="sum_value"))
+    return keyed.groupby([*key_cols, "window_start"]).aggregate(*aggs)
+
+
+def sliding_aggregate(ds, ts_col: str, key_cols: List[str], size_s: int,
+                      step_s: int, value_col: Optional[str] = None):
+    """count + optional sum per (keys, sliding window)."""
+    from ray.data.aggregate import Count, Sum
+
+    keyed = ds.map_batches(
+        lambda b: explode_sliding_windows(b, ts_col, size_s, step_s),
+        batch_format="pyarrow",
+    )
+    aggs = [Count(alias_name="n_events")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name="sum_value"))
+    return keyed.groupby([*key_cols, "window_start"]).aggregate(*aggs)
+
+
+def session_windows(ds, ts_col: str, key_col: str, gap_s: int,
+                    order_cols: Optional[List[str]] = None):
+    """Gap-based sessionization per key.
+
+    ``groupby(key).map_groups``: sort the group by (ts, order_cols),
+    open a new session when the gap to the previous event exceeds
+    ``gap_s``. Emits (key, session_id, n_events, session_start,
+    session_end). Session ids are 1-based in ts order — matching a SQL
+    ``sum(is_new) over (partition by key order by ts)`` oracle.
+    Partitioning assumption: one key's events fit one group (true for
+    per-user web logs; shard hot keys by day first if not).
+    """
+    gap_us = gap_s * _US
+    sort_cols = [ts_col, *(order_cols or [])]
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        us = g[ts_col].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        if len(us) > 1:
+            new[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        g = g.assign(session_id=sid)
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=(ts_col, "size"),
+                session_start=(ts_col, "min"),
+                session_end=(ts_col, "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    return ds.groupby(key_col).map_groups(sessionize, batch_format="pandas")

@@ -1,0 +1,122 @@
+"""Windowed aggregates + distributed word count contracts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_tumbling_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import tumbling_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    mine = (
+        tumbling_aggregate(ev, "ts", ["event_type"], size_s=3600, value_col="value")
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    theirs = duck.sql("""
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events, sum(value) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert mine["n_events"].tolist() == theirs["n_events"].tolist()
+    assert np.allclose(mine["sum_value"], theirs["sum_value"])
+
+
+def test_sliding_covers_each_event_fan_times(ray_session, sf_dir):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import sliding_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    agg = sliding_aggregate(ev, "ts", ["event_type"], size_s=3600, step_s=1800)
+    total = sum(r["n_events"] for r in agg.take_all())
+    assert total == 2 * n  # fan-out = size/step = 2
+
+
+def test_session_windows_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import session_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_id"])
+    sess = session_windows(ev, "ts", "user_id", gap_s=1800,
+                           order_cols=["event_id"]).to_pandas()
+    n_sessions_mine = sess.groupby("user_id")["session_id"].max().sort_index()
+    theirs = duck.sql("""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, sum(is_new) AS n_sessions FROM flagged GROUP BY user_id
+        ORDER BY user_id
+    """).df().set_index("user_id")["n_sessions"]
+    assert n_sessions_mine.astype(int).tolist() == theirs.astype(int).tolist()
+    # sessions partition all events exactly once
+    assert sess["n_events"].sum() == ev.count()
+
+
+def test_word_count_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import word_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    mine = word_count(docs, top_k=15).to_pandas()
+    theirs = duck.sql("""
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents
+        ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 15
+    """).df()
+    assert mine["word"].tolist() == theirs["word"].tolist()
+    assert mine["n"].astype(int).tolist() == theirs["n"].astype(int).tolist()
+
+
+def test_cosine_neardup_pairs_exact(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import cosine_neardup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mine = cosine_neardup_pairs(emb, threshold=0.45)
+    theirs = duck.sql("""
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY a, b
+    """).df()
+    assert mine["a"].astype(int).tolist() == theirs["a"].astype(int).tolist()
+    assert mine["b"].astype(int).tolist() == theirs["b"].astype(int).tolist()
+
+
+def test_grouped_sketchagg_through_groupby(ray_session, sf_dir, duck):
+    """GROUP BY + SketchAgg via the native ds.groupby().aggregate() API
+    (the reference's grouped-state path, BloomFilterStateFactory.java:48-91)."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray import BloomFilter, deserialize
+    from presto_bloomfilter_ray.engine import SketchAgg
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    out = nation.groupby("n_regionkey").aggregate(
+        SketchAgg(lambda: BloomFilter(1000, 1e-9), on="n_name", alias_name="bf")
+    ).take_all()
+    assert len(out) == 5
+    for row in out:
+        bf = deserialize(row["bf"])
+        names = [r[0] for r in duck.sql(
+            "select n_name from nation where n_regionkey = ?",
+            params=[row["n_regionkey"]]).fetchall()]
+        others = [r[0] for r in duck.sql(
+            "select n_name from nation where n_regionkey <> ?",
+            params=[row["n_regionkey"]]).fetchall()]
+        assert all(bf.might_contain(n) for n in names)
+        assert not any(bf.might_contain(n) for n in others)
