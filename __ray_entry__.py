@@ -98,6 +98,25 @@ def _bloom_params(sf_dir: str):
     })
 
 
+def _bloom_persist_load(sf_dir: str):
+    """Reference e2e persist/load conformance (run_tests.sh:124-125):
+    build a filter, persist it to the store, load it back, semi-join —
+    same result as building fresh."""
+    from presto_bloomfilter_ray import BloomFilter
+    from presto_bloomfilter_ray.engine import SketchStore, build_sketch, semi_join
+
+    nation = _read(sf_dir, "nation")
+    bf = build_sketch(nation.filter(expr="n_regionkey == 1"), "n_name",
+                      lambda: BloomFilter(1000, 1e-9))
+    store = SketchStore("/tmp/sketch-store-queries-kv")
+    persisted = store.persist(bf, "queries/region1-names")
+    loaded = store.load("queries/region1-names")
+    out = semi_join(nation, "n_name", loaded).select_columns(
+        ["n_nationkey", "n_name"]).to_pandas()
+    out["persisted"] = bool(persisted)
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
 def _grouped_bloom_membership(sf_dir: str):
     """Grouped aggregation contract: per-region Bloom over n_name; every
     nation must test positive against its own region's filter (no false
@@ -381,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_orders": _bloom_semijoin_orders,
         "bloom_antijoin_customer": _bloom_antijoin_customer,
         "bloom_params": _bloom_params,
+        "bloom_persist_load": _bloom_persist_load,
         "grouped_bloom_membership": _grouped_bloom_membership,
         "q1_lineitem": _q1_lineitem,
         "events_hourly": _events_hourly,
@@ -421,6 +441,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_params": """
             SELECT CAST(10 AS BIGINT) AS expected_insertions, 0.1234 AS fpp
+        """,
+        "bloom_persist_load": """
+            SELECT n_nationkey, n_name, TRUE AS persisted FROM nation
+            WHERE n_name IN (SELECT n_name FROM nation WHERE n_regionkey = 1)
+            ORDER BY n_nationkey
         """,
         "grouped_bloom_membership": """
             SELECT n_nationkey, TRUE AS contained FROM nation ORDER BY n_nationkey

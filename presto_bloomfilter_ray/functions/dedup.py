@@ -45,22 +45,51 @@ def add_content_hash(batch: pa.Table, col: str = "text",
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the min-``id_col`` row per distinct normalized text.
 
-    map_batches(add hash) → groupby(hash) → first-by-id. The kept row
-    set is deterministic (min id), matching a SQL
-    ``row_number() over (partition by text order by id) = 1`` oracle.
+    Deterministic (min id), matching a SQL ``row_number() over
+    (partition by text order by id) = 1`` oracle.
+
+    Scale design: the shuffle carries only (content_hash, id) PAIRS
+    (16 bytes/row), aggregated with a vectorized Count+Min — never the
+    text, and never per-group Python. Only hashes with count > 1 (the
+    actual duplicate groups) come back to the driver as a keep-map;
+    the row dataset is then map-filtered against the broadcast map.
+    Duplicate-group count is what bounds driver memory — proportional
+    to real duplication, not corpus size.
     """
+    from ray.data.aggregate import Count, Min
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    import ray
 
-    with_hash = ds.map_batches(
-        lambda b: add_content_hash(b, col), batch_format="pyarrow"
+    def hash_pairs(b: pa.Table) -> pa.Table:
+        h = hash64(normalize_text(b.column(col)), 0xDED0)
+        return pa.table({"content_hash": pa.array(h.astype(np.int64)),
+                         id_col: b.column(id_col)})
+
+    agg = (
+        ds.map_batches(hash_pairs, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Count(alias_name="n"), Min(id_col, alias_name="keep_id"))
     )
-    return (
-        with_hash.groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["content_hash"])
-    )
+    dups = agg.filter(expr="n > 1").select_columns(
+        ["content_hash", "keep_id"]).to_pandas()
+    if dups.empty:
+        return ds
+    order = np.argsort(dups["content_hash"].to_numpy())
+    dup_hashes = dups["content_hash"].to_numpy()[order]
+    keep_ids = dups["keep_id"].to_numpy()[order]
+    ref = ray.put((dup_hashes, keep_ids))
+
+    def drop_losers(b: pa.Table) -> pa.Table:
+        dh, ki = ray.get(ref)
+        h = hash64(normalize_text(b.column(col)), 0xDED0).astype(np.int64)
+        idx = np.searchsorted(dh, h)
+        idx_c = np.clip(idx, 0, len(dh) - 1)
+        in_dup = dh[idx_c] == h
+        ids = np.asarray(b.column(id_col))
+        keep = ~in_dup | (ids == ki[idx_c])
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(drop_losers, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- MinHash
