@@ -1,0 +1,106 @@
+"""``ray job submit``-compatible pipeline entrypoints.
+
+On a real cluster:
+
+.. code-block:: bash
+
+    ray job submit --working-dir . -- \
+        python -m presto_bloomfilter_ray.cli suite \
+        --input s3://bucket/webpages --store /mnt/shared/sketch-store \
+        --run-id prod-2026-08-17
+
+Locally the same command works against local paths. The script guards
+``ray.init`` (connects to the job's cluster when already initialized;
+starts a local session otherwise) and always ``ray.shutdown``s on exit
+so the next run starts clean.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    return ray
+
+
+def cmd_suite(args) -> int:
+    from .pipelines import run_suite
+
+    res = run_suite(args.input, store_root=args.store, run_id=args.run_id,
+                    n_hint=args.n_hint, max_shards=args.max_shards)
+    print(json.dumps(res["summary"]))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .sources import ensure_webpages
+
+    path = ensure_webpages(args.rows, root=args.out, num_files=args.files)
+    print(json.dumps({"path": path, "rows": args.rows}))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    import ray.data as rd
+
+    from .functions import exact_dedup, minhash_dedup
+
+    ds = rd.read_parquet(args.input)
+    if args.method == "exact":
+        out = exact_dedup(ds, col=args.text_col, id_col=args.id_col)
+        removed = None
+    else:
+        out, dup_map = minhash_dedup(ds, threshold=args.threshold,
+                                     text_col=args.text_col, id_col=args.id_col)
+        removed = len({k for k, v in dup_map.items() if k != v})
+    out.write_parquet(args.output)
+    print(json.dumps({"kept": out.count(), "removed": removed,
+                      "output": args.output}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="presto_bloomfilter_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("suite", help="flagship sketch suite (resumable)")
+    s.add_argument("--input", required=True)
+    s.add_argument("--store", default="/tmp/sketch-store")
+    s.add_argument("--run-id", default="default")
+    s.add_argument("--n-hint", type=int, default=1_000_000)
+    s.add_argument("--max-shards", type=int, default=None)
+    s.set_defaults(fn=cmd_suite)
+
+    g = sub.add_parser("gen", help="generate the deterministic webpages table")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--out", default="/tmp/webpages")
+    g.add_argument("--files", type=int, default=96)
+    g.set_defaults(fn=cmd_gen)
+
+    d = sub.add_parser("dedup", help="deduplicate a documents table")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.set_defaults(fn=cmd_dedup)
+
+    args = p.parse_args(argv)
+    ray = _ensure_ray()
+    try:
+        return args.fn(args)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

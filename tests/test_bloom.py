@@ -103,17 +103,25 @@ def test_base64_roundtrip():
     assert rt.might_contain("x") and not rt.might_contain("y")
 
 
+#: pinned golden content hash of serialize(bloom_filter('', 10)) — OUR
+#: envelope's analog of the reference's golden base64 string
+#: (TestBloomFilterQueries.java:91). Any change to the envelope layout,
+#: params encoding, bitset dtype or hash seeds breaks this on purpose.
+GOLDEN_EMPTY_N10_SHA256 = (
+    "e9b1a77feb0a1fa973cae4394be7e596a14bc95670dc005fdb33d35150a2a2fa"
+)
+
+
 def test_deterministic_envelope_and_golden():
     # TestBloomFilter.java:62-78: two empty same-param filters serialize
-    # to the same content hash; pin OUR golden hash for bloom(n=10)
+    # to the same content hash; pin OUR golden hash for bloom('', 10)
     h1 = read_hash(BloomFilter(10).serialize())
     h2 = read_hash(BloomFilter(10).serialize())
     assert h1 == h2
     golden = BloomFilter(10)
     golden.put("")  # no-op insert, parity with to_string(bloom_filter('', 10))
     assert read_hash(golden.serialize()) == h1  # empty insert didn't change it
-    # pin the envelope hash so accidental format/hash changes are caught
-    assert read_hash(golden.serialize()).hex() == read_hash(BloomFilter(10).serialize()).hex()
+    assert h1.hex() == GOLDEN_EMPTY_N10_SHA256
 
 
 def test_size_formula_goldens():

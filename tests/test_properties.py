@@ -1,0 +1,90 @@
+"""Hypothesis property tests — merge algebra + codec invariants hold for
+arbitrary inputs/partitions, not just the fixture vectors (FIXTURES §3)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from presto_bloomfilter_ray import (
+    KLL,
+    BloomFilter,
+    CountMin,
+    HyperLogLog,
+    TDigest,
+    deserialize,
+)
+
+_SETTINGS = dict(max_examples=25, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+elements = st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=200)
+
+
+@given(data=elements, cut=st.integers(0, 200))
+@settings(**_SETTINGS)
+def test_bloom_split_merge_equals_serial(data, cut):
+    cut = min(cut, len(data))
+    serial = BloomFilter(1000).update_arrow(pa.array(data, type=pa.string()))
+    a = BloomFilter(1000).update_arrow(pa.array(data[:cut], type=pa.string()))
+    b = BloomFilter(1000).update_arrow(pa.array(data[cut:], type=pa.string()))
+    assert np.array_equal(a.merge(b).bits, serial.bits)
+
+
+@given(data=elements)
+@settings(**_SETTINGS)
+def test_bloom_no_false_negatives(data):
+    bf = BloomFilter(1000).update_arrow(pa.array(data, type=pa.string()))
+    for el in data:
+        if el:  # empty elements are skipped by design
+            assert bf.might_contain(el)
+
+
+@given(data=elements, cut=st.integers(0, 200))
+@settings(**_SETTINGS)
+def test_hll_merge_commutes(data, cut):
+    cut = min(cut, len(data))
+    a1 = HyperLogLog(10).update_arrow(pa.array(data[:cut], type=pa.string()))
+    b1 = HyperLogLog(10).update_arrow(pa.array(data[cut:], type=pa.string()))
+    a2 = HyperLogLog(10).update_arrow(pa.array(data[:cut], type=pa.string()))
+    b2 = HyperLogLog(10).update_arrow(pa.array(data[cut:], type=pa.string()))
+    ab = a1.merge(b1)
+    ba = b2.merge(a2)
+    assert np.array_equal(ab.regs, ba.regs)
+
+
+@given(data=elements)
+@settings(**_SETTINGS)
+def test_envelope_roundtrip_arbitrary_content(data):
+    for factory in (lambda: BloomFilter(500), lambda: HyperLogLog(8),
+                    lambda: CountMin(1e-2, 1e-2)):
+        sk = factory().update_arrow(pa.array(data, type=pa.string()))
+        buf = sk.serialize()
+        assert deserialize(buf).serialize() == buf
+
+
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False), min_size=1, max_size=500),
+       cut=st.integers(0, 500))
+@settings(**_SETTINGS)
+def test_quantile_sketches_bounded_by_minmax(vals, cut):
+    cut = min(cut, len(vals))
+    arr = np.array(vals)
+    for factory in (lambda: TDigest(100), lambda: KLL(128)):
+        a = factory().update_arrow(arr[:cut])
+        b = factory().update_arrow(arr[cut:])
+        m = a.merge(b)
+        for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+            est = m.quantile(q)
+            assert arr.min() <= est <= arr.max()
+
+
+@given(vals=st.lists(st.floats(min_value=0, max_value=1e3, allow_nan=False),
+                     min_size=50, max_size=400))
+@settings(**_SETTINGS)
+def test_kll_n_conserved_across_merge(vals):
+    arr = np.array(vals)
+    thirds = np.array_split(arr, 3)
+    parts = [KLL(64).update_arrow(c) for c in thirds]
+    m = parts[0].merge(parts[1]).merge(parts[2])
+    assert m.n == len(arr)
