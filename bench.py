@@ -97,6 +97,23 @@ def run_bench() -> dict:
                     n_hint=n_rows)
     suite_sec = time.perf_counter() - t0
     queries["suite_webpages"] = round(suite_sec, 3)
+
+    # probe throughput: bloom_filter_contains over every webpage url
+    # against the suite's just-built url bloom (reference probe-bound
+    # analog, TestBloomFilterPerformanceContains.java)
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.pipelines import probe_and_write
+
+    probe_out = f"/tmp/bench-probe-{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    probe_summary = probe_and_write(
+        rd.read_parquet(web_dir, columns=["url"]), "merged/bench/bloom_url",
+        "url", probe_out, store_root=store_root, run_id="bench",
+    )
+    probe_sec = time.perf_counter() - t0
+    queries["bloom_probe_webpages"] = round(probe_sec, 3)
+    shutil.rmtree(probe_out, ignore_errors=True)
     shutil.rmtree(store_root, ignore_errors=True)
 
     names = () if os.environ.get("BENCH_MODE") == "suite" else (
@@ -123,6 +140,8 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "webpages_rows": n_rows,
         "suite_docs_per_sec": round(n_rows / suite_sec, 1),
+        "probe_rows_per_sec": round(n_rows / probe_sec, 1),
+        "probe_rows_kept": probe_summary["rows_kept"],
     }
     ray.shutdown()
     return result

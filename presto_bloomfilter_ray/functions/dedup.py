@@ -282,15 +282,29 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
         keep = np.isin(np.asarray(batch.column("band_hash")), d, assume_unique=False)
         return batch.filter(pa.array(keep))
 
-    # only rows in duplicated buckets reach the driver (true candidates)
-    cand_rows = exploded.map_batches(in_dup_bucket, batch_format="pyarrow").to_pandas()
+    # only rows in duplicated buckets reach the driver (true candidates).
+    # Candidate edges are STARS (member → bucket min), not all pairs: a
+    # bucket of g docs contributes g-1 edges instead of g(g-1)/2, which
+    # bounds the edge set by n_docs × bands even under bucket explosion
+    # (template-heavy corpora). Union-find connectivity through the hub
+    # reaches every member; verification keeps it conservative.
+    cand_rows = (
+        exploded.map_batches(in_dup_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("band_hash", kind="stable")
+    )
     out_a, out_b = [], []
-    for _h, g in cand_rows.groupby("band_hash", sort=False):
-        ids = np.sort(np.unique(g[id_col].to_numpy()))
+    hashes = cand_rows["band_hash"].to_numpy()
+    ids_arr = cand_rows[id_col].to_numpy()
+    bounds = np.concatenate(
+        ([0], np.flatnonzero(np.diff(hashes)) + 1, [len(hashes)])
+    )
+    for i in range(len(bounds) - 1):
+        ids = np.unique(ids_arr[bounds[i] : bounds[i + 1]])
         if len(ids) < 2:
             continue
-        ii, jj = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[ii]); out_b.append(ids[jj])
+        out_a.append(np.full(len(ids) - 1, ids[0]))
+        out_b.append(ids[1:])
     if not out_a:
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
     pairs = pd.DataFrame({
