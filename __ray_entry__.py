@@ -186,6 +186,37 @@ def _events_hourly(sf_dir: str):
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
+def _topk_orders_per_status(sf_dir: str):
+    """Top-3 orders by totalprice per status — sort-within-group via
+    ``groupby().map_groups`` (deterministic ties by orderkey)."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(3)
+
+    return orders.groupby("o_orderstatus").map_groups(top3, batch_format="pandas")
+
+
+def _grouped_quantiles_totalprice(sf_dir: str):
+    """Per-status t-digest quantiles of o_totalprice — grouped sketching
+    with a non-Bloom sketch through the same partial-shuffling path."""
+    from presto_bloomfilter_ray import TDigest, deserialize
+    from presto_bloomfilter_ray.engine import grouped_sketch
+
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    g = grouped_sketch(orders, key="o_orderstatus", col="o_totalprice",
+                       factory=lambda: TDigest(200))
+    rows = g.take_all()
+    out = pd.DataFrame({
+        "o_orderstatus": [r["o_orderstatus"] for r in rows],
+        "p50_est": [round(float(deserialize(r["sketch"]).quantile(0.5)), 1) for r in rows],
+        "p95_est": [round(float(deserialize(r["sketch"]).quantile(0.95)), 1) for r in rows],
+    })
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -404,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_bloom_membership": _grouped_bloom_membership,
         "q1_lineitem": _q1_lineitem,
         "events_hourly": _events_hourly,
+        "topk_orders_per_status": _topk_orders_per_status,
+        "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
         "minhash_dedup_documents": _minhash_dedup_documents,
@@ -465,6 +498,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "topk_orders_per_status": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
         """,
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents
