@@ -130,6 +130,25 @@ def run_bench() -> dict:
             out.to_pandas()
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    # reference micro-parity (single process, default n=10M p=0.01
+    # filter — the exact configuration of the reference's perf tests):
+    # insert 100k (TestBloomFilterPerformancePut: <10s), probe 100k
+    # disjoint (TestBloomFilterPerformanceContains: <10s), serialize
+    # (TestBloomFilterSerialization: ~20ms each)
+    import pyarrow as _pa
+
+    from presto_bloomfilter_ray import BloomFilter
+
+    keys = _pa.array([f"k{i}" for i in range(100_000)])
+    probes = _pa.array([f"p{i}" for i in range(100_000)])
+    bf = BloomFilter()  # reference defaults n=10M p=0.01
+    t0 = time.perf_counter(); bf.update_arrow(keys)
+    micro_insert = time.perf_counter() - t0
+    t0 = time.perf_counter(); bf.contains_many(probes)
+    micro_probe = time.perf_counter() - t0
+    t0 = time.perf_counter(); env = bf.serialize()
+    micro_ser = time.perf_counter() - t0
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "sketch-suite + headline pipelines wall time",
@@ -142,6 +161,13 @@ def run_bench() -> dict:
         "suite_docs_per_sec": round(n_rows / suite_sec, 1),
         "probe_rows_per_sec": round(n_rows / probe_sec, 1),
         "probe_rows_kept": probe_summary["rows_kept"],
+        "ref_parity": {
+            "insert_100k_default_filter_sec": round(micro_insert, 4),
+            "probe_100k_disjoint_sec": round(micro_probe, 4),
+            "serialize_default_filter_sec": round(micro_ser, 4),
+            "reference_bounds_sec": {"insert_100k": 10, "probe_100k": 10,
+                                     "serialize": 1},
+        },
     }
     ray.shutdown()
     return result
