@@ -253,9 +253,7 @@ def _simhash_candidates_documents(sf_dir: str):
     from presto_bloomfilter_ray.functions import simhash_candidates
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = simhash_candidates(docs, max_hamming=3).to_pandas()
-    # dedupe (a,b) found via multiple chunks
-    pairs = pairs.drop_duplicates(subset=["a", "b"])
+    pairs = simhash_candidates(docs, max_hamming=3)
     return pd.DataFrame({"n_candidate_pairs": [len(pairs)]})
 
 

@@ -405,41 +405,72 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id"):
+                       id_col: str = "doc_id") -> pd.DataFrame:
     """SimHash near-dup candidate pairs: 4×16-bit chunk LSH (two equal
     chunks guaranteed when hamming ≤ 3 — pigeonhole over 4 chunks),
-    verified by full 64-bit hamming distance."""
+    verified by full 64-bit hamming distance.
+
+    Same scale topology as MinHash LSH: the shuffle is a vectorized
+    Count over (chunk-keyed) bucket hashes; only rows landing in
+    duplicated buckets reach the driver for pairing + verification.
+    Returns a pandas DataFrame (a, b, hamming).
+    """
+    from ray.data.aggregate import Count
+
+    import ray
 
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         sh = simhash64(texts)
         ids = np.asarray(batch.column(id_col))
-        chunk = np.stack([(sh >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(4)], axis=1)
+        # bucket key = chunk index folded with chunk value (distinct per chunk)
+        chunk_vals = np.stack(
+            [((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+             | np.uint64((c + 1) << 48) for c in range(4)], axis=1
+        )
         return pa.table({
             id_col: pa.array(np.repeat(ids, 4)),
-            "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), len(ids))),
-            "chunk_val": pa.array(chunk.reshape(-1).astype(np.int64)),
+            "bucket": pa.array(chunk_vals.reshape(-1).astype(np.int64)),
             "simhash": pa.array(np.repeat(sh.astype(np.int64), 4)),
         })
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            d = hamming64(sh[i], sh[i + 1 :])
-            ok = np.flatnonzero(d <= max_hamming)
-            for j in ok:
-                out_a.append(ids[i]); out_b.append(ids[i + 1 + j]); out_h.append(int(d[j]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
-
     exploded = ds.map_batches(sigs, batch_format="pyarrow")
-    return exploded.groupby(["chunk", "chunk_val"]).map_groups(
-        pairs_in_group, batch_format="pandas"
+    counts = exploded.groupby("bucket").aggregate(Count(alias_name="n"))
+    dup = counts.filter(expr="n > 1").select_columns(["bucket"]).to_pandas()
+    if dup.empty:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    dup_ref = ray.put(np.sort(dup["bucket"].to_numpy()))
+
+    def in_dup(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        keep = np.isin(np.asarray(batch.column("bucket")), d)
+        return batch.filter(pa.array(keep))
+
+    cand = (
+        exploded.map_batches(in_dup, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("bucket", kind="stable")
     )
+    buckets = cand["bucket"].to_numpy()
+    ids_arr = cand[id_col].to_numpy()
+    sh_arr = cand["simhash"].to_numpy().astype(np.uint64)
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(buckets)) + 1, [len(buckets)]))
+    out_a, out_b, out_h = [], [], []
+    seen = set()
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        order = np.argsort(ids_arr[lo:hi])
+        ids = ids_arr[lo:hi][order]
+        sh = sh_arr[lo:hi][order]
+        for j in range(len(ids)):
+            d = hamming64(sh[j], sh[j + 1 :])
+            for k in np.flatnonzero(d <= max_hamming):
+                key = (int(ids[j]), int(ids[j + 1 + k]))
+                if key[0] != key[1] and key not in seen:
+                    seen.add(key)
+                    out_a.append(key[0]); out_b.append(key[1]); out_h.append(int(d[k]))
+    return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h}).sort_values(
+        ["a", "b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------ exact verify

@@ -87,7 +87,7 @@ def test_simhash_candidates_finds_exact_dup(ray_session):
         {"doc_id": 2, "text": t},
         {"doc_id": 3, "text": "something else entirely different here"},
     ])
-    pairs = simhash_candidates(ds).to_pandas().drop_duplicates(subset=["a", "b"])
+    pairs = simhash_candidates(ds)
     assert {(int(r.a), int(r.b)) for r in pairs.itertuples()} == {(1, 2)}
 
 
