@@ -176,31 +176,49 @@ def run_suite(
     ]
     lineages = ray.get(futures)
 
-    # merge partials in parallel: one task per sketch name folds ONLY
-    # that name's per-shard envelope files (for 10^5+ shards, insert a
-    # fan-in round per name — same envelopes, deeper tree)
+    # merge partials with a two-level parallel tree per sketch name:
+    # level 1 folds chunks of ≤32 shard envelopes concurrently (a 5 MB
+    # bloom bitset folded over 10^2..10^5 shards would otherwise be one
+    # serial task — a fixed tail that caps scaling); level 2 folds the
+    # ≤⌈B/32⌉ chunk results. Deeper trees for 10^5+ shards are the same
+    # task repeated.
     store = SketchStore(store_root)
     names: set = set()
     for ln in lineages:
         names.update(ln.get("sketch_names", []))
 
     @ray.remote
-    def _merge_name(name: str, n_parts: int):
+    def _merge_chunk(name: str, part_ids: List[int]):
         _cap_worker_threads()
         st = SketchStore(store_root)
         acc = None
-        for i in range(n_parts):
+        for i in part_ids:
             key = f"{_part_prefix(run_id, i)}/{name}"
             if not st.exists(key):
                 continue
             sk = deserialize(st.get(key))
             acc = sk if acc is None else acc.merge(sk)
-        return name, acc.serialize() if acc is not None else None
+        return acc.serialize() if acc is not None else None
 
-    merged = ray.get([_merge_name.remote(n, len(shards)) for n in sorted(names)])
-    merged_sk: Dict[str, object] = {
-        name: deserialize(env) for name, env in merged if env is not None
+    chunk = 32
+    part_ids = list(range(len(shards)))
+    chunk_futs = {
+        name: [
+            _merge_chunk.remote(name, part_ids[i : i + chunk])
+            for i in range(0, len(part_ids), chunk)
+        ]
+        for name in sorted(names)
     }
+    merged_sk: Dict[str, object] = {}
+    for name, futs in chunk_futs.items():
+        acc = None
+        for env in ray.get(futs):
+            if env is None:
+                continue
+            sk = deserialize(env)
+            acc = sk if acc is None else acc.merge(sk)
+        if acc is not None:
+            merged_sk[name] = acc
 
     td: TDigest = merged_sk["td_textlen"]  # type: ignore[assignment]
     kll: KLL = merged_sk["kll_textlen"]  # type: ignore[assignment]
