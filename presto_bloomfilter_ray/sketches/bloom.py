@@ -110,15 +110,23 @@ class BloomFilter(Sketch):
         )
         self.pre_miss = 0  # observability only; never serialized (parity)
 
+    #: cap on the (rows × k) position-matrix size per vectorized pass —
+    #: bounds peak memory to ~32 MB regardless of batch size
+    _CHUNK_POSITIONS = 4_000_000
+
     # ------------------------------------------------------------------ api
     def update_arrow(self, array) -> "BloomFilter":
         """Insert every non-null, non-empty element of an Arrow column."""
         ca = normalize_elements(array, drop_empty=True)
-        if len(ca) == 0:
+        n = len(ca)
+        if n == 0:
             return self
         h1 = hash64(ca, SEED_H1)
         h2 = hash64(ca, SEED_H2)
-        _scatter_or(self.bits, km_positions(h1, h2, self.k, self.m))
+        step = max(1, self._CHUNK_POSITIONS // self.k)
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            _scatter_or(self.bits, km_positions(h1[lo:hi], h2[lo:hi], self.k, self.m))
         if self.use_pre:
             hp = hash64(ca, _SEED_PRE)
             _scatter_or(self.pre_bits, (hp % np.uint64(self.m_pre))[:, None])
@@ -168,9 +176,11 @@ class BloomFilter(Sketch):
             self.pre_miss += int((valid & ~pre_hit).sum())
             cand &= pre_hit
         idx = np.flatnonzero(cand)
-        if idx.size:
-            pos = km_positions(h1[idx], h2[idx], self.k, self.m)
-            out[idx] = _gather_test(self.bits, pos)
+        step = max(1, self._CHUNK_POSITIONS // self.k)
+        for lo in range(0, idx.size, step):
+            sub = idx[lo : lo + step]
+            pos = km_positions(h1[sub], h2[sub], self.k, self.m)
+            out[sub] = _gather_test(self.bits, pos)
         return out
 
     def might_contain(self, element) -> bool:
