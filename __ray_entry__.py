@@ -217,6 +217,16 @@ def _grouped_quantiles_totalprice(sf_dir: str):
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _union_distinct_orderkeys(sf_dir: str):
+    """Set-op built-ins: union two key columns, distinct-count them."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["k"]), batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["k"]), batch_format="pyarrow")
+    n = len(orders.union(li).unique("k"))
+    return pd.DataFrame({"n_distinct": [n]})
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -435,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
+        "union_distinct_orderkeys": _union_distinct_orderkeys,
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
         "minhash_dedup_documents": _minhash_dedup_documents,
@@ -502,6 +513,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY o_orderstatus
                 ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+        """,
+        "union_distinct_orderkeys": """
+            SELECT count(DISTINCT k) AS n_distinct FROM (
+                SELECT o_orderkey AS k FROM orders
+                UNION ALL SELECT l_orderkey AS k FROM lineitem
+            )
         """,
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents

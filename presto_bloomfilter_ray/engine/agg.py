@@ -168,6 +168,14 @@ def grouped_sketch(
     envelopes per key in ``map_groups``.
 
     Returns a Dataset with columns ``[key, out_col]``.
+
+    Cardinality tradeoff: this path shuffles ``#keys-per-block × #blocks``
+    partial envelopes — it wins when key cardinality is low relative to
+    rows (lang, region, status), because skew becomes irrelevant. For
+    HIGH-cardinality keys with large sketch payloads (e.g. per-host HLL
+    over 10^7 hosts), per-(key, block) partials exceed the row volume;
+    use the native row-shuffle path instead:
+    ``ds.groupby(key).aggregate(SketchAgg(factory, on=col))``.
     """
 
     def partials_per_key(batch: pa.Table) -> pa.Table:
