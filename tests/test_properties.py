@@ -79,6 +79,22 @@ def test_quantile_sketches_bounded_by_minmax(vals, cut):
             assert arr.min() <= est <= arr.max()
 
 
+@given(texts=st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=20),
+       pick=st.integers(0, 19))
+@settings(**_SETTINGS)
+def test_minhash_signature_batch_independent(texts, pick):
+    """A doc's MinHash signature must not depend on which other docs
+    share its batch (regression: sentinel windows crossing doc
+    boundaries once leaked neighbor bytes into signatures)."""
+    from presto_bloomfilter_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=16, bands=4)
+    pick = min(pick, len(texts) - 1)
+    together = mh.signatures(texts)
+    alone = mh.signatures([texts[pick]])
+    assert np.array_equal(together[pick], alone[0])
+
+
 @given(vals=st.lists(st.floats(min_value=0, max_value=1e3, allow_nan=False),
                      min_size=50, max_size=400))
 @settings(**_SETTINGS)
