@@ -22,7 +22,7 @@ Reimplements the reference's partial/combine/output aggregation contract
 from __future__ import annotations
 
 
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Optional
 
 import numpy as np
 import pandas as pd

@@ -21,7 +21,6 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Optional, Union
 
-import numpy as np
 import pyarrow as pa
 
 import ray

@@ -17,7 +17,7 @@ table. Partitioning contracts (100 TB design notes):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd

@@ -17,8 +17,6 @@ batch_size=SMALL)``; binary columns stay in ``batch_format="pyarrow"``
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Tuple
-
 import numpy as np
 import pyarrow as pa
 

@@ -7,7 +7,7 @@ classes meant for ``map_batches(Cls, concurrency=N)`` actor pools.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 import pyarrow as pa

@@ -20,7 +20,6 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _US = 1_000_000
 

@@ -10,7 +10,7 @@ commutative). Fully vectorized update via per-row 64-bit hashes.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 

@@ -64,7 +64,6 @@ class TDigest(Sketch):
     def update_arrow(self, array) -> "TDigest":
         """Accumulate a numeric Arrow column (nulls/NaN skipped)."""
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         if isinstance(array, (pa.Array, pa.ChunkedArray)):
             arr = array
