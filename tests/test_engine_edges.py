@@ -1,0 +1,72 @@
+"""Edge-path coverage: finalize modes, cache eviction, empty inputs,
+window validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from presto_bloomfilter_ray import BloomFilter, HyperLogLog, deserialize
+from presto_bloomfilter_ray.engine import SketchAgg, build_sketch, grouped_sketch
+from presto_bloomfilter_ray.engine.ops import _CACHE, _CACHE_MAX, get_or_load
+
+
+def test_sketchagg_estimate_finalize(ray_session, sf_dir):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    res = docs.aggregate(
+        SketchAgg(lambda: HyperLogLog(12), on="text", alias_name="est",
+                  finalize_mode="estimate")
+    )
+    assert isinstance(res["est"], float) and res["est"] > 0
+
+
+def test_sketchagg_sketch_finalize(ray_session, sf_dir):
+    import ray.data as rd
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    res = nation.aggregate(
+        SketchAgg(lambda: BloomFilter(100), on="n_name", alias_name="bf",
+                  finalize_mode="sketch")
+    )
+    assert isinstance(res["bf"], BloomFilter)
+    assert res["bf"].might_contain("NATION_0")
+    assert not res["bf"].might_contain("not-a-nation")
+
+
+def test_aggregate_over_empty_selection(ray_session, sf_dir):
+    import ray.data as rd
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    empty = nation.filter(expr="n_regionkey == 999")
+    bf = build_sketch(empty, "n_name", lambda: BloomFilter(100))
+    assert bf.bits.sum() == 0  # empty filter with the requested params
+    assert bf.n == 100
+    g = grouped_sketch(empty, key="n_regionkey", col="n_name",
+                       factory=lambda: BloomFilter(100))
+    assert g.count() == 0
+
+
+def test_cache_eviction_lru():
+    _CACHE.clear()
+    envs = [BloomFilter(100 + i).serialize() for i in range(_CACHE_MAX + 5)]
+    for e in envs:
+        get_or_load(e)
+    assert len(_CACHE) == _CACHE_MAX  # bounded, reference-parity max 40
+    # most recent still hits; oldest was evicted
+    assert get_or_load(envs[-1]) is get_or_load(envs[-1])
+
+
+def test_sliding_window_step_must_divide_size():
+    from presto_bloomfilter_ray.functions.windows import explode_sliding_windows
+
+    t = pa.table({"ts": pa.array([0], type=pa.timestamp("us"))})
+    with pytest.raises(ValueError):
+        explode_sliding_windows(t, "ts", size_s=3600, step_s=1000)
+
+
+def test_bloom_envelope_kind_mismatch():
+    env = HyperLogLog(8).serialize()
+    sk = deserialize(env)
+    with pytest.raises(TypeError):
+        BloomFilter(100).merge(sk)  # type: ignore[arg-type]
