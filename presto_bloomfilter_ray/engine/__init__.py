@@ -1,4 +1,11 @@
-from .agg import SketchAgg, build_sketch, grouped_sketch, merge_serialized_column
+from .agg import (
+    SketchAgg,
+    SketchPartialBuilder,
+    build_sketch,
+    grouped_sketch,
+    merge_serialized_column,
+    salted_grouped_sketch,
+)
 from .ops import (
     ContainsFilter,
     contains_column,
@@ -13,6 +20,8 @@ from .store import SketchStore
 
 __all__ = [
     "SketchAgg",
+    "SketchPartialBuilder",
+    "salted_grouped_sketch",
     "build_sketch",
     "grouped_sketch",
     "merge_serialized_column",

@@ -98,6 +98,25 @@ def _partial_fn(factory: SketchFactory, col: str):
     return make_partial
 
 
+class SketchPartialBuilder:
+    """Actor-pool stage emitting one serialized partial per batch.
+
+    Use via ``ds.map_batches(SketchPartialBuilder,
+    fn_constructor_args=(factory, col), concurrency=N)`` when per-actor
+    setup should be amortized (factory closures carrying large config,
+    e.g. pre-loaded tokenizers feeding the element column). For plain
+    sketches the stateless ``build_sketch`` path is equivalent.
+    """
+
+    def __init__(self, factory: SketchFactory, col: str):
+        self.factory = factory
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sk = self.factory().update_arrow(batch.column(self.col))
+        return pa.table({"sketch": pa.array([sk.serialize()], type=pa.large_binary())})
+
+
 def _merge_block_fn():
     def merge_block(batch: pa.Table) -> pa.Table:
         blobs = batch.column("sketch").to_pylist()
@@ -116,6 +135,7 @@ def build_sketch(
     batch_size: Optional[int] = None,
     fan_in: int = 32,
     merge_rounds: int = 2,
+    concurrency: Optional[int] = None,
 ) -> Sketch:
     """Global sketch over a Dataset column, scale path.
 
@@ -130,6 +150,11 @@ def build_sketch(
     partials = ds.map_batches(
         _partial_fn(factory, col), batch_format="pyarrow", batch_size=batch_size
     )
+    if concurrency is not None:
+        partials = ds.map_batches(
+            SketchPartialBuilder, fn_constructor_args=(factory, col),
+            batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        )
     # Bound the tree depth: each round is a parallel map_batches that
     # merges ``fan_in`` one-row partial blocks into one; ``merge_rounds``
     # rounds shrink the count by fan_in^rounds (32^2 = 1024x by default,
@@ -211,6 +236,51 @@ def grouped_sketch(
         partials_per_key, batch_format="pyarrow", batch_size=batch_size
     )
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+def salted_grouped_sketch(
+    ds,
+    key: str,
+    col: str,
+    factory: SketchFactory,
+    salts: int = 16,
+    finalize: Callable[[Sketch], Any] = lambda s: s.serialize(),
+    out_col: str = "sketch",
+):
+    """Skew-aware ROW-shuffle grouped sketch for high-cardinality keys
+    with hot members (Zipf hosts): rows are salted into ``(key, salt)``
+    sub-groups before the hash shuffle, so a hot key's rows spread over
+    ``salts`` reducers instead of one; the per-key salt partials (tiny,
+    data-independent size) are then merged in a second pass.
+
+    Use :func:`grouped_sketch` (partial shuffle) for low-cardinality
+    keys; use this when both cardinality AND skew are high, where
+    per-(key, block) partials would exceed row volume (see the
+    cardinality note on :func:`grouped_sketch`).
+    """
+    import pyarrow.compute as pc
+
+    from .ops import _broadcast  # noqa: F401  (local import to avoid cycle)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic per-row salt: spread rows, keep runs cheap
+        n = batch.num_rows
+        salt = (np.arange(n, dtype=np.int64) % salts)
+        return batch.append_column("_salt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    per_salt = salted.groupby([key, "_salt"]).aggregate(
+        SketchAgg(factory, on=col, alias_name="partial")
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in g["partial"]:
+            sk = deserialize(bytes(blob))
+            acc = sk if acc is None else acc.merge(sk)
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [finalize(acc)]})
+
+    return per_salt.groupby(key).map_groups(merge_group, batch_format="pandas")
 
 
 def merge_serialized_column(ds, col: str = "sketch") -> Optional[Sketch]:

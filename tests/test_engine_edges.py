@@ -70,3 +70,31 @@ def test_bloom_envelope_kind_mismatch():
     sk = deserialize(env)
     with pytest.raises(TypeError):
         BloomFilter(100).merge(sk)  # type: ignore[arg-type]
+
+
+def test_salted_grouped_sketch_matches_unsalted(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.engine import salted_grouped_sketch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    g = salted_grouped_sketch(docs, key="lang", col="text",
+                              factory=lambda: BloomFilter(5000), salts=4)
+    got = {r["lang"]: deserialize(r["sketch"]) for r in g.take_all()}
+    import pyarrow as _pa
+
+    for lang, sk in got.items():
+        texts = [r[0] for r in duck.sql(
+            "select text from documents where lang = ?", params=[lang]).fetchall()]
+        serial = BloomFilter(5000).update_arrow(_pa.array(texts))
+        assert np.array_equal(sk.bits, serial.bits), lang
+
+
+def test_build_sketch_actor_pool_path(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    pooled = build_sketch(docs, "text", lambda: BloomFilter(5000), concurrency=2)
+    plain = build_sketch(docs, "text", lambda: BloomFilter(5000))
+    assert np.array_equal(pooled.bits, plain.bits)
