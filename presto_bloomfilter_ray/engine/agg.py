@@ -258,10 +258,6 @@ def salted_grouped_sketch(
     per-(key, block) partials would exceed row volume (see the
     cardinality note on :func:`grouped_sketch`).
     """
-    import pyarrow.compute as pc
-
-    from .ops import _broadcast  # noqa: F401  (local import to avoid cycle)
-
     def add_salt(batch: pa.Table) -> pa.Table:
         # deterministic per-row salt: spread rows, keep runs cheap
         n = batch.num_rows
