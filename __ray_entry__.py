@@ -345,6 +345,26 @@ def _embedding_neardup(sf_dir: str):
     return cosine_neardup_pairs(emb, threshold=0.45)
 
 
+def _theta_custkey_overlap(sf_dir: str):
+    """Theta/KMV set algebra over two key sets — k above saturation, so
+    the sketch is EXACT and SQL-checkable end to end."""
+    from presto_bloomfilter_ray import ThetaSketch
+    from presto_bloomfilter_ray.engine import build_sketch
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    tc = build_sketch(cust, "c_custkey", lambda: ThetaSketch(65536))
+    to = build_sketch(orders, "o_custkey", lambda: ThetaSketch(65536))
+    n_c = round(tc.estimate())
+    n_common = round(tc.intersection_estimate(to))
+    return pd.DataFrame({
+        "n_customers": [n_c],
+        "n_order_custkeys": [round(to.estimate())],
+        "n_common": [n_common],
+        "n_customers_no_orders": [round(tc.difference_estimate(to))],
+    })
+
+
 # ------------------------------------------------------------- sketch (est.)
 def _hll_distinct(sf_dir: str):
     from presto_bloomfilter_ray import HyperLogLog
@@ -456,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
+        "theta_custkey_overlap": _theta_custkey_overlap,
         "hll_distinct_custkey": _hll_distinct,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
@@ -587,6 +608,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "theta_custkey_overlap": """
+            SELECT
+              (SELECT count(DISTINCT c_custkey) FROM customer) AS n_customers,
+              (SELECT count(DISTINCT o_custkey) FROM orders) AS n_order_custkeys,
+              (SELECT count(DISTINCT o_custkey) FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_common,
+              (SELECT count(*) FROM customer
+               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_customers_no_orders
         """,
         # minhash/simhash/hll/cm/quantiles/webpages_suite: estimate or
         # non-SQL-expressible pipelines → rows-only check by design;

@@ -16,6 +16,7 @@ from .sketches import (
     HyperLogLog,
     Sketch,
     TDigest,
+    ThetaSketch,
     deserialize,
     from_base64,
     read_hash,

@@ -11,6 +11,7 @@ from .countmin import CountMin
 from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
+from .theta import ThetaSketch
 
 __all__ = [
     "Sketch",
@@ -18,6 +19,7 @@ __all__ = [
     "HyperLogLog",
     "CountMin",
     "TDigest",
+    "ThetaSketch",
     "KLL",
     "deserialize",
     "from_base64",
