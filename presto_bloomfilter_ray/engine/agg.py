@@ -147,13 +147,14 @@ def build_sketch(
     accumulate → exchange-serialized-state → combine pipeline
     (SURVEY §3.1) with a bounded-depth tree instead of a single reducer.
     """
-    partials = ds.map_batches(
-        _partial_fn(factory, col), batch_format="pyarrow", batch_size=batch_size
-    )
     if concurrency is not None:
         partials = ds.map_batches(
             SketchPartialBuilder, fn_constructor_args=(factory, col),
             batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        )
+    else:
+        partials = ds.map_batches(
+            _partial_fn(factory, col), batch_format="pyarrow", batch_size=batch_size
         )
     # Bound the tree depth: each round is a parallel map_batches that
     # merges ``fan_in`` one-row partial blocks into one; ``merge_rounds``
