@@ -13,11 +13,13 @@ One pass over a Common-Crawl-style parquet table builds, in a single
 Scale + resumability design: the unit of work is an input FILE shard
 (stable identity across runs, unlike Ray block ids). Each shard task
 reads only the columns it needs, builds all partials in one pass,
-writes ONE checkpoint envelope under ``checkpoints/<run_id>/suite/part-N``
-plus a lineage record, and is skipped entirely on re-run when its
-checkpoint exists (north_rule: resume with no double-count). The merge
-stage unions the per-shard envelopes — data-independent sizes, so the
-reduce is O(#shards × sketch bytes) regardless of row count or skew.
+writes one envelope per sketch under
+``checkpoints/<run_id>/suite/part-N/<name>`` plus a ``.done`` commit
+marker and a lineage record, and is skipped entirely on re-run when the
+marker exists (north_rule: resume with no double-count). The merge
+stage unions the per-shard envelopes through a two-level parallel tree
+— envelope sizes are data-independent, so the reduce is
+O(#shards × sketch bytes) regardless of row count or skew.
 """
 
 from __future__ import annotations
