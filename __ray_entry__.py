@@ -217,6 +217,23 @@ def _grouped_quantiles_totalprice(sf_dir: str):
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _join_orders_customer_nation(sf_dir: str):
+    """Native distributed hash join (Dataset.join, hash-partitioned on
+    the key) + grouped aggregate — revenue per customer nation."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, "inner", 16, on=("o_custkey",),
+                         right_on=("c_custkey",))
+    agg = joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="_tp")
+    )
+    df = agg.to_pandas()
+    df["total_price"] = df["_tp"].round(2)
+    return df[["c_nationkey", "n_orders", "total_price"]]
+
+
 def _union_distinct_orderkeys(sf_dir: str):
     """Set-op built-ins: union two key columns, distinct-count them."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
@@ -465,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
+        "join_orders_customer_nation": _join_orders_customer_nation,
         "union_distinct_orderkeys": _union_distinct_orderkeys,
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
@@ -534,6 +552,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY o_orderstatus
                 ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+        """,
+        "join_orders_customer_nation": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "union_distinct_orderkeys": """
             SELECT count(DISTINCT k) AS n_distinct FROM (

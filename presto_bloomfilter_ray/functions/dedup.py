@@ -334,31 +334,48 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
 
 def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                   bands: int = 32, shingle_k: int = 5,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  distributed_cc: bool = False):
     """Near-dup removal: keep one representative (min id) per connected
     component of the ≥threshold candidate graph. Returns (deduped_ds,
-    dup_map) where dup_map maps removed id → kept id."""
+    dup_map) where dup_map maps removed id → kept id.
+
+    ``distributed_cc=True`` runs the clustering through
+    :func:`~presto_bloomfilter_ray.functions.components.connected_components`
+    (iterative min-label propagation over the edge Dataset) instead of
+    the driver union-find — same result, for candidate sets too large
+    for one process.
+    """
     edges = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, id_col)
     if edges.empty:
         return ds, {}
     edges = edges[edges["est_jaccard"] >= threshold]
-    # union-find over the (small) candidate edge set
-    parent: Dict[int, int] = {}
+    if edges.empty:
+        return ds, {}
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    if distributed_cc:
+        from .components import connected_components
 
-    for a, b in zip(edges["a"].astype(np.int64), edges["b"].astype(np.int64)):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    dup_map = {x: find(x) for x in list(parent)}
+        cc = connected_components(edges[["a", "b"]])
+        dup_map = dict(zip(cc["node"].astype(int), cc["component"].astype(int)))
+    else:
+        # union-find over the (small) candidate edge set
+        parent: Dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(edges["a"].astype(np.int64), edges["b"].astype(np.int64)):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        dup_map = {x: find(x) for x in list(parent)}
     removed = {x for x, r in dup_map.items() if r != x}
     if not removed:
         return ds, {}

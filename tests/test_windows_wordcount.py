@@ -120,3 +120,46 @@ def test_grouped_sketchagg_through_groupby(ray_session, sf_dir, duck):
             params=[row["n_regionkey"]]).fetchall()]
         assert all(bf.might_contain(n) for n in names)
         assert not any(bf.might_contain(n) for n in others)
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import pandas as pd
+
+    from presto_bloomfilter_ray.functions.components import connected_components
+
+    rng = np.random.default_rng(11)
+    E = pd.DataFrame({"a": rng.integers(0, 200, 300), "b": rng.integers(0, 200, 300)})
+    out = connected_components(E)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(E["a"], E["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for x in set(E["a"]) | set(E["b"]):
+        members.setdefault(find(int(x)), set()).add(int(x))
+    canon = {x: min(m) for m in members.values() for x in m}
+    assert dict(zip(out["node"], out["component"])) == canon
+
+
+def test_native_join_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
+    mine = (joined.groupby("c_nationkey").aggregate(Count(alias_name="n"))
+            .to_pandas().sort_values("c_nationkey").reset_index(drop=True))
+    theirs = duck.sql("""
+        SELECT c_nationkey, count(*) AS n FROM orders JOIN customer
+        ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey
+    """).df()
+    assert mine["n"].astype(int).tolist() == theirs["n"].astype(int).tolist()
