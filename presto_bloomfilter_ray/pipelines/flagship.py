@@ -101,8 +101,19 @@ def _cap_worker_threads() -> None:
         pass
 
 
-def _part_prefix(run_id: str, part_id: int) -> str:
-    return f"checkpoints/{run_id}/suite/part-{part_id:06d}"
+def shard_key(files: List[str]) -> str:
+    """Content-based shard identity: a hash of the file list, NOT a
+    positional index — so resume keys stay valid when the input
+    directory GROWS (incremental ingest: new files become new shards;
+    existing shards keep their checkpoints)."""
+    import hashlib
+
+    h = hashlib.sha256("\x00".join(sorted(files)).encode()).hexdigest()[:16]
+    return h
+
+
+def _part_prefix(run_id: str, key: str) -> str:
+    return f"checkpoints/{run_id}/suite/part-{key}"
 
 
 @ray.remote
@@ -117,12 +128,14 @@ def _process_shard(
     (atomic per-file writes, no partial state observable)."""
     _cap_worker_threads()
     store = SketchStore(store_root)
-    prefix = _part_prefix(run_id, part_id)
+    key = shard_key(files)
+    prefix = _part_prefix(run_id, key)
     done_key = f"{prefix}.done"
-    lineage_key = f"lineage/{run_id}/suite/part-{part_id:06d}.json"
+    lineage_key = f"lineage/{run_id}/suite/part-{key}.json"
     if store.exists(done_key):
         lineage = json.loads(store.get(lineage_key).decode())
         lineage["resumed"] = True
+        lineage["partition"] = part_id  # ordinal in the CURRENT file set
         return lineage
     t0 = time.time()
     table = pa.concat_tables(
@@ -133,6 +146,7 @@ def _process_shard(
         "run_id": run_id,
         "stage": "suite",
         "partition": part_id,
+        "shard_key": key,
         "files": files,
         "rows": table.num_rows,
         "input_bytes": int(table.nbytes),
@@ -190,12 +204,12 @@ def run_suite(
         names.update(ln.get("sketch_names", []))
 
     @ray.remote
-    def _merge_chunk(name: str, part_ids: List[int]):
+    def _merge_chunk(name: str, keys: List[str]):
         _cap_worker_threads()
         st = SketchStore(store_root)
         acc = None
-        for i in part_ids:
-            key = f"{_part_prefix(run_id, i)}/{name}"
+        for k in keys:
+            key = f"{_part_prefix(run_id, k)}/{name}"
             if not st.exists(key):
                 continue
             sk = deserialize(st.get(key))
@@ -203,11 +217,11 @@ def run_suite(
         return acc.serialize() if acc is not None else None
 
     chunk = 32
-    part_ids = list(range(len(shards)))
+    shard_keys = [shard_key([str(f) for f in s]) for s in shards]
     chunk_futs = {
         name: [
-            _merge_chunk.remote(name, part_ids[i : i + chunk])
-            for i in range(0, len(part_ids), chunk)
+            _merge_chunk.remote(name, shard_keys[i : i + chunk])
+            for i in range(0, len(shard_keys), chunk)
         ]
         for name in sorted(names)
     }

@@ -80,12 +80,46 @@ class TestSuiteResume:
         # simulate a crash that lost some partitions: delete 1 checkpoint
         # commit marker (the partition is then recomputed from scratch)
         store = SketchStore(root)
-        store.delete("checkpoints/t/suite/part-000000.done")
+        first_done = [k for k in store.keys("checkpoints/t/suite")
+                      if k.endswith(".done")][0]
+        store.delete(first_done)
         r2 = run_suite(webdir, store_root=root, run_id="t", n_hint=4000)
         assert r2["summary"]["resumed_partitions"] == parts - 1
         # identical estimates to the uninterrupted run — no double-count
         assert r2["summary"]["distinct_urls_hll"] == r1["summary"]["distinct_urls_hll"]
         assert r2["summary"]["rows"] == r1["summary"]["rows"]
+
+    def test_incremental_ingest(self, ray_session, webdir, tmp_path_factory):
+        """Content-based shard keys: growing the input dir reuses the
+        existing shards' checkpoints and processes only the NEW files —
+        daily-increment semantics."""
+        import glob
+        import os
+        import shutil
+
+        from presto_bloomfilter_ray.pipelines import run_suite
+
+        files = sorted(glob.glob(os.path.join(webdir, "*.parquet")))
+        assert len(files) >= 8
+        grow_dir = str(tmp_path_factory.mktemp("grow"))
+        for f in files[:4]:
+            shutil.copy(f, grow_dir)
+        root = str(tmp_path_factory.mktemp("inc-store"))
+        r1 = run_suite(grow_dir, store_root=root, run_id="inc", n_hint=4000)
+        assert r1["summary"]["partitions"] == 4
+
+        for f in files[4:8]:
+            shutil.copy(f, grow_dir)
+        r2 = run_suite(grow_dir, store_root=root, run_id="inc", n_hint=4000)
+        assert r2["summary"]["partitions"] == 8
+        assert r2["summary"]["resumed_partitions"] == 4  # old shards skipped
+
+        # equal to a from-scratch run over the full 8 files
+        ref = run_suite(grow_dir, store_root=str(tmp_path_factory.mktemp("ref")),
+                        run_id="ref", n_hint=4000)
+        assert r2["summary"]["rows"] == ref["summary"]["rows"]
+        assert r2["summary"]["distinct_urls_hll"] == ref["summary"]["distinct_urls_hll"]
+        assert r2["sketches"]["kll_textlen"].n == ref["sketches"]["kll_textlen"].n
 
     def test_lineage_records_exactly_once(self, ray_session, webdir, tmp_path_factory):
         from presto_bloomfilter_ray.pipelines import run_suite
