@@ -114,6 +114,36 @@ class AudioFrameSample:
         return batch.append_column(self.out_col, col)
 
 
+class VideoFrameSample:
+    """binary video → n uniformly-sampled fake frames (stub decode;
+    ffmpeg absent). Emits ``frames`` as fixed_size_list<uint8> of
+    n_frames × h × w × 3 — the schema/batch contract of a real frame
+    sampler, exercised end-to-end by tests."""
+
+    def __init__(self, n_frames: int = 4, height: int = 16, width: int = 16,
+                 data_col: str = "data", out_col: str = "frames",
+                 strict: bool = False):
+        self.n_frames, self.h, self.w = n_frames, height, width
+        self.data_col, self.out_col = data_col, out_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "video decode requires ffmpeg — not available in this container"
+            )
+        blobs = batch.column(self.data_col).to_pylist()
+        per = self.n_frames * self.h * self.w * 3
+        out = np.stack([
+            _fake_pixels(b or b"", self.n_frames * self.h, self.w).reshape(-1)[:per]
+            for b in blobs
+        ])
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.ravel(), type=pa.uint8()), per
+        )
+        return batch.append_column(self.out_col, col)
+
+
 def decode_images(ds, height: int = 32, width: int = 32, data_col: str = "data",
                   concurrency: int = 2, batch_size: int = DEFAULT_BINARY_BATCH):
     """Canonical multimodal pipeline stage wiring: actor pool + small

@@ -69,3 +69,17 @@ def test_strict_stub_raises():
         ImageDecode(strict=True)(pa.table({"data": [b"x"]}))
     with pytest.raises(NotImplementedError):
         AudioFrameSample(strict=True)(pa.table({"data": [b"x"]}))
+
+
+def test_video_frame_sample_stub(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.multimodal import VideoFrameSample
+
+    ds = rd.from_items([{"id": i, "data": bytes([i] * 64)} for i in range(10)])
+    out = ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                         batch_size=4, concurrency=1).take_all()
+    assert len(out) == 10
+    assert len(out[0]["frames"]) == 4 * 16 * 16 * 3
+    with pytest.raises(NotImplementedError):
+        VideoFrameSample(strict=True)(pa.table({"data": [b"x"]}))
