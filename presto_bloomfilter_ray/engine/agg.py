@@ -205,6 +205,16 @@ def grouped_sketch(
     """
 
     def partials_per_key(batch: pa.Table) -> pa.Table:
+        if batch.column(key).null_count:
+            # null keys form no group (reference: null elements are
+            # skipped; SQL users filter or coalesce explicitly)
+            batch = batch.filter(pa.compute.is_valid(batch.column(key)))
+        if batch.num_rows == 0:
+            ktype = batch.column(key).type
+            if pa.types.is_null(ktype):  # all-null tiny block: no type info
+                ktype = pa.large_string()
+            return pa.table({key: pa.array([], type=ktype),
+                             "partial": pa.array([], type=pa.large_binary())})
         keys = batch.column(key)
         order = pa.compute.sort_indices(keys)
         sorted_tbl = batch.take(order)

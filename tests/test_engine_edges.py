@@ -98,3 +98,19 @@ def test_build_sketch_actor_pool_path(ray_session, sf_dir, duck):
     pooled = build_sketch(docs, "text", lambda: BloomFilter(5000), concurrency=2)
     plain = build_sketch(docs, "text", lambda: BloomFilter(5000))
     assert np.array_equal(pooled.bits, plain.bits)
+
+
+def test_grouped_sketch_skips_null_keys(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.engine import grouped_sketch
+
+    ds = rd.from_items([
+        {"k": "a", "v": "1"}, {"k": None, "v": "2"},
+        {"k": "b", "v": "3"}, {"k": "a", "v": "4"},
+    ])
+    g = grouped_sketch(ds, key="k", col="v", factory=lambda: BloomFilter(100))
+    rows = {r["k"]: deserialize(r["sketch"]) for r in g.take_all()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].might_contain("1") and rows["a"].might_contain("4")
+    assert not rows["a"].might_contain("2")  # the null-keyed row's value
