@@ -234,6 +234,34 @@ def _join_orders_customer_nation(sf_dir: str):
     return df[["c_nationkey", "n_orders", "total_price"]]
 
 
+def _q5_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    revenue per nation name — a chain of native hash joins feeding a
+    grouped aggregate."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("revenue", rev).select(["l_orderkey", "revenue"])
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j = (
+        li.join(orders, "inner", 16, on=("l_orderkey",), right_on=("o_orderkey",))
+        .join(cust, "inner", 16, on=("o_custkey",), right_on=("c_custkey",))
+        .join(nation, "inner", 8, on=("c_nationkey",), right_on=("n_nationkey",))
+    )
+    agg = j.groupby("n_name").aggregate(Sum("revenue", alias_name="_r"))
+    df = agg.to_pandas()
+    df["revenue"] = df["_r"].round(2)
+    return df[["n_name", "revenue"]]
+
+
 def _union_distinct_orderkeys(sf_dir: str):
     """Set-op built-ins: union two key columns, distinct-count them."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
@@ -483,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
+        "q5_revenue_by_nation": _q5_revenue_by_nation,
         "union_distinct_orderkeys": _union_distinct_orderkeys,
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
@@ -558,6 +587,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "q5_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "union_distinct_orderkeys": """
             SELECT count(DISTINCT k) AS n_distinct FROM (

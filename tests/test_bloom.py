@@ -131,6 +131,18 @@ def test_size_formula_goldens():
     assert BloomFilter(100, 0.001).estimated_size_bytes() == 180
 
 
+def test_statistical_fpp_within_bound_across_p():
+    # TestBloomFilterPerformanceContains.java:36-43 — disjoint probes;
+    # hold FPP ≤ p (+sampling slack) across configured p values
+    keys = pa.array([f"k{i}" for i in range(50_000)])
+    probes = pa.array([f"p{i}" for i in range(50_000)])
+    for p, slack in ((0.001, 3.0), (0.01, 1.5), (0.05, 1.2)):
+        bf = BloomFilter(50_000, p).update_arrow(keys)
+        res = bf.contains_many(probes)
+        assert res.mean() <= p * slack, (p, res.mean())
+        assert bf.contains_many(keys).all()  # never a false negative
+
+
 def test_statistical_fpp_within_bound():
     # TestBloomFilterPerformanceContains.java:36-43 — disjoint probes
     keys = pa.array([f"k{i}" for i in range(100_000)])
