@@ -64,6 +64,9 @@ class ContainsFilter:
       * ``"anti"``  — keep rows whose element is definitely NOT in the
         filter (Bloom "false" is definite ⇒ dropped-side exact; kept
         side can miss rows only at FPP rate — SURVEY §2.4 caveat).
+        Null-element rows are KEPT in anti mode (null probe → False,
+        the reference's rule) — note SQL ``NOT IN`` drops them, so
+        filter nulls first when mirroring SQL three-valued logic.
       * ``"column"`` — append a boolean column ``out_col`` instead of
         filtering (the literal ``bloom_filter_contains`` scalar).
     """
