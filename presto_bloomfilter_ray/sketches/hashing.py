@@ -86,11 +86,11 @@ def hash64(array, seed: int) -> np.ndarray:
         if isinstance(s, pl.DataFrame):  # pragma: no cover
             s = s.to_series()
         return s.hash(seed=seed % (1 << 64)).to_numpy().astype(np.uint64, copy=False)
-    import pandas as pd  # pragma: no cover
     from pandas.util import hash_array
 
     vals = ca.to_pandas().to_numpy(dtype=object)
-    key = (seed % (1 << 128)).to_bytes(16, "little").hex()
+    # pandas requires a key that utf8-encodes to exactly 16 bytes
+    key = (seed % (1 << 64)).to_bytes(8, "little").hex()
     return hash_array(vals, hash_key=key).astype(np.uint64, copy=False)
 
 

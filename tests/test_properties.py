@@ -104,3 +104,22 @@ def test_kll_n_conserved_across_merge(vals):
     parts = [KLL(64).update_arrow(c) for c in thirds]
     m = parts[0].merge(parts[1]).merge(parts[2])
     assert m.n == len(arr)
+
+
+def test_pandas_hash_fallback_consistent(monkeypatch):
+    """The no-polars fallback (pandas hash_array) must be self-consistent:
+    same input → same hashes, different seeds → different hashes, and
+    sketches built on it still honor their contracts."""
+    import pyarrow as pa
+
+    from presto_bloomfilter_ray.sketches import hashing
+
+    monkeypatch.setattr(hashing, "_HAS_POLARS", False)
+    a1 = hashing.hash64(pa.array(["x", "y", "z"]), seed=1)
+    a2 = hashing.hash64(pa.array(["x", "y", "z"]), seed=1)
+    b = hashing.hash64(pa.array(["x", "y", "z"]), seed=2)
+    assert np.array_equal(a1, a2)
+    assert not np.array_equal(a1, b)
+    bf = BloomFilter(1000)
+    bf.update_arrow(pa.array(["alpha", "beta"]))
+    assert bf.might_contain("alpha") and not bf.might_contain("gamma")
