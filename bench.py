@@ -212,9 +212,12 @@ def run_scaling() -> dict:
         runs = [one(ncpu) for _ in range(reps)]
         return max(runs, key=lambda r: r["suite_docs_per_sec"])
 
+    # best-of-2 at BOTH levels: this shared VM occasionally halves a
+    # whole run's throughput (observed 64 s vs 124 s for identical
+    # 2-cpu runs); capability comparison needs the clean run per level
     lo_n = int(os.environ.get("SCALING_LO", "2"))
     hi_n = int(os.environ.get("SCALING_HI", "8"))
-    lo = best_of(lo_n, reps=1)   # long run: stragglers already amortized
+    lo = best_of(lo_n, reps=2)
     hi = best_of(hi_n, reps=2)
     # efficiency on the headline suite (docs/s is the throughput metric)
     tp_lo = lo["suite_docs_per_sec"]
