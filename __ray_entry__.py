@@ -234,6 +234,31 @@ def _join_orders_customer_nation(sf_dir: str):
     return df[["c_nationkey", "n_orders", "total_price"]]
 
 
+def _asof_purchase_after_signup(sf_dir: str):
+    """As-of join: each purchase event joined to the user's latest prior
+    signup; per-type stats. Oracle = DuckDB native ASOF JOIN."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions.asof import asof_join
+
+    signups = duckdb.sql(
+        f"select user_id, ts, event_id from '{sf_dir}/events.parquet' "
+        "where event_type = 'signup'"
+    ).df()
+    purchases = _read(sf_dir, "events").filter(expr="event_type == 'purchase'")
+    joined = asof_join(purchases, signups, key="user_id", ts="ts",
+                       value_cols=["event_id"])
+    df = joined.to_pandas()
+    matched = df["ts_r"].notna()
+    delay = (df.loc[matched, "ts"].astype("int64")
+             - df.loc[matched, "ts_r"].astype("int64")) / 1_000_000
+    return pd.DataFrame({
+        "n_purchases": [len(df)],
+        "n_with_prior_signup": [int(matched.sum())],
+        "sum_delay_s": [round(float(delay.sum()), 1)],
+    })
+
+
 def _q5_revenue_by_nation(sf_dir: str):
     """TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
     revenue per nation name — a chain of native hash joins feeding a
@@ -512,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "asof_purchase_after_signup": _asof_purchase_after_signup,
         "union_distinct_orderkeys": _union_distinct_orderkeys,
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
@@ -587,6 +613,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "asof_purchase_after_signup": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+            SELECT count(*) AS n_purchases,
+                   count(s.ts) AS n_with_prior_signup,
+                   round(coalesce(sum(epoch(p.ts) - epoch(s.ts)), 0), 1) AS sum_delay_s
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
         """,
         "q5_revenue_by_nation": """
             SELECT n_name,

@@ -163,3 +163,48 @@ def test_native_join_matches_sql(ray_session, sf_dir, duck):
         ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey
     """).df()
     assert mine["n"].astype(int).tolist() == theirs["n"].astype(int).tolist()
+
+
+def test_asof_join_matches_duckdb(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.asof import asof_join
+
+    signups = duck.sql(
+        "select user_id, ts, event_id from events where event_type='signup'"
+    ).df()
+    purchases = rd.read_parquet(f"{sf_dir}/events.parquet").filter(
+        expr="event_type == 'view'"
+    )
+    joined = asof_join(purchases, signups, key="user_id", ts="ts",
+                       value_cols=["event_id"]).to_pandas()
+    theirs = duck.sql("""
+        WITH p AS (SELECT * FROM events WHERE event_type='view'),
+             s AS (SELECT user_id, ts FROM events WHERE event_type='signup')
+        SELECT count(s.ts) AS n FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """).fetchone()[0]
+    assert int(joined["ts_r"].notna().sum()) == int(theirs)
+    # matched right ts is never after the left ts
+    m = joined["ts_r"].notna()
+    assert (joined.loc[m, "ts_r"] <= joined.loc[m, "ts"]).all()
+
+
+def test_asof_forward_direction(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.asof import asof_join
+
+    left = rd.from_items([
+        {"k": "a", "ts": pd.Timestamp("2020-01-01 00:05"), "x": 1},
+        {"k": "a", "ts": pd.Timestamp("2020-01-01 00:20"), "x": 2},
+    ])
+    right = pd.DataFrame({
+        "k": ["a", "a"],
+        "ts": [pd.Timestamp("2020-01-01 00:10"), pd.Timestamp("2020-01-01 00:30")],
+        "v": [10, 30],
+    })
+    out = asof_join(left, right, key="k", ts="ts", value_cols=["v"],
+                    direction="forward").to_pandas().sort_values("x")
+    assert out["v_r"].tolist() == [10, 30]  # next right row at/after each left ts
