@@ -57,7 +57,9 @@ def asof_join(left_ds, right_df, key: str, ts: str, value_cols: List[str],
         index = ray.get(ref)
         n = batch.num_rows
         keys = batch.column(key).to_pylist()
-        ts_vals = np.asarray(batch.column(ts).cast(pa.int64()))
+        # unify units: whatever timestamp resolution the source block
+        # carries, compare in µs (arrow rescales on timestamp casts)
+        ts_vals = np.asarray(batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64()))
         matched_ts = np.full(n, np.nan)
         matched_vals = {c: np.full(n, None, dtype=object) for c in value_cols}
         # group probe rows by key (runs over the sorted order)
