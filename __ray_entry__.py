@@ -259,6 +259,28 @@ def _asof_purchase_after_signup(sf_dir: str):
     })
 
 
+def _range_join_price_bands(sf_dir: str):
+    """Non-equi range join: classify orders into price bands (broadcast
+    interval probe), count + sum per band."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions.asof import range_join
+
+    bands = pd.DataFrame({
+        "lo": [0.0, 50_000.0, 150_000.0, 300_000.0],
+        "hi": [50_000.0, 150_000.0, 300_000.0, 10_000_000.0],
+        "band": ["small", "medium", "large", "jumbo"],
+    })
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    joined = range_join(orders, bands, on="o_totalprice", value_cols=["band"])
+    agg = joined.groupby("band").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="_tp")
+    )
+    df = agg.to_pandas()
+    df["total_price"] = df["_tp"].round(2)
+    return df[["band", "n_orders", "total_price"]]
+
+
 def _q5_revenue_by_nation(sf_dir: str):
     """TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
     revenue per nation name — a chain of native hash joins feeding a
@@ -538,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_nation": _join_orders_customer_nation,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "asof_purchase_after_signup": _asof_purchase_after_signup,
+        "range_join_price_bands": _range_join_price_bands,
         "union_distinct_orderkeys": _union_distinct_orderkeys,
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
@@ -613,6 +636,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "range_join_price_bands": """
+            WITH bands(lo, hi, band) AS (VALUES
+                (0.0, 50000.0, 'small'), (50000.0, 150000.0, 'medium'),
+                (150000.0, 300000.0, 'large'), (300000.0, 10000000.0, 'jumbo'))
+            SELECT band, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
         """,
         "asof_purchase_after_signup": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

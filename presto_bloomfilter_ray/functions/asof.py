@@ -41,6 +41,42 @@ def _index_right(right_df, key: str, ts: str, value_cols: List[str]):
     return out
 
 
+def range_join(left_ds, intervals_df, on: str, lo: str = "lo", hi: str = "hi",
+               value_cols: List[str] = ("label",), suffix: str = ""):
+    """Non-equi broadcast range join: each left row gains the columns of
+    the interval with ``lo <= left[on] < hi``.
+
+    Intervals must be non-overlapping (validated); they're broadcast
+    sorted by ``lo`` and probed with one ``searchsorted`` per batch —
+    the standard banding/bucketing join (price bands, latency buckets,
+    IP ranges). Rows outside every interval get nulls.
+    """
+    import pandas as pd
+
+    iv = intervals_df.sort_values(lo).reset_index(drop=True)
+    los = iv[lo].to_numpy()
+    his = iv[hi].to_numpy()
+    if (his[:-1] > los[1:]).any():
+        raise ValueError("intervals overlap; range_join requires disjoint intervals")
+    vals = {c: iv[c].to_numpy() for c in value_cols}
+    ref = ray.put((los, his, vals))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        L, H, V = ray.get(ref)
+        x = np.asarray(batch.column(on).cast(pa.float64()))
+        idx = np.searchsorted(L, x, side="right") - 1
+        idx_c = np.clip(idx, 0, len(L) - 1)
+        ok = (idx >= 0) & (x < H[idx_c])
+        out = batch
+        for c in value_cols:
+            col = np.full(batch.num_rows, None, dtype=object)
+            col[ok] = V[c][idx_c[ok]]
+            out = out.append_column(f"{c}{suffix}", pa.array(list(col)))
+        return out
+
+    return left_ds.map_batches(probe, batch_format="pyarrow")
+
+
 def asof_join(left_ds, right_df, key: str, ts: str, value_cols: List[str],
               direction: str = "backward", suffix: str = "_r"):
     """Broadcast as-of join: every left row gains ``<col><suffix>`` for

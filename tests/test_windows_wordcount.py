@@ -1,5 +1,6 @@
 """Windowed aggregates + distributed word count contracts."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -208,3 +209,20 @@ def test_asof_forward_direction(ray_session):
     out = asof_join(left, right, key="k", ts="ts", value_cols=["v"],
                     direction="forward").to_pandas().sort_values("x")
     assert out["v_r"].tolist() == [10, 30]  # next right row at/after each left ts
+
+
+def test_range_join_bands(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.asof import range_join
+
+    left = rd.from_items([{"v": x} for x in (5.0, 15.0, 25.0, 99.0)])
+    bands = pd.DataFrame({"lo": [0.0, 10.0, 20.0], "hi": [10.0, 20.0, 30.0],
+                          "band": ["a", "b", "c"]})
+    out = range_join(left, bands, on="v", value_cols=["band"]).to_pandas()
+    got = dict(zip(out["v"], out["band"]))
+    assert got == {5.0: "a", 15.0: "b", 25.0: "c", 99.0: None}
+    with pytest.raises(ValueError):
+        range_join(left, pd.DataFrame({"lo": [0.0, 5.0], "hi": [10.0, 15.0],
+                                       "band": ["x", "y"]}), on="v")
