@@ -49,3 +49,25 @@ def test_build_persist_probe_write(ray_session, tmp_path):
     rec = json.loads(store.get("metrics/t/probe/summary.json").decode())
     assert rec["rows_kept"] == summary["rows_kept"]
     assert rec["selectivity"] is not None
+
+
+def test_probe_anti_mode(ray_session, tmp_path):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray import BloomFilter
+    from presto_bloomfilter_ray.engine import SketchStore, build_sketch
+    from presto_bloomfilter_ray.pipelines import probe_and_write
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    web_dir = ensure_webpages(2000)
+    store = SketchStore(str(tmp_path / "s"))
+    web = rd.read_parquet(web_dir)
+    en = build_sketch(web.filter(expr="lang == 'en'"), "url",
+                      lambda: BloomFilter(5000, 1e-9))
+    store.persist(en, "t/en_urls")
+    out_dir = str(tmp_path / "non-en")
+    s = probe_and_write(web, "t/en_urls", "url", out_dir,
+                        store_root=str(tmp_path / "s"), run_id="t", anti=True)
+    n_en = web.filter(expr="lang == 'en'").count()
+    # anti join: definite non-members only; FP could only shrink, p=1e-9
+    assert s["rows_kept"] == 2000 - n_en
