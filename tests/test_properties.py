@@ -123,3 +123,22 @@ def test_pandas_hash_fallback_consistent(monkeypatch):
     bf = BloomFilter(1000)
     bf.update_arrow(pa.array(["alpha", "beta"]))
     assert bf.might_contain("alpha") and not bf.might_contain("gamma")
+
+
+@given(n_a=st.integers(100, 2000), n_b=st.integers(100, 2000),
+       overlap=st.integers(0, 100))
+@settings(**_SETTINGS)
+def test_theta_exact_below_saturation_any_sets(n_a, n_b, overlap):
+    """KMV with k above saturation is EXACT set algebra for any inputs."""
+    from presto_bloomfilter_ray import ThetaSketch
+
+    overlap = min(overlap, n_a, n_b)
+    a_items = [f"a{i}" for i in range(n_a)]
+    b_items = [f"a{i}" for i in range(overlap)] + [f"b{i}" for i in range(n_b - overlap)]
+    a = ThetaSketch(4096).update_arrow(pa.array(a_items))
+    b = ThetaSketch(4096).update_arrow(pa.array(b_items))
+    assert round(a.estimate()) == n_a
+    assert round(b.estimate()) == n_b
+    assert round(a.intersection_estimate(b)) == overlap
+    assert round(a.union_estimate(b)) == n_a + n_b - overlap
+    assert round(a.difference_estimate(b)) == n_a - overlap
