@@ -135,3 +135,31 @@ class TestSuiteResume:
             assert rec["partition"] not in seen
             seen.add(rec["partition"])
             assert rec["rows"] > 0 and rec["wall_s"] >= 0
+
+
+def test_suite_per_lang_blooms_correct(ray_session, tmp_path):
+    """The suite's grouped (per-lang) blooms have no false negatives and
+    discriminate: hosts of other langs are mostly rejected."""
+    import duckdb
+
+    from presto_bloomfilter_ray.pipelines import run_suite
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    web_dir = ensure_webpages(4000)
+    root = str(tmp_path / "s")
+    res = run_suite(web_dir, store_root=root, run_id="lb", n_hint=4000)
+    sk = res["sketches"]
+    hosts = duckdb.sql(f"""
+        select lang, split_part(url, '/', 3) host
+        from '{web_dir}/*.parquet'
+    """).df()
+    for lang in ("en", "zh", "da"):
+        bloom = sk.get(f"lang_bloom/{lang}")
+        if bloom is None:
+            continue
+        mine = set(hosts.loc[hosts["lang"] == lang, "host"])
+        others = set(hosts.loc[hosts["lang"] != lang, "host"]) - mine
+        assert all(bloom.might_contain(h) for h in mine)  # no false negatives
+        if others:
+            fp = sum(bloom.might_contain(h) for h in list(others)[:500]) / min(500, len(others))
+            assert fp < 0.05  # p=0.01 + slack
