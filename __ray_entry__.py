@@ -478,6 +478,21 @@ def _cm_heavy_hitters(sf_dir: str):
     return pd.DataFrame({"lang": langs, "freq_est": ests.astype("int64")})
 
 
+def _hll_hosts_by_lang(sf_dir: str):
+    """Grouped HLL via the NATIVE row-shuffle path (groupby + SketchAgg
+    with estimate finalize) — the high-cardinality-key pattern."""
+    from presto_bloomfilter_ray import HyperLogLog
+    from presto_bloomfilter_ray.engine import SketchAgg
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+    out = docs.groupby("lang").aggregate(
+        SketchAgg(lambda: HyperLogLog(12), on="source",
+                  alias_name="distinct_sources_est", finalize_mode="estimate")
+    ).to_pandas()
+    out["distinct_sources_est"] = out["distinct_sources_est"].round(1)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _quantiles_textlen(sf_dir: str):
     from presto_bloomfilter_ray import KLL, TDigest
     from presto_bloomfilter_ray.engine import build_sketch
@@ -574,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "theta_custkey_overlap": _theta_custkey_overlap,
         "hll_distinct_custkey": _hll_distinct,
+        "hll_hosts_by_lang": _hll_hosts_by_lang,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
         "webpages_suite": _webpages_suite,

@@ -67,6 +67,32 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Introspect a sketch store: keys, sizes, params, estimates."""
+    from .engine.store import SketchStore
+    from .sketches.base import read_kind, read_params
+
+    store = SketchStore(args.store)
+    out = []
+    for key in store.keys(args.prefix):
+        try:
+            buf = store.get(key)
+            rec = {"key": key, "bytes": len(buf), "kind": read_kind(buf),
+                   "params": read_params(buf)}
+            if args.estimates:
+                sk = store.load(key)
+                if hasattr(sk, "estimate"):
+                    try:
+                        rec["estimate"] = round(float(sk.estimate()), 2)
+                    except TypeError:
+                        pass
+            out.append(rec)
+        except Exception:
+            out.append({"key": key, "bytes": None, "kind": None})
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="presto_bloomfilter_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -94,12 +120,20 @@ def main(argv=None) -> int:
     d.add_argument("--id-col", default="doc_id")
     d.set_defaults(fn=cmd_dedup)
 
+    t = sub.add_parser("stats", help="introspect a sketch store")
+    t.add_argument("--store", required=True)
+    t.add_argument("--prefix", default="")
+    t.add_argument("--estimates", action="store_true")
+    t.set_defaults(fn=cmd_stats, needs_ray=False)
+
     args = p.parse_args(argv)
-    ray = _ensure_ray()
-    try:
-        return args.fn(args)
-    finally:
-        ray.shutdown()
+    if getattr(args, "needs_ray", True):
+        ray = _ensure_ray()
+        try:
+            return args.fn(args)
+        finally:
+            ray.shutdown()
+    return args.fn(args)
 
 
 if __name__ == "__main__":
