@@ -81,6 +81,21 @@ class TDigest(Sketch):
                        np.concatenate([self.weights, np.ones(vals.size)]))
         return self
 
+    def update_weighted(self, values, weights) -> "TDigest":
+        """Weighted accumulate (e.g. byte-weighted latency quantiles):
+        each value carries a positive weight instead of 1."""
+        vals = np.asarray(values, dtype=np.float64)
+        wts = np.asarray(weights, dtype=np.float64)
+        keep = ~np.isnan(vals) & (wts > 0)
+        vals, wts = vals[keep], wts[keep]
+        if vals.size == 0:
+            return self
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+        self._compress(np.concatenate([self.means, vals]),
+                       np.concatenate([self.weights, wts]))
+        return self
+
     def merge(self, other: "TDigest") -> "TDigest":
         if self.compression != other.compression:
             raise ValueError("incompatible t-digest compressions")

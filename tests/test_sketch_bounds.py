@@ -123,3 +123,29 @@ class TestKLL:
         for q in (0.25, 0.5, 0.75):
             rank_err = abs((vals <= merged.quantile(q)).mean() - q)
             assert rank_err < 3 * merged.rank_error_bound()
+
+
+class TestTDigestWeighted:
+    def test_weighted_quantiles_bound(self):
+        rng = np.random.default_rng(17)
+        vals = rng.normal(50, 10, 30_000)
+        wts = rng.integers(1, 20, size=30_000).astype(float)
+        td = TDigest(200)
+        for sl in np.array_split(np.arange(30_000), 6):
+            td.update_weighted(vals[sl], wts[sl])
+        # exact weighted quantile via expansion-free cumulative method
+        order = np.argsort(vals)
+        sv, sw = vals[order], wts[order]
+        cum = np.cumsum(sw)
+        for q in (0.1, 0.5, 0.9):
+            est = td.quantile(q)
+            true_rank = (sv <= est) @ sw / cum[-1]
+            assert abs(true_rank - q) < 2 * td.rank_error_bound(), (q, true_rank)
+
+    def test_weighted_equals_repeated(self):
+        vals = np.array([1.0, 2.0, 3.0])
+        td_w = TDigest(100).update_weighted(vals, np.array([3.0, 1.0, 2.0]))
+        td_r = TDigest(100).update_arrow(
+            np.array([1.0, 1.0, 1.0, 2.0, 3.0, 3.0]))
+        for q in (0.25, 0.5, 0.75):
+            assert abs(td_w.quantile(q) - td_r.quantile(q)) < 1e-9
