@@ -142,10 +142,18 @@ class TestTDigestWeighted:
             true_rank = (sv <= est) @ sw / cum[-1]
             assert abs(true_rank - q) < 2 * td.rank_error_bound(), (q, true_rank)
 
-    def test_weighted_equals_repeated(self):
-        vals = np.array([1.0, 2.0, 3.0])
-        td_w = TDigest(100).update_weighted(vals, np.array([3.0, 1.0, 2.0]))
-        td_r = TDigest(100).update_arrow(
-            np.array([1.0, 1.0, 1.0, 2.0, 3.0, 3.0]))
-        for q in (0.25, 0.5, 0.75):
-            assert abs(td_w.quantile(q) - td_r.quantile(q)) < 1e-9
+    def test_weighted_matches_repeated_expansion(self):
+        """update_weighted(v, w) must estimate the same distribution as
+        literally repeating each value w times (within the rank bound)."""
+        rng = np.random.default_rng(23)
+        vals = rng.uniform(0, 100, 2000)
+        wts = rng.integers(1, 6, size=2000)
+        expanded = np.repeat(vals, wts)
+        td_w = TDigest(200).update_weighted(vals, wts.astype(float))
+        td_r = TDigest(200).update_arrow(expanded)
+        assert td_w.total_weight == td_r.total_weight == len(expanded)
+        for q in (0.1, 0.5, 0.9):
+            rank_w = (expanded <= td_w.quantile(q)).mean()
+            rank_r = (expanded <= td_r.quantile(q)).mean()
+            assert abs(rank_w - q) < 2 * td_w.rank_error_bound()
+            assert abs(rank_r - q) < 2 * td_r.rank_error_bound()
