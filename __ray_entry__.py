@@ -137,14 +137,19 @@ def _grouped_bloom_membership(sf_dir: str):
 
 # ---------------------------------------------------------------- relational
 def _q1_lineitem(sf_dir: str):
+    """TPC-H Q1 shape. The shipdate predicate is pushed INTO the read
+    (pyarrow dataset expression → row-group pruning + per-fragment
+    filtering), so filtered rows never leave the scan."""
     from ray.data.aggregate import Count, Mean, Sum
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_returnflag", "l_linestatus", "l_quantity",
-                        "l_extendedprice", "l_discount", "l_shipdate"])
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") <= pd.Timestamp("1998-09-02")),
+    )
 
     def prep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
         return b.append_column("disc_price", disc)
 
