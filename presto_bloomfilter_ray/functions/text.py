@@ -126,6 +126,32 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
+def clean_text(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text") -> pa.Table:
+    """Normalizer stage: NFC unicode normalization + control-char strip
+    + whitespace collapse (the 'normalizer' stage of a training-data
+    pipeline; matches DuckDB ``nfc_normalize`` + regexp cleanup).
+
+    Control/whitespace cleanup is vectorized Arrow regex; NFC goes
+    through ``unicodedata`` guarded by the C-speed ``is_normalized``
+    check (this build's ``pc.utf8_normalize`` is a no-op), so already-
+    NFC text — virtually all web text — pays one fast check per row.
+    """
+    import unicodedata
+
+    txt = batch.column(text_col)
+    txt = pc.replace_substring_regex(txt, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    txt = pc.replace_substring_regex(txt, r"\s+", " ")
+    txt = pc.utf8_trim_whitespace(txt)
+    vals = txt.to_pylist()
+    fixed = [
+        v if v is None or unicodedata.is_normalized("NFC", v)
+        else unicodedata.normalize("NFC", v)
+        for v in vals
+    ]
+    return set_column(batch, out_col, pa.array(fixed, type=pa.string()))
+
+
 def word_count(ds, text_col: str = "text", top_k: Optional[int] = None):
     """Distributed word count with map-side pre-aggregation.
 

@@ -115,3 +115,17 @@ def test_langid_stage(ray_session):
     ])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
     assert out["lang_pred"].tolist() == ["en", "de", "fr"]
+
+
+def test_clean_text_normalizer(duck):
+    from presto_bloomfilter_ray.functions.text import clean_text
+
+    t = pa.table({"text": ["  hello\x00\x01  world \n\t x ", "café"]})
+    out = clean_text(t).column("text").to_pylist()
+    assert out[0] == "hello world x"
+    assert out[1] == "café"  # NFC composes e + combining accent
+    # matches DuckDB's normalizer on the same input
+    d = duck.sql(
+        "select trim(regexp_replace(regexp_replace(nfc_normalize('  hello' || chr(1) || '  world \n\t x '), '[\\x01-\\x08]', '', 'g'), '\\s+', ' ', 'g'))"
+    ).fetchone()[0]
+    assert d == "hello world x"
