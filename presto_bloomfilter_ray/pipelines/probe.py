@@ -49,6 +49,7 @@ def probe_and_write(
     run_id: str = "default",
     anti: bool = False,
     input_paths: Optional[List[str]] = None,
+    partition_cols: Optional[List[str]] = None,
 ) -> Dict:
     """Semi-join ``ds`` against a persisted sketch and write the result.
 
@@ -67,7 +68,12 @@ def probe_and_write(
         return batch.filter(pa.array(~mask if anti else mask))
 
     out = ds.map_batches(probe, batch_format="pyarrow")
-    out.write_parquet(out_dir)
+    if partition_cols:
+        # hive layout: one directory per key value — resumable/prunable
+        # output (a rerun or consumer can address partitions directly)
+        out.write_parquet(out_dir, partition_cols=partition_cols)
+    else:
+        out.write_parquet(out_dir)
     wall = time.time() - t0
     rows_kept = _parquet_rows(out_dir)
     rows_in = _parquet_rows(input_paths) if input_paths else None

@@ -71,3 +71,26 @@ def test_probe_anti_mode(ray_session, tmp_path):
     n_en = web.filter(expr="lang == 'en'").count()
     # anti join: definite non-members only; FP could only shrink, p=1e-9
     assert s["rows_kept"] == 2000 - n_en
+
+
+def test_probe_partitioned_output(ray_session, tmp_path):
+    import glob
+
+    import ray.data as rd
+
+    from presto_bloomfilter_ray import BloomFilter
+    from presto_bloomfilter_ray.engine import SketchStore, build_sketch
+    from presto_bloomfilter_ray.pipelines import probe_and_write
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    web_dir = ensure_webpages(2000)
+    store = SketchStore(str(tmp_path / "s"))
+    web = rd.read_parquet(web_dir)
+    bf = build_sketch(web, "url", lambda: BloomFilter(5000, 1e-9))
+    store.persist(bf, "t/all")
+    out_dir = str(tmp_path / "by-lang")
+    probe_and_write(web, "t/all", "url", out_dir,
+                    store_root=str(tmp_path / "s"), run_id="t",
+                    partition_cols=["lang"])
+    parts = glob.glob(f"{out_dir}/lang=*")
+    assert len(parts) >= 5  # hive layout, one dir per lang
