@@ -174,20 +174,14 @@ def _q1_lineitem(sf_dir: str):
 
 
 def _events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1h windows via the windows operator (dogfooded)."""
+    from presto_bloomfilter_ray.functions import tumbling_aggregate
 
     ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-
-    def add_hour(b: pa.Table) -> pa.Table:
-        return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
-
-    agg = (
-        ev.map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="_sv"))
-    )
-    df = agg.to_pandas()
-    df["sum_value"] = df["_sv"].round(4)
+    agg = tumbling_aggregate(ev, "ts", ["event_type"], size_s=3600,
+                             value_col="value")
+    df = agg.to_pandas().rename(columns={"window_start": "hour"})
+    df["sum_value"] = df["sum_value"].round(4)
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
