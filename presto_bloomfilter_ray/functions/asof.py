@@ -15,7 +15,7 @@ nulls.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 import pyarrow as pa
