@@ -1,4 +1,5 @@
 from .flagship import build_shard_partials, run_suite
 from .probe import probe_and_write
+from .streaming import stream_aggregate
 
-__all__ = ["build_shard_partials", "run_suite", "probe_and_write"]
+__all__ = ["build_shard_partials", "run_suite", "probe_and_write", "stream_aggregate"]
