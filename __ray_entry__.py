@@ -515,18 +515,34 @@ def _webpages_suite(sf_dir: str):
     from presto_bloomfilter_ray.pipelines import run_suite
     from presto_bloomfilter_ray.sources import ensure_webpages
 
+    import shutil
+    import uuid
+
+    from presto_bloomfilter_ray.pipelines import probe_and_write
+
     n_docs = duckdb.sql(f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
     n_rows = max(2000, int(n_docs) * 4)
     path = ensure_webpages(n_rows)
-    res = run_suite(path, store_root="/tmp/sketch-store-queries",
+    store_root = "/tmp/sketch-store-queries"
+    res = run_suite(path, store_root=store_root,
                     run_id=f"q-{n_rows}", n_hint=n_rows)
     s = res["summary"]
+    # close the reference's core loop: probe the table against the
+    # just-persisted url bloom (no false negatives ⇒ all rows kept)
+    probe_out = f"/tmp/probe-q-{uuid.uuid4().hex[:8]}"
+    probe = probe_and_write(
+        _rd().read_parquet(path, columns=["url"]),
+        f"merged/q-{n_rows}/bloom_url", "url", probe_out,
+        store_root=store_root, run_id=f"q-{n_rows}",
+    )
+    shutil.rmtree(probe_out, ignore_errors=True)
     return pd.DataFrame({
         "rows": [s["rows"]],
         "distinct_urls_hll": [round(s["distinct_urls_hll"], 1)],
         "distinct_hosts_hll": [round(s["distinct_hosts_hll"], 1)],
         "textlen_p50_td": [round(s["textlen_p50_td"], 1)],
         "n_langs": [len(s["langs"])],
+        "probe_rows_kept": [probe["rows_kept"]],
     })
 
 
