@@ -716,8 +716,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
-                   sum(len(regexp_extract_all(text, '\\S+'))) AS sum_tokens,
-                   sum(length(text)) AS sum_chars
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "word_count_top20": """
@@ -754,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    count(DISTINCT session_id) AS n_sessions,
                    count(*) AS n_events,
-                   max(session_id) AS max_session_id
+                   CAST(max(session_id) AS BIGINT) AS max_session_id
             FROM sessions GROUP BY user_id
         """,
         "ann_topk_cosine": """

@@ -31,8 +31,18 @@ _CACHE_MAX = 40  # parity with the reference's Guava cache size
 _CACHE: "OrderedDict[bytes, Sketch]" = OrderedDict()
 
 
-def get_or_load(buf: bytes) -> Sketch:
-    """Content-hash-memoized deserialize (reference ``getOrLoadBloomFilter``)."""
+def get_or_load(buf: bytes, *, mutable: bool = False) -> Sketch:
+    """Content-hash-memoized deserialize (reference ``getOrLoadBloomFilter``).
+
+    The cached instance is SHARED across callers in this worker process
+    and keyed by the envelope's content hash — treat it as READ-ONLY
+    (probe-side ``contains_many`` / ``pre_miss`` bookkeeping is fine;
+    ``merge`` / ``update_arrow`` are not: they'd poison the cache for
+    later probes of the same envelope). Callers that need to mutate pass
+    ``mutable=True`` to get a fresh instance that bypasses the cache.
+    """
+    if mutable:
+        return deserialize(buf)
     h = read_hash(buf)
     sk = _CACHE.get(h)
     if sk is None:

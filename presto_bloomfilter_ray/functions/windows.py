@@ -25,6 +25,11 @@ _US = 1_000_000
 
 
 def _ts_us(col) -> np.ndarray:
+    # normalize to µs first: a timestamp[ns] source (pandas' parquet
+    # default) cast straight to int64 would put window math on the
+    # wrong scale — arrow rescales on timestamp-to-timestamp casts
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
     return np.asarray(col.cast(pa.int64()))
 
 

@@ -50,12 +50,26 @@ def probe_and_write(
     anti: bool = False,
     input_paths: Optional[List[str]] = None,
     partition_cols: Optional[List[str]] = None,
+    overwrite: bool = False,
 ) -> Dict:
     """Semi-join ``ds`` against a persisted sketch and write the result.
 
     ``input_paths`` (optional) lets the caller pass the source parquet
     paths so rows_in comes from footers without re-executing the read.
+
+    ``out_dir`` must not already contain parquet files (stale files from
+    an earlier run would inflate ``rows_kept`` — counts come from the
+    directory's footers); pass ``overwrite=True`` to clean it first.
     """
+    stale = glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+    if stale:
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} already holds {len(stale)} parquet file(s) from an "
+                "earlier run; pass overwrite=True to replace them")
+        import shutil
+
+        shutil.rmtree(out_dir)
     store = SketchStore(store_root)
     env = store.get(sketch_key)
     ref = ray.put(env)

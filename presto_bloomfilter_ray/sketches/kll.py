@@ -50,9 +50,15 @@ class KLL(Sketch):
                 off = self._flip
                 self._flip ^= 1
                 keep_odd = buf[off::2]  # every other item → weight doubles
-                if buf.size % 2 == 1 and off == 0:
-                    # odd leftover: the unpaired last item stays at this level
-                    promoted, leftover = keep_odd[:-1], buf[-1:]
+                if buf.size % 2 == 1:
+                    # odd size: one item has no pair partner; it stays at
+                    # this level at weight 2^h so total retained weight
+                    # equals n in BOTH offset branches (off==0 leaves the
+                    # last item unpaired, off==1 the first)
+                    if off == 0:
+                        promoted, leftover = keep_odd[:-1], buf[-1:]
+                    else:
+                        promoted, leftover = keep_odd, buf[:1]
                 else:
                     promoted, leftover = keep_odd, np.zeros(0)
                 self.levels[h] = leftover

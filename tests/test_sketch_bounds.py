@@ -157,3 +157,28 @@ class TestTDigestWeighted:
             rank_r = (expanded <= td_r.quantile(q)).mean()
             assert abs(rank_w - q) < 2 * td_w.rank_error_bound()
             assert abs(rank_r - q) < 2 * td_r.rank_error_bound()
+
+
+class TestKLLWeightConservation:
+    def test_total_retained_weight_equals_n(self):
+        """Compaction must conserve weight in BOTH flip-offset branches:
+        odd-size levels keep the unpaired element (last for offset 0,
+        first for offset 1) at the current level instead of dropping it,
+        so sum(level_size * 2^level) == n always."""
+        rng = np.random.default_rng(41)
+        k = KLL(50)  # small k → many compactions, both offsets exercised
+        total = 0
+        for _ in range(40):
+            chunk = rng.normal(size=int(rng.integers(1, 997)))
+            k.update_arrow(chunk)
+            total += len(chunk)
+            retained = sum(lv.size * (1 << h) for h, lv in enumerate(k.levels))
+            assert retained == total == k.n
+
+    def test_merge_conserves_weight(self):
+        rng = np.random.default_rng(43)
+        a = KLL(60).update_arrow(rng.normal(size=7001))
+        b = KLL(60).update_arrow(rng.normal(size=5003))
+        a.merge(b)
+        retained = sum(lv.size * (1 << h) for h, lv in enumerate(a.levels))
+        assert retained == a.n == 12004

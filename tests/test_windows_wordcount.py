@@ -226,3 +226,30 @@ def test_range_join_bands(ray_session):
     with pytest.raises(ValueError):
         range_join(left, pd.DataFrame({"lo": [0.0, 5.0], "hi": [10.0, 15.0],
                                        "band": ["x", "y"]}), on="v")
+
+
+def test_tumbling_handles_ns_timestamps(ray_session):
+    """timestamp[ns] input (pandas' parquet default) must produce the
+    same windows as timestamp[us] — the key assignment normalizes units
+    before the int64 cast."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import tumbling_aggregate
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10:00", "2024-01-01 00:50:00", "2024-01-01 01:10:00"]
+    )
+    outs = {}
+    for unit in ("us", "ns"):
+        tbl = pa.table({
+            "ts": pa.array(ts).cast(pa.timestamp(unit)),
+            "k": ["a", "a", "a"],
+            "value": [1.0, 2.0, 3.0],
+        })
+        ds = rd.from_arrow(tbl)
+        outs[unit] = (
+            tumbling_aggregate(ds, "ts", ["k"], size_s=3600, value_col="value")
+            .to_pandas().sort_values("window_start").reset_index(drop=True)
+        )
+    assert outs["us"]["n_events"].tolist() == [2, 1]
+    pd.testing.assert_frame_equal(outs["us"], outs["ns"])
