@@ -50,6 +50,15 @@ class SketchAgg(AggregateFnV2):
     Python objects. ``zero`` is ``None`` so that an empty partition
     merges as the identity and parameters are inherited from the
     non-null side, mirroring ``AbstractBloomFilterAggregation.java:36-52``.
+
+    Combine-tree envelopes are TRANSIENT (no gzip, no sha256): each
+    combine edge would otherwise pay a full inflate+verify+deflate+hash
+    cycle of the payload (12 MB for a default Bloom bitset — the
+    reference pays this per exchange, ``BloomFilterStateSerializer.java``).
+    Here combine does raw-payload merge only; the one canonical
+    (compressed + hashed) serialization happens in ``finalize``.
+    Map-side partials (``aggregate_block`` output) DO ship compressed —
+    they're the envelopes that actually cross the wire to reducers.
     """
 
     def __init__(
@@ -68,6 +77,7 @@ class SketchAgg(AggregateFnV2):
         col = _to_arrow(block).column(self._target_col_name)
         sk = self._factory()
         sk.update_arrow(col)
+        # compressed: this envelope crosses the map→reduce wire once
         return sk.serialize()
 
     def combine(self, current: Optional[bytes], new: Optional[bytes]) -> Optional[bytes]:
@@ -77,12 +87,18 @@ class SketchAgg(AggregateFnV2):
             return current
         acc = deserialize(current)
         acc.merge(deserialize(new))
-        return acc.serialize()
+        # transient: stays inside the reducer's combine buffer
+        return acc.serialize(compress=False, hashed=False)
 
     def finalize(self, acc: Optional[bytes]):
         if acc is None:
             acc = self._factory().serialize()
         if self._finalize_mode == "bytes":
+            # canonicalize: combine leaves a transient envelope
+            from ..sketches.base import read_hash
+
+            if read_hash(acc) == b"\x00" * 32:
+                return deserialize(acc).serialize()
             return acc
         sk = deserialize(acc)
         if self._finalize_mode == "estimate":

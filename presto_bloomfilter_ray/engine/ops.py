@@ -44,6 +44,8 @@ def get_or_load(buf: bytes, *, mutable: bool = False) -> Sketch:
     if mutable:
         return deserialize(buf)
     h = read_hash(buf)
+    if h == b"\x00" * 32:  # transient (unhashed) envelope: not cacheable
+        return deserialize(buf)
     sk = _CACHE.get(h)
     if sk is None:
         sk = deserialize(buf)

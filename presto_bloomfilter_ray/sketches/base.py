@@ -37,6 +37,7 @@ from typing import Any, Callable, Dict, Type
 MAGIC = b"RDS1"
 _HDR = struct.Struct("<4sB32sI")  # magic, kind, sha256, params_len
 _PAYLEN = struct.Struct("<Q")
+_NO_HASH = b"\x00" * 32  # digest sentinel of transient (unhashed) envelopes
 
 # kind ids — stable, serialized into every envelope
 KIND_BLOOM = 1
@@ -90,14 +91,28 @@ class Sketch:
         raise NotImplementedError
 
     # -- envelope codec ---------------------------------------------------
-    def serialize(self) -> bytes:
+    def serialize(self, *, compress: bool = True, hashed: bool = True) -> bytes:
+        """Canonical envelope by default (gzip'd payload + sha256).
+
+        ``compress=False, hashed=False`` produces a TRANSIENT envelope —
+        raw payload, zeroed digest — for accumulators inside an
+        aggregation combine tree, where a full gzip+sha256 cycle per
+        combine edge is pure overhead (the reference pays this per
+        exchange, ``BloomFilterStateSerializer.java:29-46``; we only pay
+        it once in finalize). ``deserialize`` accepts both forms (a
+        zeroed digest skips verification). Persisted / user-facing
+        envelopes should always be canonical.
+        """
         params = dict(self._params())
         payload = self._payload()
-        if len(payload) >= self.GZIP_MIN:
+        if compress and len(payload) >= self.GZIP_MIN:
             params["gz"] = 1
             payload = gzip.compress(payload, compresslevel=1)
         pj = json.dumps(params, sort_keys=True, separators=(",", ":")).encode()
-        digest = hashlib.sha256(bytes([self.KIND]) + pj + payload).digest()
+        if hashed:
+            digest = hashlib.sha256(bytes([self.KIND]) + pj + payload).digest()
+        else:
+            digest = _NO_HASH
         return (
             _HDR.pack(MAGIC, self.KIND, digest, len(pj))
             + pj
@@ -128,9 +143,10 @@ def _split(buf: bytes):
 
 def deserialize(buf: bytes) -> Sketch:
     kind, digest, params, payload = _split(buf)
-    pj = json.dumps(params, sort_keys=True, separators=(",", ":")).encode()
-    if hashlib.sha256(bytes([kind]) + pj + payload).digest() != digest:
-        raise ValueError("sketch envelope content hash mismatch")
+    if digest != _NO_HASH:  # transient combine-tree envelopes skip the hash
+        pj = json.dumps(params, sort_keys=True, separators=(",", ":")).encode()
+        if hashlib.sha256(bytes([kind]) + pj + payload).digest() != digest:
+            raise ValueError("sketch envelope content hash mismatch")
     if params.pop("gz", 0):
         payload = gzip.decompress(payload)
     cls = _REGISTRY.get(kind)

@@ -114,3 +114,45 @@ def test_grouped_sketch_skips_null_keys(ray_session):
     assert set(rows) == {"a", "b"}
     assert rows["a"].might_contain("1") and rows["a"].might_contain("4")
     assert not rows["a"].might_contain("2")  # the null-keyed row's value
+
+
+def test_transient_envelope_roundtrip_and_cache_bypass():
+    """Combine-tree envelopes (compress=False, hashed=False) round-trip
+    to the same sketch as canonical ones, and the probe cache refuses to
+    key on their zeroed digest (all transients would collide)."""
+    import pyarrow as _pa
+
+    from presto_bloomfilter_ray.engine.ops import _CACHE, get_or_load
+    from presto_bloomfilter_ray.sketches.base import read_hash
+
+    bf = BloomFilter(1000, 0.01).update_arrow(_pa.array(["x", "y", "z"]))
+    canonical = bf.serialize()
+    transient = bf.serialize(compress=False, hashed=False)
+    assert read_hash(transient) == b"\x00" * 32
+    assert read_hash(canonical) != b"\x00" * 32
+    a, b = deserialize(canonical), deserialize(transient)
+    assert np.array_equal(a.bits, b.bits)
+    # canonicalizing a transient restores a verified envelope
+    assert deserialize(b.serialize()).might_contain("x")
+    before = len(_CACHE)
+    got = get_or_load(transient)
+    assert got.might_contain("y") and len(_CACHE) == before  # not cached
+
+
+def test_sketchagg_native_path_transient_combine(ray_session):
+    """ds.aggregate(SketchAgg) must emit a CANONICAL envelope even though
+    its combine tree carries transient ones."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.engine import SketchAgg
+    from presto_bloomfilter_ray.sketches.base import read_hash
+
+    ds = rd.from_arrow(_pa.table({"k": [f"v{i}" for i in range(500)]})).repartition(7)
+    res = ds.aggregate(SketchAgg(lambda: BloomFilter(1000, 0.01), on="k",
+                                 alias_name="bf"))
+    env = res["bf"]
+    assert read_hash(env) != b"\x00" * 32  # finalize canonicalized
+    sk = deserialize(env)
+    assert all(sk.might_contain(f"v{i}") for i in range(0, 500, 37))
+    assert not sk.might_contain("absent-key")
