@@ -8,11 +8,21 @@ table. Partitioning contracts (100 TB design notes):
   actual duplicate multiplicity.
 * **minhash/simhash**: signatures are computed map-side (vectorized,
   flat-hash + ``reduceat``); only (band, band_hash, doc_id) candidate
-  rows shuffle — a few dozen bytes per doc instead of the text. The
-  final connected-components step runs on the candidate-pair set, which
-  is orders of magnitude smaller than the corpus; at extreme scale swap
-  the driver union-find for iterative min-label propagation over the
-  edge Dataset (same candidate generation).
+  rows shuffle — a few dozen bytes per doc instead of the text.
+  Candidate pairing AND verification are distributed: the LSH bucket
+  space is coarsely hash-partitioned (``bucket & (n_parts-1)``) and one
+  ``groupby(part).map_groups`` processes every bucket of a partition
+  vectorized (boundary ``diff`` + repeat/offset pair generation — no
+  per-bucket Python dispatch, no driver materialization). Small buckets
+  emit ALL pairs (so near-dup pairs not involving the bucket hub are
+  found); buckets above ``pair_cutoff`` fall back to star edges
+  (hub → members), bounding the edge set by docs × bands even on
+  template-heavy corpora. Jaccard verification attaches signatures to
+  edges through two co-partitioned shuffles (sig rows and edge rows
+  union-grouped on the same key space) — each signature crosses the
+  wire once per phase; no broadcast, no driver dict. The final
+  connected-components step runs on the verified edge set (min-label
+  propagation over the edge Dataset).
 """
 
 from __future__ import annotations
@@ -231,17 +241,181 @@ class MinHasher:
         })
 
 
+def _bucket_boundaries(sort_keys: np.ndarray, ids: np.ndarray):
+    """Sort rows by (bucket, id), drop (bucket, id) duplicates, return
+    (bucket-sorted ids, per-bucket starts, per-bucket sizes)."""
+    order = np.lexsort((ids, sort_keys))
+    k, i = sort_keys[order], ids[order]
+    keep = np.ones(len(k), dtype=bool)
+    if len(k) > 1:
+        keep[1:] = (np.diff(k) != 0) | (i[1:] != i[:-1])
+    k, i = k[keep], i[keep]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1)) if len(k) else np.zeros(0, np.int64)
+    sizes = np.diff(np.concatenate((starts, [len(k)]))).astype(np.int64)
+    return i, starts.astype(np.int64), sizes, order, keep
+
+
+def _pairs_from_buckets(ids_sorted: np.ndarray, starts: np.ndarray,
+                        sizes: np.ndarray, cutoff: int):
+    """Vectorized candidate-pair generation over MANY buckets at once —
+    no Python loop over buckets (they number in the billions at scale).
+
+    Buckets with ``size <= cutoff`` emit ALL within-bucket pairs, so
+    similar pairs not involving the bucket's min-id hub are still found.
+    Larger buckets emit star edges (hub → members): g-1 edges instead
+    of g(g-1)/2, bounding blowup on template-heavy corpora (union-find
+    connectivity through the hub still reaches every member).
+    Returns (a, b) with a < b (ids ascending within bucket).
+    """
+    n = len(ids_sorted)
+    if n == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e.copy()
+    small = sizes <= cutoff
+    bucket_start_of = np.repeat(starts, sizes)
+    pos = np.arange(n, dtype=np.int64) - bucket_start_of
+    # --- all pairs (small buckets): element i closes `pos` pairs with
+    # the earlier elements of its bucket, indices start .. start+pos-1
+    counts = np.where(np.repeat(small, sizes), pos, 0)
+    total = int(counts.sum())
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    first_pair = np.cumsum(counts) - counts
+    a_idx = (np.arange(total, dtype=np.int64) - np.repeat(first_pair, counts)
+             + np.repeat(bucket_start_of, counts))
+    a_small, b_small = ids_sorted[a_idx], ids_sorted[b_idx]
+    # --- star edges (large buckets): hub = bucket min id
+    member = np.repeat(~small, sizes) & (pos > 0)
+    a_large = np.repeat(ids_sorted[starts], sizes)[member]
+    b_large = ids_sorted[member]
+    return (np.concatenate([a_small, a_large]).astype(np.int64),
+            np.concatenate([b_small, b_large]).astype(np.int64))
+
+
+def _sig_type(num_perm: int):
+    return pa.list_(pa.int64(), num_perm)
+
+
+def _verify_pairs(sig_ds, edges, num_perm: int, id_col: str, n_parts: int,
+                  min_est: float = 0.0, min_bands: int = 1):
+    """Distributed signature verification: estimate Jaccard for every
+    candidate edge WITHOUT broadcasting signatures or touching the
+    driver.
+
+    Two co-partitioned shuffles: phase A unions signature rows
+    ``(key=id, sig)`` with edge rows ``(key=a, other=b)`` grouped on
+    ``key & (n_parts-1)`` and attaches ``sig_a`` via one vectorized
+    ``searchsorted`` per partition; phase B repeats keyed by ``b`` and
+    emits ``(a, b, est_jaccard)``. Each signature crosses the wire once
+    per phase; each edge carries one signature through phase B only.
+
+    Phase A also DEDUPES edges and applies the ``min_bands``
+    band-collision screen: every copy of a pair (one per colliding
+    band) has the same ``a``, hence the same partition — so run-length
+    counting inside the group replaces a whole extra
+    ``groupby(a, b)`` shuffle.
+    """
+    fsl = _sig_type(num_perm)
+
+    def sig_rows(b: pa.Table) -> pa.Table:
+        key = b.column(id_col).cast(pa.int64())
+        return pa.table({
+            "key": key,
+            "other": pa.nulls(b.num_rows, pa.int64()),
+            "sig": b.column("sig"),
+            "part": pc.bit_wise_and(key, n_parts - 1),
+        })
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        key = b.column("a").cast(pa.int64())
+        return pa.table({
+            "key": key,
+            "other": b.column("b").cast(pa.int64()),
+            "sig": pa.nulls(b.num_rows, fsl),
+            "part": pc.bit_wise_and(key, n_parts - 1),
+        })
+
+    def _split(g: pa.Table):
+        is_edge = pc.is_valid(g.column("other"))
+        sig_t = g.filter(pc.invert(is_edge))
+        edge_t = g.filter(is_edge)
+        skeys = np.asarray(sig_t.column("key"))
+        order = np.argsort(skeys)
+        skeys = skeys[order]
+        S = np.asarray(
+            sig_t.column("sig").combine_chunks().flatten()
+        ).reshape(sig_t.num_rows, num_perm)[order]
+        return skeys, S, edge_t
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        skeys, S, edge_t = _split(g)
+        if edge_t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "other": pa.array([], pa.int64()),
+                             "sig": pa.array([], fsl),
+                             "part": pa.array([], pa.int64())})
+        a = np.asarray(edge_t.column("key"))
+        b = np.asarray(edge_t.column("other"))
+        # dedupe (a, b) + band-collision screen via run-length counts
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            first[1:] = (np.diff(a) != 0) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        n_bands = np.diff(np.append(starts, len(a)))
+        keep = starts[n_bands >= min_bands]
+        a_u, b_u = a[keep], b[keep]
+        sig_a = S[np.searchsorted(skeys, a_u)]
+        return pa.table({
+            "key": pa.array(b_u),  # re-key by b for phase B
+            "other": pa.array(a_u),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_a.reshape(-1)), num_perm),
+            "part": pa.array(b_u & np.int64(n_parts - 1)),
+        })
+
+    def verify_b(g: pa.Table) -> pa.Table:
+        skeys, S, edge_t = _split(g)
+        if edge_t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sig_b = S[np.searchsorted(skeys, np.asarray(edge_t.column("key")))]
+        sig_a = np.asarray(
+            edge_t.column("sig").combine_chunks().flatten()
+        ).reshape(edge_t.num_rows, num_perm)
+        est = (sig_a == sig_b).mean(axis=1)
+        ok = est >= min_est  # fold the caller's threshold into the stage
+        return pa.table({"a": pc.take(edge_t.column("other"), pa.array(np.flatnonzero(ok))),
+                         "b": pc.take(edge_t.column("key"), pa.array(np.flatnonzero(ok))),
+                         "est_jaccard": pa.array(est[ok])})
+
+    sigs = sig_ds.map_batches(sig_rows, batch_format="pyarrow")
+    phase_a = (
+        sigs.union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+        .groupby("part").map_groups(attach_a, batch_format="pyarrow")
+    )
+    return (
+        sigs.union(phase_a)
+        .groupby("part").map_groups(verify_b, batch_format="pyarrow")
+    )
+
+
 def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
                         shingle_k: int = 5, text_col: str = "text",
-                        id_col: str = "doc_id", concurrency: Optional[int] = None) -> pd.DataFrame:
-    """documents → signatures (one materialized pass) → (band, band_hash)
-    explode (ids only) → groupby → candidate pairs → signature-verified
-    Jaccard estimates. Returns a pandas DataFrame (a, b, est_jaccard).
+                        id_col: str = "doc_id", concurrency: Optional[int] = None,
+                        pair_cutoff: int = 64, n_parts: int = 64,
+                        min_est: float = 0.0):
+    """documents → signatures (one materialized pass) → (band_hash, id)
+    explode → coarse-partitioned vectorized pairing → distributed
+    signature verification. Returns a **Dataset** (a, b, est_jaccard) —
+    nothing is materialized on the driver.
 
-    Scale notes: the LSH shuffle moves only (id, band, band_hash) rows;
-    signatures are fetched solely for candidate ids. The signature
-    dataset is materialized here (fine up to ~10^8 docs); beyond that,
-    write it to parquet and re-read per phase — same topology.
+    Scale notes: the LSH shuffle moves only (id, band_hash) rows; the
+    pairing partitions are ``band_hash & (n_parts-1)`` so each
+    ``map_groups`` call processes ~#buckets/n_parts buckets in one
+    vectorized pass (raise ``n_parts`` with cluster size). Signatures
+    are materialized as a Dataset (spillable), never collected.
     """
     kwargs = {"batch_format": "pyarrow"}
     if concurrency:
@@ -256,110 +430,73 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
     sig_ds = sig_ds.materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col))
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
         bh = np.asarray(batch.column("band_hash").combine_chunks().flatten()).reshape(len(ids), bands)
+        flat_bh = bh.reshape(-1)
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands)),
-            "band_hash": pa.array(bh.reshape(-1)),
+            "band_hash": pa.array(flat_bh),
+            "part": pa.array(flat_bh & np.int64(n_parts - 1)),
         })
 
-    from ray.data.aggregate import Count
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        bh = np.asarray(g.column("band_hash"))
+        ids = np.asarray(g.column(id_col))
+        ids_sorted, starts, sizes, _, _ = _bucket_boundaries(bh, ids)
+        a, b = _pairs_from_buckets(ids_sorted, starts, sizes, pair_cutoff)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    exploded = sig_ds.select_columns([id_col, "band_hash"]).map_batches(
-        explode, batch_format="pyarrow"
+    pairs = (
+        sig_ds.select_columns([id_col, "band_hash"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
     )
-    # vectorized hash-agg (NOT per-group Python): find duplicated buckets
-    counts = exploded.groupby("band_hash").aggregate(Count(alias_name="n"))
-    dup_hashes = counts.filter(expr="n > 1").select_columns(["band_hash"]).to_pandas()
-    if dup_hashes.empty:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    import ray
-
-    dup_ref = ray.put(np.sort(dup_hashes["band_hash"].to_numpy()))
-
-    def in_dup_bucket(batch: pa.Table) -> pa.Table:
-        d = ray.get(dup_ref)
-        keep = np.isin(np.asarray(batch.column("band_hash")), d, assume_unique=False)
-        return batch.filter(pa.array(keep))
-
-    # only rows in duplicated buckets reach the driver (true candidates).
-    # Candidate edges are STARS (member → bucket min), not all pairs: a
-    # bucket of g docs contributes g-1 edges instead of g(g-1)/2, which
-    # bounds the edge set by n_docs × bands even under bucket explosion
-    # (template-heavy corpora). Union-find connectivity through the hub
-    # reaches every member; verification keeps it conservative.
-    cand_rows = (
-        exploded.map_batches(in_dup_bucket, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("band_hash", kind="stable")
-    )
-    out_a, out_b = [], []
-    hashes = cand_rows["band_hash"].to_numpy()
-    ids_arr = cand_rows[id_col].to_numpy()
-    bounds = np.concatenate(
-        ([0], np.flatnonzero(np.diff(hashes)) + 1, [len(hashes)])
-    )
-    for i in range(len(bounds) - 1):
-        ids = np.unique(ids_arr[bounds[i] : bounds[i + 1]])
-        if len(ids) < 2:
-            continue
-        out_a.append(np.full(len(ids) - 1, ids[0]))
-        out_b.append(ids[1:])
-    if not out_a:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    pairs = pd.DataFrame({
-        "a": np.concatenate(out_a), "b": np.concatenate(out_b)
-    }).drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
-
-    # fetch signatures only for candidate ids, estimate Jaccard
-    cand = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-    import ray
-
-    cand_ref = ray.put(cand)
-
-    def filter_cand(batch: pa.Table) -> pa.Table:
-        c = ray.get(cand_ref)
-        keep = np.isin(np.asarray(batch.column(id_col)), c)
-        return batch.select([id_col, "sig"]).filter(pa.array(keep))
-
-    sub = sig_ds.map_batches(filter_cand, batch_format="pyarrow").to_pandas()
-    sig_of = {int(i): np.asarray(s) for i, s in zip(sub[id_col], sub["sig"])}
-    est = np.array([
-        float((sig_of[int(a)] == sig_of[int(b)]).mean())
-        for a, b in zip(pairs["a"], pairs["b"])
-    ])
-    pairs["est_jaccard"] = est
-    return pairs
+    # a pair found by several bands must verify once, not per band — and
+    # the band-collision COUNT is itself a free jaccard screen: a pair at
+    # j >= min_est collides in ~bands * min_est^r bands (r = rows per
+    # band); requiring a quarter of that expectation is statistically
+    # safe (Binomial tail ~1e-9 at j = min_est) and drops the flood of
+    # low-jaccard template-bucket pairs BEFORE each would drag a
+    # signature through the verification shuffle. Both the dedupe and
+    # the screen run INSIDE verification's phase A (same partitioning).
+    min_bands = 1
+    if min_est > 0:
+        r = num_perm // bands
+        min_bands = max(1, int(np.ceil(0.25 * bands * (min_est ** r))))
+    return _verify_pairs(sig_ds, pairs, num_perm, id_col, n_parts, min_est,
+                         min_bands)
 
 
 def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                   bands: int = 32, shingle_k: int = 5,
                   text_col: str = "text", id_col: str = "doc_id",
-                  distributed_cc: bool = False):
+                  distributed_cc: bool = True):
     """Near-dup removal: keep one representative (min id) per connected
     component of the ≥threshold candidate graph. Returns (deduped_ds,
-    dup_map) where dup_map maps removed id → kept id.
+    dup_map) where dup_map maps candidate id → its component's kept id.
 
-    ``distributed_cc=True`` runs the clustering through
-    :func:`~presto_bloomfilter_ray.functions.components.connected_components`
-    (iterative min-label propagation over the edge Dataset) instead of
-    the driver union-find — same result, for candidate sets too large
-    for one process.
+    End-to-end distributed: candidate generation, verification
+    (:func:`lsh_candidate_pairs` — edge Dataset, no driver rows) and
+    clustering (min-label propagation over the edge Dataset). The only
+    driver state is the component label table (one int per CANDIDATE
+    node — bounded by real near-duplication, not corpus size) used to
+    build ``dup_map`` and the broadcast removed-id filter.
+    ``distributed_cc=False`` swaps in a driver union-find over the
+    collected edge list (debug / tiny inputs).
     """
-    edges = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col, id_col)
-    if edges.empty:
-        return ds, {}
-    edges = edges[edges["est_jaccard"] >= threshold]
-    if edges.empty:
+    edges = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col,
+                                id_col, min_est=threshold).materialize()
+    if edges.count() == 0:
         return ds, {}
 
     if distributed_cc:
         from .components import connected_components
 
-        cc = connected_components(edges[["a", "b"]])
+        cc = connected_components(edges)
         dup_map = dict(zip(cc["node"].astype(int), cc["component"].astype(int)))
     else:
-        # union-find over the (small) candidate edge set
+        # union-find over the (small, collected) candidate edge set
+        pdf = edges.to_pandas()
         parent: Dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -368,7 +505,7 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                 x = parent[x]
             return x
 
-        for a, b in zip(edges["a"].astype(np.int64), edges["b"].astype(np.int64)):
+        for a, b in zip(pdf["a"].astype(np.int64), pdf["b"].astype(np.int64)):
             ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 if ra < rb:
@@ -421,73 +558,86 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id") -> pd.DataFrame:
-    """SimHash near-dup candidate pairs: 4×16-bit chunk LSH (two equal
-    chunks guaranteed when hamming ≤ 3 — pigeonhole over 4 chunks),
-    verified by full 64-bit hamming distance.
+def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id", pair_cutoff: int = 64,
+                            n_parts: int = 64):
+    """SimHash near-dup candidate pairs as a **Dataset** (a, b, hamming):
+    4×16-bit chunk LSH (two equal chunks guaranteed when hamming ≤ 3 —
+    pigeonhole over 4 chunks), verified by full 64-bit hamming distance.
 
-    Same scale topology as MinHash LSH: the shuffle is a vectorized
-    Count over (chunk-keyed) bucket hashes; only rows landing in
-    duplicated buckets reach the driver for pairing + verification.
-    Returns a pandas DataFrame (a, b, hamming).
+    Fully distributed, same topology as :func:`lsh_candidate_pairs`:
+    the bucket space is coarsely partitioned (``bucket & (n_parts-1)``)
+    and each partition pairs + verifies ALL its buckets in one
+    vectorized pass — the 64-bit simhash travels WITH the bucket row,
+    so verification needs no second shuffle. Buckets above
+    ``pair_cutoff`` fall back to star edges (hub → members).
+    A pair found by several chunks is folded to its min hamming.
     """
-    from ray.data.aggregate import Count
-
-    import ray
+    from ray.data.aggregate import Min
 
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         sh = simhash64(texts)
-        ids = np.asarray(batch.column(id_col))
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
         # bucket key = chunk index folded with chunk value (distinct per chunk)
         chunk_vals = np.stack(
             [((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF))
              | np.uint64((c + 1) << 48) for c in range(4)], axis=1
-        )
+        ).astype(np.int64)
+        flat = chunk_vals.reshape(-1)
         return pa.table({
             id_col: pa.array(np.repeat(ids, 4)),
-            "bucket": pa.array(chunk_vals.reshape(-1).astype(np.int64)),
+            "bucket": pa.array(flat),
             "simhash": pa.array(np.repeat(sh.astype(np.int64), 4)),
+            "part": pa.array(flat & np.int64(n_parts - 1)),
         })
 
-    exploded = ds.map_batches(sigs, batch_format="pyarrow")
-    counts = exploded.groupby("bucket").aggregate(Count(alias_name="n"))
-    dup = counts.filter(expr="n > 1").select_columns(["bucket"]).to_pandas()
-    if dup.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    dup_ref = ray.put(np.sort(dup["bucket"].to_numpy()))
+    def pair_and_verify(g: pa.Table) -> pa.Table:
+        buckets = np.asarray(g.column("bucket"))
+        ids = np.asarray(g.column(id_col))
+        sh = np.asarray(g.column("simhash")).astype(np.uint64)
+        order = np.lexsort((ids, buckets))
+        b_s, i_s, h_s = buckets[order], ids[order], sh[order]
+        keep = np.ones(len(b_s), dtype=bool)
+        if len(b_s) > 1:
+            keep[1:] = (np.diff(b_s) != 0) | (i_s[1:] != i_s[:-1])
+        b_s, i_s, h_s = b_s[keep], i_s[keep], h_s[keep]
+        starts = (np.concatenate(([0], np.flatnonzero(np.diff(b_s)) + 1))
+                  if len(b_s) else np.zeros(0, np.int64)).astype(np.int64)
+        sizes = np.diff(np.concatenate((starts, [len(b_s)]))).astype(np.int64)
+        # pair INDICES (not ids) so the simhash rides along for verification
+        idx = np.arange(len(i_s), dtype=np.int64)
+        a_pos, b_pos = _pairs_from_buckets(idx, starts, sizes, pair_cutoff)
+        if len(a_pos) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        d = hamming64(h_s[a_pos], h_s[b_pos]).astype(np.int64)
+        ok = d <= max_hamming
+        return pa.table({"a": pa.array(i_s[a_pos[ok]]),
+                         "b": pa.array(i_s[b_pos[ok]]),
+                         "hamming": pa.array(d[ok])})
 
-    def in_dup(batch: pa.Table) -> pa.Table:
-        d = ray.get(dup_ref)
-        keep = np.isin(np.asarray(batch.column("bucket")), d)
-        return batch.filter(pa.array(keep))
-
-    cand = (
-        exploded.map_batches(in_dup, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("bucket", kind="stable")
+    pairs = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby("part").map_groups(pair_and_verify, batch_format="pyarrow")
     )
-    buckets = cand["bucket"].to_numpy()
-    ids_arr = cand[id_col].to_numpy()
-    sh_arr = cand["simhash"].to_numpy().astype(np.uint64)
-    bounds = np.concatenate(([0], np.flatnonzero(np.diff(buckets)) + 1, [len(buckets)]))
-    out_a, out_b, out_h = [], [], []
-    seen = set()
-    for i in range(len(bounds) - 1):
-        lo, hi = int(bounds[i]), int(bounds[i + 1])
-        order = np.argsort(ids_arr[lo:hi])
-        ids = ids_arr[lo:hi][order]
-        sh = sh_arr[lo:hi][order]
-        for j in range(len(ids)):
-            d = hamming64(sh[j], sh[j + 1 :])
-            for k in np.flatnonzero(d <= max_hamming):
-                key = (int(ids[j]), int(ids[j + 1 + k]))
-                if key[0] != key[1] and key not in seen:
-                    seen.add(key)
-                    out_a.append(key[0]); out_b.append(key[1]); out_h.append(int(d[k]))
-    return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h}).sort_values(
-        ["a", "b"]).reset_index(drop=True)
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id", pair_cutoff: int = 64,
+                       n_parts: int = 64) -> pd.DataFrame:
+    """Collected convenience wrapper around
+    :func:`simhash_candidate_pairs` — returns the (small, verified)
+    pair set as a pandas DataFrame (a, b, hamming) sorted by (a, b)."""
+    out = simhash_candidate_pairs(ds, max_hamming, text_col, id_col,
+                                  pair_cutoff, n_parts).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------ exact verify

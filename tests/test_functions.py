@@ -129,3 +129,65 @@ def test_clean_text_normalizer(duck):
         "select trim(regexp_replace(regexp_replace(nfc_normalize('  hello' || chr(1) || '  world \n\t x '), '[\\x01-\\x08]', '', 'g'), '\\s+', ' ', 'g'))"
     ).fetchone()[0]
     assert d == "hello world x"
+
+
+def test_pairs_from_buckets_allpairs_and_star():
+    """ADVICE recall fix: small buckets emit ALL pairs (near-dup pairs
+    not involving the bucket hub are found); large buckets emit star
+    edges bounding blowup."""
+    import numpy as np
+
+    from presto_bloomfilter_ray.functions.dedup import _pairs_from_buckets
+
+    ids = np.array([1, 2, 3, 10, 20], dtype=np.int64)  # buckets [1,2,3], [10,20]
+    starts = np.array([0, 3], dtype=np.int64)
+    sizes = np.array([3, 2], dtype=np.int64)
+    a, b = _pairs_from_buckets(ids, starts, sizes, cutoff=4)
+    pairs = sorted(zip(a.tolist(), b.tolist()))
+    assert pairs == [(1, 2), (1, 3), (2, 3), (10, 20)]  # (2,3) ∉ star set
+    a, b = _pairs_from_buckets(ids, starts, sizes, cutoff=2)
+    pairs = sorted(zip(a.tolist(), b.tolist()))
+    assert pairs == [(1, 2), (1, 3), (10, 20)]  # star for the size-3 bucket
+    assert all(x < y for x, y in pairs)
+
+
+def test_minhash_dedup_distributed_equals_unionfind(ray_session):
+    """The default distributed clustering must agree with the driver
+    union-find on kept set and dup_map."""
+    import ray.data as rd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 15
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("kappa", "lambda")},
+        {"doc_id": 3, "text": base.replace("alpha", "omega")},
+        {"doc_id": 4, "text": "unrelated material entirely different " * 20},
+    ]
+    ds = rd.from_items(rows)
+    kept_d, map_d = minhash_dedup(ds, threshold=0.5, distributed_cc=True)
+    kept_u, map_u = minhash_dedup(ds, threshold=0.5, distributed_cc=False)
+    ids_d = sorted(r["doc_id"] for r in kept_d.take_all())
+    ids_u = sorted(r["doc_id"] for r in kept_u.take_all())
+    assert ids_d == ids_u == [1, 4]
+    assert {k: v for k, v in map_d.items() if k != v} == \
+           {k: v for k, v in map_u.items() if k != v} == {2: 1, 3: 1}
+
+
+def test_lsh_candidate_pairs_returns_dataset_no_driver_rows(ray_session):
+    """lsh_candidate_pairs streams an edge Dataset — exact duplicates
+    must appear with est_jaccard 1.0."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.dedup import lsh_candidate_pairs
+
+    t = "identical content repeated for the lsh candidate test " * 10
+    ds = rd.from_items([
+        {"doc_id": 7, "text": t},
+        {"doc_id": 9, "text": t},
+        {"doc_id": 11, "text": "something wholly different from the others"},
+    ])
+    edges = lsh_candidate_pairs(ds)
+    assert not isinstance(edges, pd.DataFrame)  # Dataset contract
+    rows = edges.take_all()
+    got = {(r["a"], r["b"]): r["est_jaccard"] for r in rows}
+    assert got[(7, 9)] == 1.0
