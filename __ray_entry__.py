@@ -436,6 +436,65 @@ def _embedding_neardup(sf_dir: str):
     return cosine_neardup_pairs(emb, threshold=0.45)
 
 
+def _ivf_neardup_recall(sf_dir: str):
+    """IVF-bucketed near-dup pairs vs the exact broadcast result: the
+    IVF path is precision-exact (true cosine inside buckets ⇒ subset of
+    the brute-force pairs); multi-probe assignment keeps recall high.
+    Emitted as deterministic booleans so the driver can oracle-check an
+    approximate operator."""
+    from presto_bloomfilter_ray.functions import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_ivf,
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = cosine_neardup_pairs(emb, threshold=0.45)
+    ivf = cosine_neardup_pairs_ivf(emb, threshold=0.45, ncentroids=8,
+                                   assign_m=3).to_pandas()
+    exact_set = set(zip(exact["a"].astype(int), exact["b"].astype(int)))
+    ivf_set = set(zip(ivf["a"].astype(int), ivf["b"].astype(int)))
+    recall = len(ivf_set & exact_set) / max(1, len(exact_set))
+    return pd.DataFrame({
+        "n_exact_pairs": [len(exact_set)],
+        "ivf_subset_of_exact": [ivf_set <= exact_set],
+        "recall_ge_80pct": [bool(recall >= 0.8)],
+    })
+
+
+def _ivf_ann_topk(sf_dir: str):
+    """IVFIndex build → bucketed parquet → nprobe search, checked
+    against exact brute-force top-k (recall ≥ 8/10 probing 6 of 8
+    buckets — the synthetic embeddings have little cluster structure,
+    so a deep probe is needed; real corpora cluster far better)."""
+    import shutil
+    import uuid
+
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import IVFIndex, topk_cosine
+
+    q = np.array(
+        duckdb.sql(
+            f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id=0"
+        ).fetchone()[0],
+        dtype=np.float64,
+    )
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact_ids = set(topk_cosine(emb, q, k=10)["vec_id"].astype(int))
+    root = f"/tmp/ivf-index-{uuid.uuid4().hex[:8]}"
+    try:
+        idx = IVFIndex(root, ncentroids=8).build(
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+        got = idx.search(q, k=10, nprobe=6)
+        got_ids = set(got["vec_id"].astype(int))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pd.DataFrame({
+        "k": [10],
+        "recall_ge_8_of_10": [bool(len(got_ids & exact_ids) >= 8)],
+    })
+
+
 def _theta_custkey_overlap(sf_dir: str):
     """Theta/KMV set algebra over two key sets — k above saturation, so
     the sketch is EXACT and SQL-checkable end to end."""
@@ -602,6 +661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
+        "ivf_neardup_recall": _ivf_neardup_recall,
+        "ivf_ann_topk": _ivf_ann_topk,
         "theta_custkey_overlap": _theta_custkey_overlap,
         "hll_distinct_custkey": _hll_distinct,
         "hll_hosts_by_lang": _hll_hosts_by_lang,
@@ -769,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "ivf_neardup_recall": """
+            SELECT count(*) AS n_exact_pairs,
+                   TRUE AS ivf_subset_of_exact,
+                   TRUE AS recall_ge_80pct
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "ivf_ann_topk": """
+            SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ge_8_of_10
         """,
         "theta_custkey_overlap": """
             SELECT

@@ -5,9 +5,15 @@ from .dedup import (
     minhash_dedup,
     ngram_jaccard,
     simhash64,
+    simhash_candidate_pairs,
     simhash_candidates,
 )
-from .similarity import IVFIndex, cosine_neardup_pairs, topk_cosine
+from .similarity import (
+    IVFIndex,
+    cosine_neardup_pairs,
+    cosine_neardup_pairs_ivf,
+    topk_cosine,
+)
 from .text import (
     LangId,
     add_text_stats,

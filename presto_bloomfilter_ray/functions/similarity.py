@@ -66,15 +66,105 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, vec_col: str = "embedding",
     return partials.head(k).reset_index(drop=True)
 
 
+def _sample_centroids(ds, vec_col: str, ncentroids: int,
+                      sample_fraction: float = 0.2, iters: int = 5,
+                      seed: int = 7) -> np.ndarray:
+    """Coarse k-means centroids from a corpus sample — a few Lloyd
+    iterations on the driver (the sample and centroids are tiny)."""
+    sample = ds.select_columns([vec_col]).random_sample(
+        sample_fraction, seed=seed).to_pandas()
+    m = _l2norm(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(len(m), size=min(ncentroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(len(c)):
+            sel = m[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = _l2norm(c)
+    return c
+
+
+def cosine_neardup_pairs_ivf(ds, threshold: float = 0.99,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             ncentroids: int = 16, assign_m: int = 2,
+                             sample_fraction: float = 0.2, seed: int = 7,
+                             chunk: int = 1024):
+    """Scale path for near-dup pairs: IVF-bucketed pairing — no
+    whole-corpus broadcast, no O(N²) flops.
+
+    Each vector is assigned to its ``assign_m`` nearest centroids
+    (multi-probe: a near-dup pair straddling a Voronoi boundary is
+    still co-bucketed when the two rankings overlap); pairing runs
+    per bucket inside ``groupby(bucket).map_groups`` with chunked
+    float64 matmuls, so flops are O(Σ g_c²) over bucket sizes instead
+    of N². Pairs found through two shared centroids are folded by a
+    ``groupby(a, b)``. Precision is exact (true cosine, same
+    threshold ⇒ the result is a SUBSET of the brute-force pairs);
+    recall depends on ncentroids/assign_m — measure it against
+    :func:`cosine_neardup_pairs` on a sample when tuning.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    c = _sample_centroids(ds, vec_col, ncentroids, sample_fraction, seed=seed)
+    cref = ray.put(c)
+    m_eff = min(assign_m, len(c))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        mm = _l2norm(_batch_matrix(batch, vec_col))
+        if mm.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32()),
+                             vec_col: pa.array([], batch.column(vec_col).type)})
+        sims = mm @ cc.T
+        top = np.argpartition(-sims, m_eff - 1, axis=1)[:, :m_eff].astype(np.int32)
+        n = mm.shape[0]
+        idx = np.repeat(np.arange(n, dtype=np.int64), m_eff)
+        out = batch.select([id_col, vec_col]).take(pa.array(idx))
+        return out.append_column("bucket", pa.array(top.reshape(-1)))
+
+    def pair_bucket(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column(id_col)).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _l2norm(_batch_matrix(g, vec_col).astype(np.float64))[order]
+        outs_a, outs_b, outs_s = [], [], []
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims = mat[lo:hi] @ mat.T  # (chunk, g)
+            ri, cj = np.nonzero(sims >= threshold)
+            keep = (ri + lo) < cj  # upper triangle: a earlier ⇒ ids[a] < ids[b]
+            outs_a.append(ids[ri[keep] + lo])
+            outs_b.append(ids[cj[keep]])
+            outs_s.append(sims[ri[keep], cj[keep]])
+        a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int64)
+        s = np.concatenate(outs_s) if outs_s else np.zeros(0, np.float64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b), "sim": pa.array(s)})
+
+    pairs = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pair_bucket, batch_format="pyarrow")
+    )
+    # a pair co-bucketed under two shared centroids appears twice (same sim)
+    return pairs.groupby(["a", "b"]).aggregate(Max("sim", alias_name="sim"))
+
+
 def cosine_neardup_pairs(ds, threshold: float = 0.99, vec_col: str = "embedding",
                          id_col: str = "vec_id", concurrency: Optional[int] = None):
     """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
 
-    Broadcast design: the full normalized matrix + ids ship once via
-    ``ray.put``; every batch matmuls its rows against it and emits only
-    the qualifying pairs. O(N²/B) flops spread across the cluster with
-    no shuffle. Scale path for N beyond broadcast size: bucket by IVF
-    centroid first (see :class:`IVFIndex`) and run this per bucket.
+    Broadcast design — the small-N fast path: the full normalized
+    matrix + ids ship once via ``ray.put``; every batch matmuls its
+    rows against it and emits only the qualifying pairs. O(N²/B) flops
+    spread across the cluster with no shuffle, and O(N·d) broadcast
+    state — use :func:`cosine_neardup_pairs_ivf` when the matrix
+    outgrows broadcast (it buckets by coarse centroid and pairs within
+    buckets, trading bounded recall for O(Σ g²) flops).
     Sim math is float64 so results agree with a SQL oracle's doubles.
     """
     import pandas as pd

@@ -253,3 +253,28 @@ def test_tumbling_handles_ns_timestamps(ray_session):
         )
     assert outs["us"]["n_events"].tolist() == [2, 1]
     pd.testing.assert_frame_equal(outs["us"], outs["ns"])
+
+
+def test_cosine_neardup_ivf_subset_and_recall(ray_session, sf_dir):
+    """IVF-bucketed near-dup pairs: exact precision (subset of the
+    brute-force result at the same threshold), high recall with
+    multi-probe assignment."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_ivf,
+    )
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    exact = cosine_neardup_pairs(emb, threshold=0.45)
+    exact_set = set(zip(exact["a"].astype(int), exact["b"].astype(int)))
+    ivf = cosine_neardup_pairs_ivf(emb, threshold=0.45, ncentroids=8,
+                                   assign_m=3).to_pandas()
+    ivf_set = set(zip(ivf["a"].astype(int), ivf["b"].astype(int)))
+    assert ivf_set <= exact_set  # precision exact
+    assert len(ivf_set & exact_set) / max(1, len(exact_set)) >= 0.8
+    # sims are true cosines
+    by_pair = dict(zip(zip(ivf["a"].astype(int), ivf["b"].astype(int)), ivf["sim"]))
+    assert all(v >= 0.45 for v in by_pair.values())
