@@ -200,20 +200,33 @@ def _topk_orders_per_status(sf_dir: str):
 
 def _grouped_quantiles_totalprice(sf_dir: str):
     """Per-status t-digest quantiles of o_totalprice — grouped sketching
-    with a non-Bloom sketch through the same partial-shuffling path."""
+    with a non-Bloom sketch through the same partial-shuffling path.
+    The exact per-status rank of each estimate (DuckDB) must sit within
+    the digest's published rank-error bound → boolean columns the
+    driver can oracle-check."""
+    import duckdb
+
     from presto_bloomfilter_ray import TDigest, deserialize
     from presto_bloomfilter_ray.engine import grouped_sketch
 
     orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
     g = grouped_sketch(orders, key="o_orderstatus", col="o_totalprice",
                        factory=lambda: TDigest(200))
-    rows = g.take_all()
-    out = pd.DataFrame({
-        "o_orderstatus": [r["o_orderstatus"] for r in rows],
-        "p50_est": [round(float(deserialize(r["sketch"]).quantile(0.5)), 1) for r in rows],
-        "p95_est": [round(float(deserialize(r["sketch"]).quantile(0.95)), 1) for r in rows],
-    })
-    return out.sort_values("o_orderstatus").reset_index(drop=True)
+    rows = sorted(g.take_all(), key=lambda r: r["o_orderstatus"])
+    con = duckdb.sql(
+        f"select o_orderstatus, o_totalprice from '{sf_dir}/orders.parquet'"
+    ).df()
+    out = []
+    for r in rows:
+        sk = deserialize(r["sketch"])
+        vals = con.loc[con["o_orderstatus"] == r["o_orderstatus"],
+                       "o_totalprice"].to_numpy()
+        ok = {}
+        for q, name in [(0.5, "p50_rank_ok"), (0.95, "p95_rank_ok")]:
+            rank = float((vals <= float(sk.quantile(q))).mean())
+            ok[name] = bool(abs(rank - q) <= 3 * sk.rank_error_bound())
+        out.append({"o_orderstatus": r["o_orderstatus"], **ok})
+    return pd.DataFrame(out)
 
 
 def _join_orders_customer_nation(sf_dir: str):
@@ -340,22 +353,65 @@ def _exact_dedup_documents(sf_dir: str):
 
 
 def _minhash_dedup_documents(sf_dir: str):
+    """Near-dup dedup with deterministic acceptance checks: identical
+    normalized texts ALWAYS share signatures (est_jaccard = 1 ≥ any
+    threshold), so every exact-duplicate group must collapse to one
+    representative; kept + removed must partition the corpus."""
+    import duckdb
+
     from presto_bloomfilter_ray.functions import minhash_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     deduped, dup_map = minhash_dedup(docs, threshold=0.9)
+    n_kept = deduped.count()
+    removed = {k for k, v in dup_map.items() if k != v}
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    # exact-duplicate groups (normalized text): all members join one
+    # component (pairwise est_jaccard = 1), so at most ONE can survive —
+    # possibly zero when the component's min-id representative is a
+    # near-dup doc outside the exact group
+    groups = duckdb.sql(
+        f"""select list(doc_id) ids from '{sf_dir}/documents.parquet'
+            group by lower(regexp_replace(text, '\\s+', ' ', 'g'))
+            having count(*) > 1"""
+    ).df()["ids"]
+    exact_ok = all(
+        sum(1 for i in ids if int(i) not in removed) <= 1 for ids in groups
+    )
     return pd.DataFrame({
-        "n_kept": [deduped.count()],
-        "n_removed": [len({k for k, v in dup_map.items() if k != v})],
+        "n_docs": [int(n_docs)],
+        "partition_ok": [bool(n_kept + len(removed) == n_docs)],
+        "exact_dups_collapsed": [bool(exact_ok)],
     })
 
 
 def _simhash_candidates_documents(sf_dir: str):
+    """SimHash candidates with a deterministic floor: identical
+    normalized texts have identical simhashes (hamming 0), land in the
+    same four chunk buckets, and — for groups within the all-pairs
+    cutoff — every such pair must be reported."""
+    import duckdb
+
     from presto_bloomfilter_ray.functions import simhash_candidates
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = simhash_candidates(docs, max_hamming=3)
-    return pd.DataFrame({"n_candidate_pairs": [len(pairs)]})
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    groups = duckdb.sql(
+        f"""select list(doc_id) ids from '{sf_dir}/documents.parquet'
+            group by lower(regexp_replace(text, '\\s+', ' ', 'g'))
+            having count(*) > 1"""
+    ).df()["ids"]
+    expected = set()
+    for ids in groups:
+        ids = sorted(int(i) for i in ids)
+        if len(ids) <= 64:  # pair_cutoff: all pairs guaranteed
+            expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    return pd.DataFrame({
+        "exact_dup_pairs_found": [bool(expected <= got)],
+        "all_pairs_le_max_hamming": [bool((pairs["hamming"] <= 3).all())],
+    })
 
 
 # ---------------------------------------------------------------- text
@@ -516,54 +572,103 @@ def _theta_custkey_overlap(sf_dir: str):
 
 
 # ------------------------------------------------------------- sketch (est.)
+# Estimate queries carry their own acceptance test: the exact reference
+# is computed with DuckDB INSIDE the query and the published error
+# bound is emitted as a boolean, so the driver's oracle compare becomes
+# a deterministic pass/fail (same trick as theta_custkey_overlap).
 def _hll_distinct(sf_dir: str):
+    import duckdb
+
     from presto_bloomfilter_ray import HyperLogLog
     from presto_bloomfilter_ray.engine import build_sketch
 
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    est = build_sketch(orders, "o_custkey", lambda: HyperLogLog(14)).estimate()
-    return pd.DataFrame({"distinct_custkey_est": [float(est)]})
+    hll = build_sketch(orders, "o_custkey", lambda: HyperLogLog(14))
+    est = float(hll.estimate())
+    exact = duckdb.sql(
+        f"select count(distinct o_custkey) from '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    rel_err = abs(est - exact) / max(1, exact)
+    return pd.DataFrame({
+        "n_distinct_exact": [int(exact)],
+        "hll_err_within_bound": [bool(rel_err <= 3 * hll.relative_error_bound())],
+    })
 
 
 def _cm_heavy_hitters(sf_dir: str):
+    import duckdb
+
     from presto_bloomfilter_ray import CountMin
     from presto_bloomfilter_ray.engine import build_sketch
 
     docs = _read(sf_dir, "documents", columns=["lang"])
     cm = build_sketch(docs, "lang", lambda: CountMin(1e-4, 1e-3))
-    langs = sorted(_read(sf_dir, "documents", columns=["lang"]).unique("lang"))
-    ests = cm.estimate_many(pa.array(langs))
-    return pd.DataFrame({"lang": langs, "freq_est": ests.astype("int64")})
+    exact = duckdb.sql(
+        f"select lang, count(*) n from '{sf_dir}/documents.parquet' "
+        "group by lang order by lang"
+    ).df()
+    n_total = int(exact["n"].sum())
+    ests = cm.estimate_many(pa.array(exact["lang"].tolist()))
+    true = exact["n"].to_numpy()
+    # count-min guarantee: true <= est <= true + eps*N (w.p. 1-delta)
+    ok = (ests >= true) & (ests <= true + cm.error_bound() * n_total)
+    return pd.DataFrame({
+        "lang": exact["lang"],
+        "freq_exact": exact["n"].astype("int64"),
+        "cm_within_bound": ok.astype(bool),
+    })
 
 
 def _hll_hosts_by_lang(sf_dir: str):
     """Grouped HLL via the NATIVE row-shuffle path (groupby + SketchAgg
     with estimate finalize) — the high-cardinality-key pattern."""
+    import duckdb
+
     from presto_bloomfilter_ray import HyperLogLog
     from presto_bloomfilter_ray.engine import SketchAgg
 
     docs = _read(sf_dir, "documents", columns=["lang", "source"])
     out = docs.groupby("lang").aggregate(
         SketchAgg(lambda: HyperLogLog(12), on="source",
-                  alias_name="distinct_sources_est", finalize_mode="estimate")
-    ).to_pandas()
-    out["distinct_sources_est"] = out["distinct_sources_est"].round(1)
-    return out.sort_values("lang").reset_index(drop=True)
+                  alias_name="est", finalize_mode="estimate")
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    exact = duckdb.sql(
+        f"select lang, count(distinct source) n from '{sf_dir}/documents.parquet' "
+        "group by lang order by lang"
+    ).df()
+    bound = 3 * HyperLogLog(12).relative_error_bound()
+    rel_err = (out["est"].to_numpy() - exact["n"].to_numpy()) / np.maximum(
+        1, exact["n"].to_numpy())
+    return pd.DataFrame({
+        "lang": exact["lang"],
+        "n_distinct_exact": exact["n"].astype("int64"),
+        "hll_err_within_bound": (np.abs(rel_err) <= bound).astype(bool),
+    })
 
 
 def _quantiles_textlen(sf_dir: str):
+    import duckdb
+
     from presto_bloomfilter_ray import KLL, TDigest
     from presto_bloomfilter_ray.engine import build_sketch
 
     docs = _read(sf_dir, "documents", columns=["n_chars"])
     td = build_sketch(docs, "n_chars", lambda: TDigest(200))
     kll = build_sketch(docs, "n_chars", lambda: KLL(200))
+    vals = duckdb.sql(
+        f"select n_chars from '{sf_dir}/documents.parquet'"
+    ).df()["n_chars"].to_numpy()
     qs = [0.1, 0.5, 0.9, 0.99]
-    return pd.DataFrame({
-        "q": qs,
-        "td_est": [float(td.quantile(q)) for q in qs],
-        "kll_est": [float(kll.quantile(q)) for q in qs],
-    })
+    rows = []
+    for q in qs:
+        td_rank = float((vals <= td.quantile(q)).mean())
+        kll_rank = float((vals <= kll.quantile(q)).mean())
+        rows.append({
+            "q": q,
+            "td_within_bound": bool(abs(td_rank - q) <= 3 * td.rank_error_bound()),
+            "kll_within_bound": bool(abs(kll_rank - q) <= 3 * kll.rank_error_bound()),
+        })
+    return pd.DataFrame(rows)
 
 
 def _webpages_suite(sf_dir: str):
@@ -595,13 +700,29 @@ def _webpages_suite(sf_dir: str):
         store_root=store_root, run_id=f"q-{n_rows}",
     )
     shutil.rmtree(probe_out, ignore_errors=True)
+    # exact references from the deterministic generated table → the
+    # suite's estimates become oracle-checkable booleans
+    exact = duckdb.sql(f"""
+        select count(*) as n_rows,
+               count(distinct url) du,
+               count(distinct split_part(url, '/', 3)) dh
+        from '{path}/*.parquet'
+    """).df().iloc[0]
+    hll_bound = 3 * 1.04 / np.sqrt(2 ** 14)
+    td_p50 = s["textlen_p50_td"]
+    lens = duckdb.sql(
+        f"select length(text) n from '{path}/*.parquet'").df()["n"].to_numpy()
+    p50_rank = float((lens <= td_p50).mean())
     return pd.DataFrame({
-        "rows": [s["rows"]],
-        "distinct_urls_hll": [round(s["distinct_urls_hll"], 1)],
-        "distinct_hosts_hll": [round(s["distinct_hosts_hll"], 1)],
-        "textlen_p50_td": [round(s["textlen_p50_td"], 1)],
+        "rows": [int(s["rows"])],
         "n_langs": [len(s["langs"])],
-        "probe_rows_kept": [probe["rows_kept"]],
+        "hll_urls_ok": [bool(abs(s["distinct_urls_hll"] - exact["du"])
+                             / max(1, exact["du"]) <= hll_bound)],
+        "hll_hosts_ok": [bool(abs(s["distinct_hosts_hll"] - exact["dh"])
+                              / max(1, exact["dh"]) <= hll_bound)],
+        # TDigest(200) published bound: pi/(4*200) ≈ 0.0039 rank error
+        "textlen_p50_rank_ok": [bool(abs(p50_rank - 0.5) <= 3 * np.pi / 800)],
+        "probe_no_false_negatives": [bool(probe["rows_kept"] == int(exact["n_rows"]))],
     })
 
 
@@ -850,7 +971,48 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM customer
                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_customers_no_orders
         """,
-        # minhash/simhash/hll/cm/quantiles/webpages_suite: estimate or
-        # non-SQL-expressible pipelines → rows-only check by design;
-        # published-bound assertions live in tests/.
+        # Estimate/non-SQL queries compute their exact reference with
+        # DuckDB inside the query and emit published-bound booleans, so
+        # the oracle is the exact value + constant TRUE flags (same
+        # pattern as theta_custkey_overlap); the pytest suite holds the
+        # finer-grained bound assertions.
+        "hll_distinct_custkey": """
+            SELECT count(DISTINCT o_custkey) AS n_distinct_exact,
+                   TRUE AS hll_err_within_bound
+            FROM orders
+        """,
+        "hll_hosts_by_lang": """
+            SELECT lang,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_distinct_exact,
+                   TRUE AS hll_err_within_bound
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "cm_heavy_hitters": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS freq_exact,
+                   TRUE AS cm_within_bound
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "quantiles_textlen": """
+            SELECT CAST(q AS DOUBLE) AS q,
+                   TRUE AS td_within_bound, TRUE AS kll_within_bound
+            FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)
+        """,
+        "grouped_quantiles_totalprice": """
+            SELECT DISTINCT o_orderstatus,
+                   TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+            FROM orders ORDER BY o_orderstatus
+        """,
+        "minhash_dedup_documents": """
+            SELECT count(*) AS n_docs, TRUE AS partition_ok,
+                   TRUE AS exact_dups_collapsed
+            FROM documents
+        """,
+        "simhash_candidates_documents": """
+            SELECT TRUE AS exact_dup_pairs_found,
+                   TRUE AS all_pairs_le_max_hamming
+        """,
+        # webpages_suite stays rows-only: its input is the generated
+        # webpages table (not a registered driver view), so exact
+        # references are computed inside the query and surfaced as
+        # booleans, but rows/n_langs depend on the generated table.
     }
