@@ -322,12 +322,28 @@ def _q5_revenue_by_nation(sf_dir: str):
 
 
 def _union_distinct_orderkeys(sf_dir: str):
-    """Set-op built-ins: union two key columns, distinct-count them."""
+    """Set-op built-ins: union two key columns, distinct-count them.
+
+    Distributed distinct: map-side per-batch dedupe (combiner) → one
+    hash-shuffled groupby whose GROUP COUNT is the answer — ``count()``
+    reads block metadata; no key list ever reaches the driver (the
+    previous ``ds.unique()`` pulled every distinct key)."""
+    from ray.data.aggregate import Count
+
     orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
         lambda b: b.rename_columns(["k"]), batch_format="pyarrow")
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
         lambda b: b.rename_columns(["k"]), batch_format="pyarrow")
-    n = len(orders.union(li).unique("k"))
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array(np.unique(np.asarray(b.column("k"))))})
+
+    n = (
+        orders.union(li)
+        .map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("k").aggregate(Count(alias_name="_n"))
+        .count()
+    )
     return pd.DataFrame({"n_distinct": [n]})
 
 
