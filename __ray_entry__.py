@@ -271,6 +271,30 @@ def _asof_purchase_after_signup(sf_dir: str):
     })
 
 
+def _asof_events_bucketed(sf_dir: str):
+    """As-of join with BOTH sides as Datasets (no broadcast): every
+    click joined to the user's latest prior event of any other type —
+    a right side the size of the event log itself, too large to
+    broadcast at scale. Hash-bucketed co-shuffle + per-bucket
+    merge_asof; oracle = DuckDB native ASOF JOIN."""
+    from presto_bloomfilter_ray.functions import asof_join_bucketed
+
+    ev = _read(sf_dir, "events")
+    clicks = ev.filter(expr="event_type == 'click'")
+    others = ev.filter(expr="event_type != 'click'").select_columns(
+        ["user_id", "ts", "event_id"])
+    j = asof_join_bucketed(clicks, others, key="user_id", ts="ts",
+                           value_cols=["event_id"]).to_pandas()
+    matched = j["ts_r"].notna()
+    delay = (j.loc[matched, "ts"].astype("int64")
+             - j.loc[matched, "ts_r"].astype("int64")) / 1_000_000
+    return pd.DataFrame({
+        "n_clicks": [len(j)],
+        "n_with_prior": [int(matched.sum())],
+        "sum_delay_s": [round(float(delay.sum()), 1)],
+    })
+
+
 def _range_join_price_bands(sf_dir: str):
     """Non-equi range join: classify orders into price bands (broadcast
     interval probe), count + sum per band."""
@@ -786,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_nation": _join_orders_customer_nation,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "asof_purchase_after_signup": _asof_purchase_after_signup,
+        "asof_events_bucketed": _asof_events_bucketed,
         "range_join_price_bands": _range_join_price_bands,
         "union_distinct_orderkeys": _union_distinct_orderkeys,
         "top_sources": _top_sources,
@@ -884,6 +909,15 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(epoch(p.ts) - epoch(s.ts)), 0), 1) AS sum_delay_s
             FROM p ASOF LEFT JOIN s
               ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        "asof_events_bucketed": """
+            WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+                 o AS (SELECT user_id, ts FROM events WHERE event_type != 'click')
+            SELECT count(*) AS n_clicks,
+                   count(o.ts) AS n_with_prior,
+                   round(coalesce(sum(epoch(c.ts) - epoch(o.ts)), 0), 1) AS sum_delay_s
+            FROM c ASOF LEFT JOIN o
+              ON c.user_id = o.user_id AND c.ts >= o.ts
         """,
         "q5_revenue_by_nation": """
             SELECT n_name,

@@ -22,6 +22,7 @@ from .text import (
     token_count,
     word_count,
 )
+from .asof import asof_join, asof_join_bucketed, range_join
 from .windows import (
     session_windows,
     sliding_aggregate,

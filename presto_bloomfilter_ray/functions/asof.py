@@ -1,11 +1,15 @@
 """As-of join — attach the latest prior (or next) right-side row per key.
 
-The guide's documented pattern: broadcast the (smaller) right side
-keyed + ts-sorted, then probe each left batch with vectorized
-``searchsorted`` per key run — no shuffle of the left side at all.
-For a large right side, bucket BOTH sides by key hash and run
-``pd.merge_asof`` per bucket inside ``map_groups`` (same semantics;
-stated partitioning assumption: one key's rows co-located per bucket).
+Two physical plans, one semantics:
+
+* :func:`asof_join` — broadcast the (smaller) right side keyed +
+  ts-sorted, probe each left batch with vectorized ``searchsorted``
+  per key run — no shuffle of the left side at all.
+* :func:`asof_join_bucketed` — the large-right-side path: BOTH sides
+  are hash-bucketed on the key and co-shuffled once; each bucket runs
+  ``pd.merge_asof`` inside ``map_groups``. Partitioning assumption
+  (stated, enforced by the hash): all rows of one key land in one
+  bucket; scale ``n_buckets`` with the cluster.
 
 Semantics match SQL ``ASOF JOIN`` (DuckDB): for ``direction=
 "backward"``, each left row gets the right row with the greatest
@@ -132,3 +136,74 @@ def asof_join(left_ds, right_df, key: str, ts: str, value_cols: List[str],
         return out
 
     return left_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def asof_join_bucketed(left_ds, right_ds, key: str, ts: str,
+                       value_cols: List[str], direction: str = "backward",
+                       suffix: str = "_r", n_buckets: int = 64):
+    """As-of join where BOTH sides are Datasets — no broadcast.
+
+    Both sides are bucketed on ``hash(key) & (n_buckets - 1)`` and
+    union-shuffled ONCE; every bucket independently runs
+    ``pd.merge_asof(..., by=key)`` inside ``map_groups``. The right
+    side ships only ``[key, ts, *value_cols]``. Output = every left
+    row + ``<ts><suffix>`` and ``<col><suffix>`` columns (nulls when
+    unmatched) — identical semantics to :func:`asof_join`.
+    """
+    import pandas as pd
+
+    from ..sketches.hashing import hash64
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    right_schema = right_ds.schema()
+    right_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    ts_out = f"{ts}{suffix}"
+    val_out = [f"{c}{suffix}" for c in value_cols]
+    ts_t = pa.timestamp("us")
+
+    def _bucket_col(tbl: pa.Table) -> pa.Array:
+        h = hash64(tbl.column(key), 0xA50F)
+        return pa.array((h & np.uint64(n_buckets - 1)).astype(np.int64))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {"_bucket": _bucket_col(b), "_side": pa.array(np.zeros(b.num_rows, np.int8))}
+        for c in left_cols:
+            col = b.column(c)
+            cols[c] = col.cast(ts_t) if c == ts else col
+        cols[ts_out] = pa.nulls(b.num_rows, ts_t)
+        for c, o in zip(value_cols, val_out):
+            cols[o] = pa.nulls(b.num_rows, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {"_bucket": _bucket_col(b), "_side": pa.array(np.ones(b.num_rows, np.int8))}
+        rts = b.column(ts).cast(ts_t)
+        for c in left_cols:
+            if c == key:
+                cols[c] = b.column(key)
+            elif c == ts:
+                cols[c] = rts
+            else:
+                cols[c] = pa.nulls(b.num_rows, left_types[c])
+        cols[ts_out] = rts  # carried so matches surface the right-side ts
+        for c, o in zip(value_cols, val_out):
+            cols[o] = b.column(c)
+        return pa.table(cols)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0].drop(columns=["_bucket", "_side", ts_out, *val_out])
+        r = g[g["_side"] == 1][[key, ts, ts_out, *val_out]]
+        l = l.sort_values(ts, kind="stable")
+        r = r.sort_values(ts, kind="stable")
+        out = pd.merge_asof(l, r, on=ts, by=key, direction=direction)
+        return out
+
+    tagged = (
+        left_ds.map_batches(tag_left, batch_format="pyarrow")
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+    )
+    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -278,3 +278,52 @@ def test_cosine_neardup_ivf_subset_and_recall(ray_session, sf_dir):
     # sims are true cosines
     by_pair = dict(zip(zip(ivf["a"].astype(int), ivf["b"].astype(int)), ivf["sim"]))
     assert all(v >= 0.45 for v in by_pair.values())
+
+
+def test_asof_join_bucketed_matches_broadcast(ray_session, sf_dir, duck):
+    """Bucketed (both-sides-Dataset) as-of join must agree with the
+    broadcast path and with DuckDB ASOF, including unmatched rows."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import asof_join, asof_join_bucketed
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    signups_ds = ev.filter(expr="event_type == 'signup'").select_columns(
+        ["user_id", "ts", "event_id"])
+    signups_df = duck.sql(
+        "select user_id, ts, event_id from events where event_type = 'signup'"
+    ).df()
+
+    b = asof_join_bucketed(purchases, signups_ds, key="user_id", ts="ts",
+                           value_cols=["event_id"]).to_pandas()
+    a = asof_join(ev.filter(expr="event_type == 'purchase'"), signups_df,
+                  key="user_id", ts="ts", value_cols=["event_id"]).to_pandas()
+    key = ["user_id", "ts", "event_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a["ts_r"].astype("int64").tolist() == b["ts_r"].astype("int64").tolist()
+    assert (a["event_id_r"].fillna(-1).astype("int64").tolist()
+            == b["event_id_r"].fillna(-1).astype("int64").tolist())
+
+
+def test_asof_join_bucketed_forward(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import asof_join_bucketed
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00",
+                              "2024-01-01 00:00"]).astype("datetime64[us]"),
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a"],
+        "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 03:00"]).astype("datetime64[us]"),
+        "v": [10, 20],
+    }))
+    out = asof_join_bucketed(left, right, key="k", ts="ts", value_cols=["v"],
+                             direction="forward").to_pandas()
+    out = out.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert out["v_r"].fillna(-1).tolist() == [10.0, 20.0, -1]
