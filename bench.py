@@ -206,19 +206,19 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, reps: int) -> dict:
-        # best-of-n: measures capability at each level, suppressing the
-        # straggler noise this shared VM injects run-to-run
-        runs = [one(ncpu) for _ in range(reps)]
-        return max(runs, key=lambda r: r["suite_docs_per_sec"])
+    def median_of(ncpu: int, reps: int) -> dict:
+        # median-of-n: robust central estimate per level — a straggler
+        # run (shared-VM steal) can't drag it, and unlike best-of it
+        # doesn't overstate capability either
+        runs = sorted((one(ncpu) for _ in range(reps)),
+                      key=lambda r: r["suite_docs_per_sec"])
+        return runs[len(runs) // 2]
 
-    # best-of-2 at BOTH levels: this shared VM occasionally halves a
-    # whole run's throughput (observed 64 s vs 124 s for identical
-    # 2-cpu runs); capability comparison needs the clean run per level
     lo_n = int(os.environ.get("SCALING_LO", "2"))
     hi_n = int(os.environ.get("SCALING_HI", "8"))
-    lo = best_of(lo_n, reps=2)
-    hi = best_of(hi_n, reps=2)
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    lo = median_of(lo_n, reps=reps)
+    hi = median_of(hi_n, reps=reps)
     # efficiency on the headline suite (docs/s is the throughput metric)
     tp_lo = lo["suite_docs_per_sec"]
     tp_hi = hi["suite_docs_per_sec"]
@@ -227,6 +227,7 @@ def run_scaling() -> dict:
         "metric": f"scaling efficiency (suite docs/s, {lo_n} → {hi_n} cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "methodology": f"median-of-{reps} fresh-process runs per level",
         "cpus_lo": lo_n, "cpus_hi": hi_n,
         "docs_per_sec_lo": tp_lo, "docs_per_sec_hi": tp_hi,
         "sec_lo": lo["queries"]["suite_webpages"],

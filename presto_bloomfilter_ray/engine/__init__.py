@@ -16,7 +16,7 @@ from .ops import (
     semi_join,
     to_base64,
 )
-from .store import SketchStore
+from .store import ActorKVStore, SketchStore, open_store
 
 __all__ = [
     "SketchAgg",
@@ -34,4 +34,6 @@ __all__ = [
     "get_false_positive_percentage",
     "get_or_load",
     "SketchStore",
+    "ActorKVStore",
+    "open_store",
 ]

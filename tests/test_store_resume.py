@@ -5,6 +5,7 @@ import json
 import os
 
 import pytest
+import pyarrow as pa
 
 from presto_bloomfilter_ray import BloomFilter, deserialize
 from presto_bloomfilter_ray.engine import SketchStore
@@ -163,3 +164,66 @@ def test_suite_per_lang_blooms_correct(ray_session, tmp_path):
         if others:
             fp = sum(bloom.might_contain(h) for h in list(others)[:500]) / min(500, len(others))
             assert fp < 0.05  # p=0.01 + slack
+
+
+class TestActorKVStore:
+    """Named-actor network KV — the reference persist-service analog
+    (server.go PUT/GET by key over the network), second backend behind
+    the ibackend-style dispatch."""
+
+    def test_roundtrip_and_dispatch(self, ray_session):
+        from presto_bloomfilter_ray import BloomFilter
+        from presto_bloomfilter_ray.engine import ActorKVStore, open_store
+
+        store = open_store("actor://test-kv")
+        assert isinstance(store, ActorKVStore)
+        bf = BloomFilter(1000, 0.01)
+        bf.update_arrow(pa.array(["x", "y"]))
+        assert store.persist(bf, "demo/bloom")
+        assert store.exists("demo/bloom")
+        loaded = store.load("demo/bloom")
+        assert loaded.might_contain("x") and not loaded.might_contain("zz")
+        assert store.keys("demo/") == ["demo/bloom"]
+        store.delete("demo/bloom")
+        assert not store.exists("demo/bloom")
+        with pytest.raises(FileNotFoundError):
+            store.get("demo/bloom")
+        assert store.put(None, b"ignored") is True  # null-URL parity
+
+    def test_visible_across_workers(self, ray_session):
+        """A sketch persisted by one Ray task must be loadable by
+        another through the same named actor (the 'network KV from any
+        worker' property the reference's HTTP service provided)."""
+        import ray
+
+        from presto_bloomfilter_ray import BloomFilter
+        from presto_bloomfilter_ray.engine import open_store
+
+        @ray.remote
+        def writer():
+            st = open_store("actor://xworker-kv")
+            bf = BloomFilter(500, 0.01)
+            bf.update_arrow(pa.array(["alpha", "beta"]))
+            return st.persist(bf, "shared/bloom")
+
+        @ray.remote
+        def reader():
+            st = open_store("actor://xworker-kv")
+            sk = st.load("shared/bloom")
+            return bool(sk.might_contain("alpha")) and not sk.might_contain("nope")
+
+        assert ray.get(writer.remote())
+        assert ray.get(reader.remote())
+
+    def test_load_and_merge(self, ray_session):
+        from presto_bloomfilter_ray import BloomFilter
+        from presto_bloomfilter_ray.engine import open_store
+
+        st = open_store("actor://merge-kv")
+        for i, el in enumerate(["a", "b", "c"]):
+            bf = BloomFilter(100, 0.01)
+            bf.update_arrow(pa.array([el]))
+            st.persist(bf, f"m/{i}")
+        merged = st.load_and_merge(st.keys("m/"))
+        assert all(merged.might_contain(e) for e in ["a", "b", "c"])
+        assert not merged.might_contain("d")
