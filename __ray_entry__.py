@@ -117,6 +117,35 @@ def _bloom_persist_load(sf_dir: str):
     return out.sort_values("n_nationkey").reset_index(drop=True)
 
 
+def _bloom_from_string_merge(sf_dir: str):
+    """Reference A6 ``bloom_filter_from_string`` as an aggregation
+    (BloomFilterFromString.java:30-38): serialize one base64 filter per
+    region, merge the COLUMN of serialized filters distributed, and
+    semi-join nation against the union — equivalent to no filter at all
+    (every region's names are in the union; no false negatives)."""
+    from presto_bloomfilter_ray import BloomFilter
+    from presto_bloomfilter_ray.engine import (
+        build_sketch,
+        from_base64,
+        merge_serialized_column,
+        semi_join,
+        to_base64,
+    )
+
+    nation = _read(sf_dir, "nation")
+    strings = []
+    for rk in range(5):
+        bf = build_sketch(nation.filter(expr=f"n_regionkey == {rk}"), "n_name",
+                          lambda: BloomFilter(1000, 1e-9))
+        strings.append(to_base64(bf))
+    sk_ds = _rd().from_items(
+        [{"sketch": from_base64(s).serialize()} for s in strings])
+    merged = merge_serialized_column(sk_ds)
+    out = semi_join(nation, "n_name", merged).select_columns(
+        ["n_nationkey", "n_name"])
+    return out
+
+
 def _grouped_bloom_membership(sf_dir: str):
     """Grouped aggregation contract: per-region Bloom over n_name; every
     nation must test positive against its own region's filter (no false
@@ -802,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_antijoin_customer": _bloom_antijoin_customer,
         "bloom_params": _bloom_params,
         "bloom_persist_load": _bloom_persist_load,
+        "bloom_from_string_merge": _bloom_from_string_merge,
         "grouped_bloom_membership": _grouped_bloom_membership,
         "q1_lineitem": _q1_lineitem,
         "events_hourly": _events_hourly,
@@ -859,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, n_name, TRUE AS persisted FROM nation
             WHERE n_name IN (SELECT n_name FROM nation WHERE n_regionkey = 1)
             ORDER BY n_nationkey
+        """,
+        "bloom_from_string_merge": """
+            SELECT n_nationkey, n_name FROM nation
         """,
         "grouped_bloom_membership": """
             SELECT n_nationkey, TRUE AS contained FROM nation ORDER BY n_nationkey

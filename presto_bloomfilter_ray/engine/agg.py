@@ -306,13 +306,35 @@ def salted_grouped_sketch(
     return per_salt.groupby(key).map_groups(merge_group, batch_format="pandas")
 
 
-def merge_serialized_column(ds, col: str = "sketch") -> Optional[Sketch]:
+def merge_serialized_column(ds, col: str = "sketch", fan_in: int = 32,
+                            merge_rounds: int = 2) -> Optional[Sketch]:
     """Union a column of serialized sketches — the reference's
     ``bloom_filter_from_string`` / ``bloom_filter_load`` aggregation
-    shape (``BloomFilterFromString.java:30-38``)."""
+    shape (``BloomFilterFromString.java:30-38``).
+
+    Distributed: each batch merges its envelopes into one partial
+    (map-side combine), then the same bounded-depth fan-in tree as
+    :func:`build_sketch` shrinks the partials; only ≤ ``fan_in``
+    envelopes reach the driver for the final fold.
+    """
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        blobs = batch.column(col).to_pylist()
+        if not blobs:
+            return pa.table({"sketch": pa.array([], type=pa.large_binary())})
+        acc = deserialize(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(deserialize(b))
+        return pa.table({"sketch": pa.array([acc.serialize()],
+                                            type=pa.large_binary())})
+
+    partials = ds.select_columns([col]).map_batches(
+        merge_batch, batch_format="pyarrow")
+    for _ in range(max(0, merge_rounds)):
+        partials = partials.map_batches(
+            _merge_block_fn(), batch_format="pyarrow", batch_size=fan_in)
     acc: Optional[Sketch] = None
-    for batch in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
-        for blob in batch.column(col):
-            sk = deserialize(blob.as_py() if not isinstance(blob, bytes) else blob)
-            acc = sk if acc is None else acc.merge(sk)
+    for row in partials.take_all():
+        sk = deserialize(row["sketch"])
+        acc = sk if acc is None else acc.merge(sk)
     return acc
