@@ -532,19 +532,45 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
 
 
 # ----------------------------------------------------------------- SimHash
-def simhash64(texts: List[Optional[str]]) -> np.ndarray:
-    """64-bit Charikar SimHash per doc, vectorized: flat token hashes →
-    per-bit ±1 votes → ``reduceat`` by doc → sign."""
-    flat_tokens: List[str] = []
-    starts = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split() or [""]
-        flat_tokens.extend(toks)
-        starts[i + 1] = starts[i] + len(toks)
-    h = hash64(pa.array(flat_tokens, type=pa.large_string()), 0x51AA)
+def simhash64(texts) -> np.ndarray:
+    """64-bit Charikar SimHash per doc, vectorized end to end: Arrow
+    lowercase + regex tokenize → flat token hashes → per-bit ±1 votes
+    → segmented sum by doc → sign. Accepts an Arrow array/chunked
+    array or a Python sequence; docs with no tokens hash as the single
+    empty token (stable sentinel signature)."""
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array([t if t is not None else "" for t in texts],
+                       type=pa.large_string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = pc.fill_null(arr, "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks))
+    nonempty = np.asarray(pc.not_equal(flat, ""))
+    flat = flat.filter(pa.array(nonempty))
+    parents = parents[nonempty]
+    h = hash64(flat, 0x51AA) if len(flat) else np.zeros(0, dtype=np.uint64)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
     votes = bits * 2 - 1  # ±1
-    sums = np.add.reduceat(votes, starts[:-1], axis=0)
+    # segmented per-doc sum (parents sorted ascending; docs may be absent)
+    sums = np.zeros((n, 64), dtype=np.int64)
+    if len(parents):
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(parents)) + 1))
+        present = parents[starts]
+        sums[present] = np.add.reduceat(votes, starts, axis=0)
+    # token-less docs: signature of the single empty token (parity with
+    # the original ``toks or [""]`` rule)
+    absent = np.flatnonzero(~np.isin(np.arange(n), parents[starts] if len(parents) else []))
+    if len(absent):
+        h0 = hash64(pa.array([""], type=pa.large_string()), 0x51AA)[0]
+        empty_votes = (((np.uint64(h0) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int8) * 2 - 1)
+        sums[absent] = empty_votes
     sig_bits = (sums > 0).astype(np.uint64)
     return (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
 
@@ -576,8 +602,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     from ray.data.aggregate import Min
 
     def sigs(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        sh = simhash64(texts)
+        sh = simhash64(batch.column(text_col))  # arrow in, no row loop
         ids = np.asarray(batch.column(id_col)).astype(np.int64)
         # bucket key = chunk index folded with chunk value (distinct per chunk)
         chunk_vals = np.stack(
