@@ -166,6 +166,42 @@ def _process_shard(
     return lineage
 
 
+class MergedSketches:
+    """Lazy mapping over the suite's persisted merged sketches:
+    ``view["hll_url"]`` loads + deserializes from the store ON ACCESS,
+    so callers that only read the summary never pull the multi-MB Bloom
+    envelopes to the driver."""
+
+    def __init__(self, store_root: str, run_id: str, names):
+        self._store_root = store_root
+        self._run_id = run_id
+        self._names = list(names)
+
+    def __getitem__(self, name: str):
+        if name not in self._names:
+            raise KeyError(name)
+        return SketchStore(self._store_root).load(
+            f"merged/{self._run_id}/{name}")
+
+    def get(self, name: str, default=None):
+        try:
+            return self[name]
+        except KeyError:
+            return default
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._names
+
+    def __iter__(self):
+        return iter(self._names)
+
+    def keys(self):
+        return list(self._names)
+
+    def __len__(self) -> int:
+        return len(self._names)
+
+
 def run_suite(
     input_dir: str,
     store_root: str = "/tmp/sketch-store",
@@ -190,11 +226,13 @@ def run_suite(
             merged[i % max_shards].extend(s)
         shards = merged
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     futures = [
         _process_shard.remote([str(f) for f in s], i, store_root, run_id, n_hint)
         for i, s in enumerate(shards)
     ]
-    lineages = ray.get(futures)
 
     # merge partials with a two-level parallel tree per sketch name:
     # level 1 folds chunks of ≤32 shard envelopes concurrently (a 5 MB
@@ -203,9 +241,6 @@ def run_suite(
     # ≤⌈B/32⌉ chunk results. Deeper trees for 10^5+ shards are the same
     # task repeated.
     store = SketchStore(store_root)
-    names: set = set()
-    for ln in lineages:
-        names.update(ln.get("sketch_names", []))
 
     @ray.remote
     def _merge_chunk(name: str, keys: List[str]):
@@ -218,45 +253,79 @@ def run_suite(
                 continue
             sk = deserialize(st.get(key))
             acc = sk if acc is None else acc.merge(sk)
-        return acc.serialize() if acc is not None else None
+        if acc is None:
+            return None
+        # TRANSIENT envelope (no gzip, no sha) for the chunk→finalize
+        # hop: it travels through the object store, not to disk, and
+        # the finalize fold would otherwise re-inflate every chunk's
+        # multi-MB Bloom bitset — a measured serial tail (~2.8 s of the
+        # 5.3 s merge phase at 16M docs) that caps scaling efficiency.
+        return acc.serialize(compress=False, hashed=False)
 
-    chunk = 32
-    shard_keys = [shard_key([str(f) for f in s]) for s in shards]
-    chunk_futs = {
-        name: [
-            _merge_chunk.remote(name, shard_keys[i : i + chunk])
-            for i in range(0, len(shard_keys), chunk)
-        ]
-        for name in sorted(names)
-    }
-    merged_sk: Dict[str, object] = {}
-    for name, futs in chunk_futs.items():
+    # level 2 runs as one remote task per name: it folds that name's
+    # chunk envelopes AND persists the merged sketch from inside the
+    # task. Only the few SMALL envelopes the summary needs (HLL /
+    # digest estimates) return to the driver — the 10s-of-MB Bloom
+    # bitsets never touch it. (Driver-side level-2 folding was a
+    # measured serial tail: ~3.4 s fixed regardless of cluster width,
+    # i.e. a direct scaling-efficiency cap — PERF.md §11.)
+    SMALL = {"hll_url", "hll_host", "td_textlen", "kll_textlen"}
+
+    @ray.remote
+    def _finalize_name(name: str, *envs):
+        _cap_worker_threads()
         acc = None
-        for env in ray.get(futs):
+        for env in envs:
             if env is None:
                 continue
             sk = deserialize(env)
             acc = sk if acc is None else acc.merge(sk)
-        if acc is not None:
-            merged_sk[name] = acc
+        if acc is None:
+            return None
+        st = SketchStore(store_root)
+        st.persist(acc, f"merged/{run_id}/{name}")
+        return acc.serialize() if name in SMALL else b""
 
-    td: TDigest = merged_sk["td_textlen"]  # type: ignore[assignment]
-    kll: KLL = merged_sk["kll_textlen"]  # type: ignore[assignment]
+    lineages = ray.get(futures)
+    _t_shards = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    names: set = set()
+    for ln in lineages:
+        names.update(ln.get("sketch_names", []))
+
+    chunk = 32
+    shard_keys = [shard_key([str(f) for f in s]) for s in shards]
+    final_futs = {}
+    for name in sorted(names):
+        chunk_futs = [
+            _merge_chunk.remote(name, shard_keys[i : i + chunk])
+            for i in range(0, len(shard_keys), chunk)
+        ]
+        final_futs[name] = _finalize_name.remote(name, *chunk_futs)
+    finals = dict(zip(final_futs, ray.get(list(final_futs.values()))))
+    present = sorted(n for n, env in finals.items() if env is not None)
+    small_sk: Dict[str, object] = {
+        n: deserialize(env) for n, env in finals.items()
+        if env and n in SMALL
+    }
+
+    td: TDigest = small_sk["td_textlen"]  # type: ignore[assignment]
+    kll: KLL = small_sk["kll_textlen"]  # type: ignore[assignment]
     summary = {
         "rows": int(sum(l["rows"] for l in lineages)),
         "partitions": len(shards),
         "resumed_partitions": int(sum(1 for l in lineages if l.get("resumed"))),
-        "distinct_urls_hll": float(merged_sk["hll_url"].estimate()),
-        "distinct_hosts_hll": float(merged_sk["hll_host"].estimate()),
+        "distinct_urls_hll": float(small_sk["hll_url"].estimate()),
+        "distinct_hosts_hll": float(small_sk["hll_host"].estimate()),
         "textlen_p50_td": float(td.quantile(0.5)),
         "textlen_p99_td": float(td.quantile(0.99)),
         "textlen_p50_kll": float(kll.quantile(0.5)),
         "langs": sorted(
-            k.split("/", 1)[1] for k in merged_sk if k.startswith("lang_bloom/")
+            k.split("/", 1)[1] for k in present if k.startswith("lang_bloom/")
         ),
+        "phase_sec": {"shards": round(_t_shards, 3),
+                      "merge": round(_time.perf_counter() - _t0, 3)},
     }
-    # persist merged sketches for cross-run reuse (reference persist path)
-    for name, sk in merged_sk.items():
-        store.persist(sk, f"merged/{run_id}/{name}")  # type: ignore[arg-type]
     store.put(f"lineage/{run_id}/summary.json", json.dumps(summary).encode())
-    return {"summary": summary, "lineage": lineages, "sketches": merged_sk}
+    return {"summary": summary, "lineage": lineages,
+            "sketches": MergedSketches(store_root, run_id, present)}
