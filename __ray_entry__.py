@@ -715,6 +715,69 @@ def _hll_hosts_by_lang(sf_dir: str):
     })
 
 
+def _salted_hll_sources_by_lang(sf_dir: str):
+    """Grouped HLL via the SALTED row-shuffle path (hot-key pattern:
+    rows spread over (key, salt) sub-groups before the hash shuffle,
+    per-key salt partials merged in a second pass) — must land within
+    the same published bound as the other grouped paths."""
+    import duckdb
+
+    from presto_bloomfilter_ray import HyperLogLog, deserialize
+    from presto_bloomfilter_ray.engine import salted_grouped_sketch
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+    g = salted_grouped_sketch(docs, key="lang", col="source",
+                              factory=lambda: HyperLogLog(12), salts=8)
+    rows = sorted(g.take_all(), key=lambda r: r["lang"])
+    exact = duckdb.sql(
+        f"select lang, count(distinct source) n from '{sf_dir}/documents.parquet' "
+        "group by lang order by lang"
+    ).df()
+    bound = 3 * HyperLogLog(12).relative_error_bound()
+    out = []
+    for r, (_, ex) in zip(rows, exact.iterrows()):
+        est = float(deserialize(r["sketch"]).estimate())
+        out.append({
+            "lang": r["lang"],
+            "n_distinct_exact": int(ex["n"]),
+            "salted_hll_within_bound": bool(
+                abs(est - ex["n"]) / max(1, ex["n"]) <= bound),
+        })
+    return pd.DataFrame(out)
+
+
+def _stream_aggregate_events(sf_dir: str):
+    """Stream-shaped ingestion (iter_batches pull → per-bucket stateful
+    actors holding running aggregates + per-key HLL): counts and sums
+    are EXACT (oracle-matched values); the distinct estimate is bound-
+    checked per key."""
+    import duckdb
+
+    from presto_bloomfilter_ray import HyperLogLog
+    from presto_bloomfilter_ray.pipelines import stream_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    snap = stream_aggregate(ev, key_col="event_type", value_col="value",
+                            distinct_col="user_id")
+    exact = duckdb.sql(
+        f"select event_type, count(*) n, round(sum(value), 4) s, "
+        f"count(distinct user_id) d from '{sf_dir}/events.parquet' "
+        "group by event_type order by event_type"
+    ).df()
+    bound = 3 * HyperLogLog(14).relative_error_bound()
+    out = []
+    for _, ex in exact.iterrows():
+        st = snap[ex["event_type"]]
+        out.append({
+            "event_type": ex["event_type"],
+            "n_events": int(st["n"]),
+            "sum_value": round(float(st["sum"]), 4),
+            "distinct_users_within_bound": bool(
+                abs(st["distinct_est"] - ex["d"]) / max(1, ex["d"]) <= bound),
+        })
+    return pd.DataFrame(out)
+
+
 def _quantiles_textlen(sf_dir: str):
     import duckdb
 
@@ -858,6 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_custkey_overlap": _theta_custkey_overlap,
         "hll_distinct_custkey": _hll_distinct,
         "hll_hosts_by_lang": _hll_hosts_by_lang,
+        "salted_hll_sources_by_lang": _salted_hll_sources_by_lang,
+        "stream_aggregate_events": _stream_aggregate_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
         "webpages_suite": _webpages_suite,
@@ -1069,6 +1134,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT source) AS BIGINT) AS n_distinct_exact,
                    TRUE AS hll_err_within_bound
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "salted_hll_sources_by_lang": """
+            SELECT lang,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_distinct_exact,
+                   TRUE AS salted_hll_within_bound
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "stream_aggregate_events": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   TRUE AS distinct_users_within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "cm_heavy_hitters": """
             SELECT lang, CAST(count(*) AS BIGINT) AS freq_exact,

@@ -85,7 +85,11 @@ def stream_aggregate(ds, key_col: str, value_col: str, distinct_col: str,
     for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
         keys = np.asarray(batch.column(key_col))
         vals = np.asarray(batch.column(value_col), dtype=np.float64)
-        items = batch.column(distinct_col).to_pylist()
+        # canonical string form for the distinct column (vectorized cast
+        # — the reference element model: every element is a byte string,
+        # non-string inputs CAST first), so int keys hash like varchar
+        items = np.asarray(
+            batch.column(distinct_col).cast(pa.large_string()))
         buckets = hash64(batch.column(key_col).cast(pa.large_string()),
                          0x57AB1E) % np.uint64(n_buckets)
         for b in range(n_buckets):
