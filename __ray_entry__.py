@@ -537,6 +537,53 @@ def _events_sessions(sf_dir: str):
     return agg
 
 
+# --------------------------------------------------------------- multimodal
+def _multimodal_image_features(sf_dir: str):
+    """Multimodal plumbing over opaque binary columns: the webpages
+    table's html bytes run through the actor-pool decode →
+    feature-extract stages (decode itself is the documented
+    deterministic stub — no image libs in this container; the Ray-side
+    schema/batching/actor contract is what's exercised). Deterministic
+    booleans: every row produces a fixed-size pixel tensor and feature
+    vector, and the stub decode is content-deterministic (same bytes →
+    same features)."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions.multimodal import (
+        ImageDecode,
+        ImageFeatures,
+    )
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    path = ensure_webpages(max(2000, int(n_docs) * 4))
+    pages = _rd().read_parquet(path, columns=["url", "html"])
+    out = (
+        pages.map_batches(ImageDecode, fn_constructor_kwargs=dict(
+            height=16, width=16, data_col="html"),
+            batch_format="pyarrow", batch_size=256, concurrency=2)
+        .map_batches(ImageFeatures, fn_constructor_kwargs=dict(
+            height=16, width=16),
+            batch_format="pyarrow", batch_size=256, concurrency=2)
+    )
+    feats = out.select_columns(["url", "features"]).to_pandas()
+    dims = feats["features"].map(len).unique()
+    # determinism: re-decode the first row and compare
+    first = pages.take(1)[0]
+    one = pa.table({"url": [first["url"]], "html": [first["html"]]})
+    f2 = ImageFeatures(height=16, width=16)(
+        ImageDecode(height=16, width=16, data_col="html")(one))
+    same = np.allclose(
+        np.asarray(f2.column("features")[0].as_py()),
+        np.asarray(feats.loc[feats["url"] == first["url"], "features"].iloc[0]))
+    return pd.DataFrame({
+        "n_rows_ok": [bool(len(feats) == pages.count())],
+        "feature_dim_fixed": [bool(len(dims) == 1 and dims[0] == 6)],
+        "decode_deterministic": [bool(same)],
+    })
+
+
 # ---------------------------------------------------------------- similarity
 def _ann_topk_cosine(sf_dir: str):
     import duckdb
@@ -916,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
+        "multimodal_image_features": _multimodal_image_features,
         "ivf_neardup_recall": _ivf_neardup_recall,
         "ivf_ann_topk": _ivf_ann_topk,
         "theta_custkey_overlap": _theta_custkey_overlap,
@@ -1099,6 +1147,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "multimodal_image_features": """
+            SELECT TRUE AS n_rows_ok, TRUE AS feature_dim_fixed,
+                   TRUE AS decode_deterministic
         """,
         "ivf_neardup_recall": """
             SELECT count(*) AS n_exact_pairs,
