@@ -483,6 +483,37 @@ def _simhash_candidates_documents(sf_dir: str):
     })
 
 
+def _ngram_jaccard_check(sf_dir: str):
+    """Exact char-5-gram Jaccard as the verify step behind MinHash:
+    for every LSH candidate pair at threshold 0.8, the MinHash
+    estimate must sit within 4σ (σ = √(j(1−j)/128)) + hash-collision
+    slack of the EXACT n-gram Jaccard on the normalized texts.
+    Candidate pairs are bounded by true near-duplication (driver-safe);
+    fixed seeds make the check deterministic."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import lsh_candidate_pairs, ngram_jaccard
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = lsh_candidate_pairs(docs, min_est=0.8).filter(
+        expr="est_jaccard >= 0.8").to_pandas()
+    texts = dict(duckdb.sql(
+        f"select doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) "
+        f"from '{sf_dir}/documents.parquet'").fetchall())
+    ok = True
+    for a, b, est in zip(edges["a"].astype(int), edges["b"].astype(int),
+                         edges["est_jaccard"]):
+        # compare in BYTE space — MinHash shingles are rolling 5-BYTE
+        # windows, so multi-byte scripts (zh) diverge from char n-grams
+        exact = ngram_jaccard(texts[a].encode(), texts[b].encode(), 5)
+        sigma = max(0.02, (exact * (1 - exact) / 128) ** 0.5)
+        ok &= abs(est - exact) <= 4 * sigma + 0.05
+    return pd.DataFrame({
+        "n_verified_pairs_gt0": [bool(len(edges) > 0)],
+        "est_within_binomial_bound": [bool(ok)],
+    })
+
+
 # ---------------------------------------------------------------- text
 def _text_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
@@ -957,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _exact_dedup_documents,
         "minhash_dedup_documents": _minhash_dedup_documents,
         "simhash_candidates_documents": _simhash_candidates_documents,
+        "ngram_jaccard_check": _ngram_jaccard_check,
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
         "events_sliding": _events_sliding,
@@ -1223,6 +1255,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates_documents": """
             SELECT TRUE AS exact_dup_pairs_found,
                    TRUE AS all_pairs_le_max_hamming
+        """,
+        "ngram_jaccard_check": """
+            SELECT TRUE AS n_verified_pairs_gt0,
+                   TRUE AS est_within_binomial_bound
         """,
         # webpages_suite stays rows-only: its input is the generated
         # webpages table (not a registered driver view), so exact

@@ -177,17 +177,30 @@ class MinHasher:
             acc = acc * self._POLY + padded[j : m + j]
         sh = self._splitmix(acc)
         padded_starts = (offs[:-1] - offs[0]) + pad * np.arange(n, dtype=np.int64)
-        # contamination mask: the last k-1 windows of every non-final
-        # segment peek into the next doc's bytes — they must never win a
-        # min, under ANY permutation (the mask is re-applied per perm in
-        # ``signatures`` because an affine map scrambles sentinels)
-        contam = np.zeros(m, dtype=bool)
-        if n > 1 and m > 0:
-            seg_ends = padded_starts[1:]
-            for j in range(1, k):
-                idx = seg_ends - j
-                ok = (idx >= padded_starts[:-1]) & (idx >= 0) & (idx < m)
-                contam[idx[ok]] = True
+        # validity mask: a window is a real shingle iff it lies FULLY
+        # inside its doc's byte span. Everything else — windows crossing
+        # into the next doc's bytes AND the trailing windows that
+        # overlap the final doc's sentinel pad — must never win a min
+        # under ANY permutation (the mask is re-applied per perm in
+        # ``signatures`` because an affine map scrambles sentinels).
+        # The old boundary-walk masked only BETWEEN-doc windows, so the
+        # last doc of every batch carried k-1 garbage shingles: signatures
+        # depended on batch position, and short docs' jaccard estimates
+        # were biased low (caught by ngram_jaccard_check at sf0.1).
+        if m > 0:
+            pos = np.arange(m, dtype=np.int64)
+            doc_of = np.searchsorted(padded_starts, pos, side="right") - 1
+            rel = pos - padded_starts[doc_of]
+            valid = rel <= (lens[doc_of] - k)
+            # docs shorter than one shingle keep exactly their first
+            # window (doc bytes + deterministic sentinel tail) as a
+            # content fingerprint — batch-position-independent, and
+            # distinct contents still get distinct shingles
+            short = (lens[doc_of] > 0) & (lens[doc_of] < k)
+            valid |= short & (rel == 0)
+            contam = ~valid
+        else:
+            contam = np.zeros(0, dtype=bool)
         starts = np.minimum(padded_starts, max(0, m - 1))
         return sh, starts, (lens == 0), contam
 

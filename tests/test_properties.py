@@ -93,6 +93,12 @@ def test_minhash_signature_batch_independent(texts, pick):
     together = mh.signatures(texts)
     alone = mh.signatures([texts[pick]])
     assert np.array_equal(together[pick], alone[0])
+    # position independence holds at every slot (first/middle/last)
+    as_last = mh.signatures([*texts[:pick], texts[pick]])
+    sandwiched = mh.signatures([texts[pick], "zz padding doc zz", texts[pick]])
+    assert np.array_equal(as_last[-1], alone[0])
+    assert np.array_equal(sandwiched[0], alone[0])
+    assert np.array_equal(sandwiched[2], alone[0])
 
 
 @given(vals=st.lists(st.floats(min_value=0, max_value=1e3, allow_nan=False),
