@@ -69,10 +69,10 @@ def cmd_dedup(args) -> int:
 
 def cmd_stats(args) -> int:
     """Introspect a sketch store: keys, sizes, params, estimates."""
-    from .engine.store import SketchStore
+    from .engine.store import open_store
     from .sketches.base import read_kind, read_params
 
-    store = SketchStore(args.store)
+    store = open_store(args.store)
     out = []
     for key in store.keys(args.prefix):
         try:

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..engine.store import SketchStore
+from ..engine.store import open_store
 from ..sketches import KLL, BloomFilter, CountMin, HyperLogLog, TDigest, deserialize
 from ..sources.webpages import url_host
 
@@ -130,7 +130,7 @@ def _process_shard(
     marker is the commit point, so a crash mid-write is simply re-done
     (atomic per-file writes, no partial state observable)."""
     _cap_worker_threads()
-    store = SketchStore(store_root)
+    store = open_store(store_root)
     key = shard_key(files)
     prefix = _part_prefix(run_id, key)
     done_key = f"{prefix}.done"
@@ -180,7 +180,7 @@ class MergedSketches:
     def __getitem__(self, name: str):
         if name not in self._names:
             raise KeyError(name)
-        return SketchStore(self._store_root).load(
+        return open_store(self._store_root).load(
             f"merged/{self._run_id}/{name}")
 
     def get(self, name: str, default=None):
@@ -240,12 +240,12 @@ def run_suite(
     # serial task — a fixed tail that caps scaling); level 2 folds the
     # ≤⌈B/32⌉ chunk results. Deeper trees for 10^5+ shards are the same
     # task repeated.
-    store = SketchStore(store_root)
+    store = open_store(store_root)
 
     @ray.remote
     def _merge_chunk(name: str, keys: List[str]):
         _cap_worker_threads()
-        st = SketchStore(store_root)
+        st = open_store(store_root)
         acc = None
         for k in keys:
             key = f"{_part_prefix(run_id, k)}/{name}"
@@ -282,7 +282,7 @@ def run_suite(
             acc = sk if acc is None else acc.merge(sk)
         if acc is None:
             return None
-        st = SketchStore(store_root)
+        st = open_store(store_root)
         st.persist(acc, f"merged/{run_id}/{name}")
         return acc.serialize() if name in SMALL else b""
 

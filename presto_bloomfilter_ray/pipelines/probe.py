@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..engine.ops import get_or_load
-from ..engine.store import SketchStore
+from ..engine.store import open_store
 
 
 def _parquet_rows(path_or_dir: Union[str, List[str]]) -> int:
@@ -70,7 +70,7 @@ def probe_and_write(
         import shutil
 
         shutil.rmtree(out_dir)
-    store = SketchStore(store_root)
+    store = open_store(store_root)
     env = store.get(sketch_key)
     ref = ray.put(env)
 

@@ -227,3 +227,24 @@ class TestActorKVStore:
         merged = st.load_and_merge(st.keys("m/"))
         assert all(merged.might_contain(e) for e in ["a", "b", "c"])
         assert not merged.might_contain("d")
+
+
+def test_suite_runs_on_actor_kv_backend(ray_session):
+    """The flagship suite is backend-agnostic: running it against the
+    named-actor network KV (actor://) must produce the same estimates
+    as the filesystem store."""
+    from presto_bloomfilter_ray.pipelines import run_suite
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    web = ensure_webpages(4000)
+    res = run_suite(web, store_root="actor://suite-kv-test", run_id="akv",
+                    n_hint=4000)
+    s = res["summary"]
+    assert s["rows"] == 4000
+    assert abs(s["distinct_urls_hll"] - 4000) / 4000 < 0.05
+    # lazy view loads through the same backend
+    assert res["sketches"]["hll_url"].estimate() == s["distinct_urls_hll"]
+    # resume works through the actor KV too
+    res2 = run_suite(web, store_root="actor://suite-kv-test", run_id="akv",
+                     n_hint=4000)
+    assert res2["summary"]["resumed_partitions"] == res2["summary"]["partitions"]
