@@ -211,6 +211,7 @@ def _events_hourly(sf_dir: str):
                              value_col="value")
     df = agg.to_pandas().rename(columns={"window_start": "hour"})
     df["sum_value"] = df["sum_value"].round(4)
+    df["hour"] = df["hour"].astype("datetime64[us]")  # oracle emits us
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
@@ -549,6 +550,7 @@ def _events_sliding(sf_dir: str):
                             value_col="value")
     df = agg.to_pandas()
     df["sum_value"] = df["sum_value"].round(4)
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
     return df[["event_type", "window_start", "n_events", "sum_value"]]
 
 
@@ -1039,7 +1041,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, n_name FROM nation
         """,
         "grouped_bloom_membership": """
-            SELECT n_nationkey, TRUE AS contained FROM nation ORDER BY n_nationkey
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   TRUE AS contained FROM nation ORDER BY n_nationkey
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,
@@ -1064,7 +1067,8 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
         """,
         "join_orders_customer_nation": """
-            SELECT c_nationkey, count(*) AS n_orders,
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
