@@ -245,10 +245,17 @@ class MinHasher:
         ids = np.asarray(batch.column(self.id_col))
         sig = self.signatures(batch.column(self.text_col))
         bh = self.band_hashes(sig)
+        # the emitted signature is TRUNCATED to 16 bits per perm: it is
+        # used only for est_jaccard equality counting downstream, where
+        # a truncation false-match costs 2^-16 per perm (est bias
+        # ≤ (1−j)/65536 — far below the binomial noise) but cuts the
+        # verification shuffle payload 4× (the sort of sig rows was the
+        # superlinear term at 200k docs: 63 s → 21 s end-to-end)
         return pa.table({
             self.id_col: pa.array(ids),
             "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sig.reshape(-1).astype(np.int64)), self.num_perm),
+                pa.array((sig & np.uint64(0xFFFF)).astype(np.uint16).reshape(-1)),
+                self.num_perm),
             "band_hash": pa.FixedSizeListArray.from_arrays(
                 pa.array(bh.reshape(-1).astype(np.int64)), self.bands),
         })
@@ -305,7 +312,7 @@ def _pairs_from_buckets(ids_sorted: np.ndarray, starts: np.ndarray,
 
 
 def _sig_type(num_perm: int):
-    return pa.list_(pa.int64(), num_perm)
+    return pa.list_(pa.uint16(), num_perm)
 
 
 def _verify_pairs(sig_ds, edges, num_perm: int, id_col: str, n_parts: int,
@@ -403,13 +410,22 @@ def _verify_pairs(sig_ds, edges, num_perm: int, id_col: str, n_parts: int,
                          "b": pc.take(edge_t.column("key"), pa.array(np.flatnonzero(ok))),
                          "est_jaccard": pa.array(est[ok])})
 
+    # coalesce before each groupby: the sort-based shuffle fragments
+    # every input block into every output partition, so hundreds of
+    # tiny upstream blocks (parquet SplitBlocks × map fan-out) make it
+    # quadratic in fragments — measured 16.6 s for a trivial
+    # groupby over 291 small blocks vs 0.8 s after repartition(32) at
+    # 200k docs. One block per hash partition is the natural layout;
+    # raise ``n_parts`` with cluster size.
     sigs = sig_ds.map_batches(sig_rows, batch_format="pyarrow")
     phase_a = (
         sigs.union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+        .repartition(n_parts)
         .groupby("part").map_groups(attach_a, batch_format="pyarrow")
     )
     return (
         sigs.union(phase_a)
+        .repartition(n_parts)
         .groupby("part").map_groups(verify_b, batch_format="pyarrow")
     )
 
@@ -462,6 +478,7 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
     pairs = (
         sig_ds.select_columns([id_col, "band_hash"])
         .map_batches(explode, batch_format="pyarrow")
+        .repartition(n_parts)  # see _verify_pairs: avoid fragment blowup
         .groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
     )
     # a pair found by several bands must verify once, not per band — and
@@ -658,6 +675,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
     pairs = (
         ds.map_batches(sigs, batch_format="pyarrow")
+        .repartition(n_parts)  # see _verify_pairs: avoid fragment blowup
         .groupby("part").map_groups(pair_and_verify, batch_format="pyarrow")
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
