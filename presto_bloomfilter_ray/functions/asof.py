@@ -205,5 +205,8 @@ def asof_join_bucketed(left_ds, right_ds, key: str, ts: str,
     tagged = (
         left_ds.map_batches(tag_left, batch_format="pyarrow")
         .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+        # coalesce: many tiny upstream blocks make the sort shuffle
+        # quadratic in fragments (PERF.md §12)
+        .repartition(n_buckets)
     )
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -148,6 +148,10 @@ def cosine_neardup_pairs_ivf(ds, threshold: float = 0.99,
 
     pairs = (
         ds.map_batches(assign, batch_format="pyarrow")
+        # coalesce: the sort shuffle fragments every input block into
+        # every output partition — many tiny upstream blocks make it
+        # quadratic (measured in the dedup path, PERF.md §12)
+        .repartition(max(8, ncentroids))
         .groupby("bucket").map_groups(pair_bucket, batch_format="pyarrow")
     )
     # a pair co-bucketed under two shared centroids appears twice (same sim)
