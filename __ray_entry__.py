@@ -498,9 +498,14 @@ def _ngram_jaccard_check(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     edges = lsh_candidate_pairs(docs, min_est=0.8).filter(
         expr="est_jaccard >= 0.8").to_pandas()
+    cand_ids = sorted({*edges["a"].astype(int), *edges["b"].astype(int)})
+    # fetch texts for CANDIDATE ids only — bounded by true near-
+    # duplication, not corpus size
     texts = dict(duckdb.sql(
         f"select doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) "
-        f"from '{sf_dir}/documents.parquet'").fetchall())
+        f"from '{sf_dir}/documents.parquet' "
+        f"where doc_id in ({','.join(map(str, cand_ids)) or 'NULL'})"
+    ).fetchall())
     ok = True
     for a, b, est in zip(edges["a"].astype(int), edges["b"].astype(int),
                          edges["est_jaccard"]):
