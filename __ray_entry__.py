@@ -26,6 +26,19 @@ def _rd():
     return rd
 
 
+def _add_cents(col: str, out: str = "_cents", scale: float = 100.0):
+    """Money columns have fixed 2dp precision: summing them as scaled
+    int64 is exact and associative, so distributed combine order can
+    never land a cent away from the SQL oracle's sum (the matching
+    oracle side is ``sum(CAST(round(col * 100) AS BIGINT)) / 100.0``)."""
+
+    def add(b: pa.Table) -> pa.Table:
+        return b.append_column(out, pc.round(
+            pc.multiply(b[col], pa.scalar(scale))).cast(pa.int64()))
+
+    return add
+
+
 def _read(sf_dir: str, table: str, columns=None):
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -58,12 +71,13 @@ def _bloom_semijoin_orders(sf_dir: str):
     build_side = cust.filter(expr="c_nationkey == 5")
     bf = build_sketch(build_side, "c_custkey", lambda: BloomFilter(100_000, 1e-9), batch_size=100_000)
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
-    probed = semi_join(orders, "o_custkey", bf)
+    probed = semi_join(orders, "o_custkey", bf).map_batches(
+        _add_cents("o_totalprice"), batch_format="pyarrow")
     agg = probed.groupby("o_orderstatus").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="_tp")
+        Count(alias_name="n_orders"), Sum("_cents", alias_name="_tp")
     )
     df = agg.to_pandas()
-    df["total_price"] = df["_tp"].round(2)
+    df["total_price"] = (df["_tp"] / 100.0).round(2)
     return df[["o_orderstatus", "n_orders", "total_price"]]
 
 
@@ -179,24 +193,35 @@ def _q1_lineitem(sf_dir: str):
     )
 
     def prep(b: pa.Table) -> pa.Table:
+        # money columns carry fixed decimal precision (2dp price, 2dp
+        # discount ⇒ 4dp product): summing them as SCALED INTEGERS is
+        # exact and ASSOCIATIVE, so the distributed combine order can
+        # never straddle a rounding boundary the SQL oracle lands on
+        # differently (observed: one cent off at sf0.001)
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", disc)
+        b = b.append_column("_sbp_c", pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64()))
+        return b.append_column("_sdp_c", pc.round(pc.multiply(
+            disc, pa.scalar(10_000.0))).cast(pa.int64()))
 
     agg = (
         li.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="_sbp"),
-            Sum("disc_price", alias_name="_sdp"),
+            Sum("_sbp_c", alias_name="_sbp"),
+            Sum("_sdp_c", alias_name="_sdp"),
             Mean("l_quantity", alias_name="_aq"),
             Count(alias_name="n_rows"),
         )
     )
     df = agg.to_pandas()
     df["sum_qty"] = df["sum_qty"].round(2)
-    df["sum_base_price"] = df["_sbp"].round(2)
-    df["sum_disc_price"] = df["_sdp"].round(2)
+    df["sum_base_price"] = (df["_sbp"] / 100.0).round(2)
+    # half-cent ties (sum ends in ...50 of the 1e-4 scale) round
+    # half-UP in integer space — float round() would banker's-round
+    # while SQL rounds away from zero
+    df["sum_disc_price"] = ((df["_sdp"] + 50) // 100) / 100.0
     df["avg_qty"] = df["_aq"].round(4)
     return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
                "sum_disc_price", "avg_qty", "n_rows"]]
@@ -267,12 +292,13 @@ def _join_orders_customer_nation(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = orders.join(cust, "inner", 16, on=("o_custkey",),
-                         right_on=("c_custkey",))
+                         right_on=("c_custkey",)).map_batches(
+        _add_cents("o_totalprice"), batch_format="pyarrow")
     agg = joined.groupby("c_nationkey").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="_tp")
+        Count(alias_name="n_orders"), Sum("_cents", alias_name="_tp")
     )
     df = agg.to_pandas()
-    df["total_price"] = df["_tp"].round(2)
+    df["total_price"] = (df["_tp"] / 100.0).round(2)
     return df[["c_nationkey", "n_orders", "total_price"]]
 
 
@@ -338,12 +364,14 @@ def _range_join_price_bands(sf_dir: str):
         "band": ["small", "medium", "large", "jumbo"],
     })
     orders = _read(sf_dir, "orders", columns=["o_totalprice"])
-    joined = range_join(orders, bands, on="o_totalprice", value_cols=["band"])
+    joined = range_join(orders, bands, on="o_totalprice", value_cols=["band"]
+                        ).map_batches(_add_cents("o_totalprice"),
+                                      batch_format="pyarrow")
     agg = joined.groupby("band").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="_tp")
+        Count(alias_name="n_orders"), Sum("_cents", alias_name="_tp")
     )
     df = agg.to_pandas()
-    df["total_price"] = df["_tp"].round(2)
+    df["total_price"] = (df["_tp"] / 100.0).round(2)
     return df[["band", "n_orders", "total_price"]]
 
 
@@ -357,8 +385,11 @@ def _q5_revenue_by_nation(sf_dir: str):
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(b: pa.Table) -> pa.Table:
+        # 2dp price × 2dp discount ⇒ exact at 4dp; scaled-int sum is
+        # associative (see _add_cents)
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("revenue", rev).select(["l_orderkey", "revenue"])
+        rev_c = pc.round(pc.multiply(rev, pa.scalar(10_000.0))).cast(pa.int64())
+        return b.append_column("revenue", rev_c).select(["l_orderkey", "revenue"])
 
     li = li.map_batches(revenue, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -371,7 +402,7 @@ def _q5_revenue_by_nation(sf_dir: str):
     )
     agg = j.groupby("n_name").aggregate(Sum("revenue", alias_name="_r"))
     df = agg.to_pandas()
-    df["revenue"] = df["_r"].round(2)
+    df["revenue"] = ((df["_r"] + 50) // 100) / 100.0  # half-up ties, see q1
     return df[["n_name", "revenue"]]
 
 
@@ -1025,7 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_orders": """
             SELECT o_orderstatus,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
             GROUP BY o_orderstatus
@@ -1052,8 +1083,10 @@ def oracle_sql() -> dict[str, str]:
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                       AS sum_base_price,
+                   ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0
+                       AS sum_disc_price,
                    round(avg(l_quantity), 4) AS avg_qty,
                    count(*) AS n_rows
             FROM lineitem
@@ -1074,7 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer_nation": """
             SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
         """,
@@ -1083,7 +1116,7 @@ def oracle_sql() -> dict[str, str]:
                 (0.0, 50000.0, 'small'), (50000.0, 150000.0, 'medium'),
                 (150000.0, 300000.0, 'large'), (300000.0, 10000000.0, 'jumbo'))
             SELECT band, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY band
@@ -1108,7 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_revenue_by_nation": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
