@@ -570,6 +570,31 @@ def _text_stats_by_lang(sf_dir: str):
     return agg
 
 
+def _bpe_token_stats_by_lang(sf_dir: str):
+    """Training-data token accounting: BPE-ish (GPT-2-style regex)
+    tokens per language next to whitespace tokens — the token-count
+    estimate a data pipeline budgets against. Exact oracle: the same
+    RE2 pattern in DuckDB."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions.text import bpe_token_count, token_count
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        b = b.append_column("n_bpe", bpe_token_count(b.column("text")))
+        return b.append_column("n_ws", token_count(b.column("text")))
+
+    agg = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_bpe", alias_name="sum_bpe_tokens"),
+                   Sum("n_ws", alias_name="sum_ws_tokens"))
+    )
+    return agg
+
+
 def _word_count_top20(sf_dir: str):
     from presto_bloomfilter_ray.functions import word_count
 
@@ -1029,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_check": _ngram_jaccard_check,
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
+        "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -1170,6 +1196,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "bpe_token_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))) AS BIGINT)
+                       AS sum_bpe_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS sum_ws_tokens
             FROM documents GROUP BY lang
         """,
         "word_count_top20": """

@@ -16,6 +16,7 @@ from .similarity import (
 )
 from .text import (
     LangId,
+    bpe_token_count,
     add_text_stats,
     fingerprint64,
     quality_score,

@@ -17,6 +17,10 @@ from ..sketches.hashing import hash64
 
 TOKEN_RE = r"\S+"  # whitespace tokenization — SQL-mirrorable (regexp_extract_all)
 WORD_RE = r"[A-Za-z]+"
+#: BPE-ish pre-tokenizer (GPT-2-style, lookahead-free so it runs
+#: identically on RE2 — both Arrow kernels and DuckDB use RE2):
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 _STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
 
 
@@ -24,6 +28,14 @@ def token_count(text_col) -> pa.Array:
     """Whitespace token count, vectorized. Oracle SQL:
     ``len(regexp_extract_all(text, '\\S+'))``."""
     return pc.count_substring_regex(text_col, TOKEN_RE)
+
+
+def bpe_token_count(text_col) -> pa.Array:
+    """BPE-ish pre-tokenizer count (GPT-2-style segmentation, see
+    :data:`BPE_RE`) — the training-data token estimate, vectorized.
+    Oracle SQL: ``len(regexp_extract_all(text, <same pattern>))`` —
+    RE2 semantics are identical in Arrow and DuckDB."""
+    return pc.count_substring_regex(text_col, BPE_RE)
 
 
 def set_column(batch: pa.Table, name: str, arr) -> pa.Table:

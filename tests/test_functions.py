@@ -227,3 +227,19 @@ def test_minhash_no_phantom_suffix_shingles():
     exact = ngram_jaccard(a.encode(), b.encode(), 5)
     sigma = (exact * (1 - exact) / 128) ** 0.5
     assert abs(est - exact) <= 4 * sigma + 0.03, (est, exact)
+
+
+def test_bpe_token_count_matches_duckdb():
+    """The BPE-ish pre-tokenizer pattern must count identically in
+    Arrow and DuckDB (both RE2) — contractions, multibyte letters,
+    digit runs, punctuation runs, empty/whitespace-only docs."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions.text import BPE_RE, bpe_token_count
+
+    texts = ["I'll say it's 42 words, isn't it?", "汉字 multi-byte 123 !!",
+             "", "   ", "don't-stop_now", "a" * 500, "1 2 3 ... x-y"]
+    mine = bpe_token_count(pa.array(texts)).to_pylist()
+    theirs = [duckdb.sql("select len(regexp_extract_all(?, ?))",
+                         params=[t, BPE_RE]).fetchone()[0] for t in texts]
+    assert mine == theirs
