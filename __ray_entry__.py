@@ -570,6 +570,37 @@ def _text_stats_by_lang(sf_dir: str):
     return agg
 
 
+def _quality_stats_by_lang(sf_dir: str):
+    """Gopher/C4-style heuristic quality scoring as a first-class
+    pipeline stage: per-lang doc counts above the keep threshold plus
+    the mean score. The formula (length band × punctuation sanity ×
+    stopword presence) is pure IEEE float arithmetic over regex counts,
+    so the oracle replicates it EXACTLY in SQL (same RE2 counts, same
+    operation order)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from presto_bloomfilter_ray.functions import quality_score
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def score(b: pa.Table) -> pa.Table:
+        b = quality_score(b)
+        return b.append_column(
+            "is_high", pc.cast(pc.greater_equal(b["quality"], pa.scalar(0.5)),
+                               pa.int64()))
+
+    agg = (
+        docs.map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("is_high", alias_name="n_high_quality"),
+                   Mean("quality", alias_name="_mq"))
+    )
+    df = agg.to_pandas()
+    df["avg_quality"] = df["_mq"].round(6)
+    return df[["lang", "n_docs", "n_high_quality", "avg_quality"]]
+
+
 def _bpe_token_stats_by_lang(sf_dir: str):
     """Training-data token accounting: BPE-ish (GPT-2-style regex)
     tokens per language next to whitespace tokens — the token-count
@@ -1055,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
+        "quality_stats_by_lang": _quality_stats_by_lang,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -1197,6 +1229,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "quality_stats_by_lang": """
+            WITH s AS (
+                SELECT lang,
+                       len(regexp_extract_all(text, '\\S+')) AS nt,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS np_,
+                       len(regexp_extract_all(text,
+                           '(?i)\\b(?:the|and|of|a|to|in|is|it|that|for)\\b')) AS ns,
+                       length(text) AS nc
+                FROM documents
+            ), q AS (
+                SELECT lang,
+                       0.5 * (least(greatest(nt / 50.0, 0), 1)
+                              * least(greatest((10000 - nt) / 10000.0, 0), 1))
+                       + 0.25 * least(greatest(1.0 - 4.0 * abs(
+                             CAST(np_ AS DOUBLE) / greatest(nc, 1) - 0.05), 0), 1)
+                       + 0.25 * least(greatest(
+                             CAST(ns AS DOUBLE) / greatest(nt, 1) * 5.0, 0), 1)
+                           AS quality
+                FROM s
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_high_quality,
+                   round(avg(quality), 6) AS avg_quality
+            FROM q GROUP BY lang
         """,
         "bpe_token_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
