@@ -570,6 +570,34 @@ def _text_stats_by_lang(sf_dir: str):
     return agg
 
 
+def _clean_text_stats(sf_dir: str):
+    """Normalizer stage over the corpus: control-char strip + whitespace
+    collapse + trim + NFC. Oracle mirrors the exact same pipeline in
+    SQL (nfc_normalize + the same RE2 patterns), comparing changed-doc
+    counts and total cleaned length."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions.text import clean_text
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        cleaned = clean_text(b, out_col="clean")
+        changed = pc.cast(pc.invert(pc.equal(
+            cleaned["clean"], b["text"])), pa.int64())
+        return pa.table({
+            "changed": changed,
+            "clean_chars": pc.utf8_length(cleaned["clean"]),
+        })
+
+    agg = docs.map_batches(stats, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("changed", alias_name="n_changed"),
+        Sum("clean_chars", alias_name="sum_clean_chars"),
+    )
+    return pd.DataFrame([agg])
+
+
 def _quality_stats_by_lang(sf_dir: str):
     """Gopher/C4-style heuristic quality scoring as a first-class
     pipeline stage: per-lang doc counts above the keep threshold plus
@@ -1087,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_top20": _word_count_top20,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
+        "clean_text_stats": _clean_text_stats,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -1229,6 +1258,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "clean_text_stats": """
+            WITH c AS (
+                SELECT text,
+                       nfc_normalize(trim(regexp_replace(regexp_replace(
+                           text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+                           '\\s+', ' ', 'g'))) AS clean
+                FROM documents
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN clean != text THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_changed,
+                   CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
+            FROM c
         """,
         "quality_stats_by_lang": """
             WITH s AS (
