@@ -327,3 +327,41 @@ def test_asof_join_bucketed_forward(ray_session):
                              direction="forward").to_pandas()
     out = out.sort_values(["k", "ts"]).reset_index(drop=True)
     assert out["v_r"].fillna(-1).tolist() == [10.0, 20.0, -1]
+
+
+def test_asof_join_bucketed_random_matches_pandas(ray_session):
+    """Property check: on random keyed/timestamped data, the bucketed
+    as-of join must reproduce pandas' merge_asof exactly (both
+    directions), including unmatched lefts and duplicate timestamps."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import asof_join_bucketed
+
+    rng = np.random.default_rng(77)
+    n_l, n_r = 500, 300
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s").astype("datetime64[us]"),
+        "payload": rng.integers(0, 1000, n_l),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 15, n_r),  # some keys absent on the left
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s").astype("datetime64[us]"),
+        "v": rng.integers(0, 1000, n_r),
+    })
+    for direction in ("backward", "forward"):
+        mine = asof_join_bucketed(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", ts="ts", value_cols=["v"], direction=direction,
+        ).to_pandas().sort_values(["k", "ts", "payload"]).reset_index(drop=True)
+        r2 = right.sort_values("ts", kind="stable").copy()
+        r2["ts_r"] = r2["ts"]
+        r2 = r2.rename(columns={"v": "v_r"})
+        ref = pd.merge_asof(
+            left.sort_values("ts", kind="stable"), r2,
+            on="ts", by="k", direction=direction,
+        ).sort_values(["k", "ts", "payload"]).reset_index(drop=True)
+        assert len(mine) == len(ref) == n_l
+        assert mine["v_r"].fillna(-1).tolist() == ref["v_r"].fillna(-1).tolist(), direction
+        assert (mine["ts_r"].astype("int64").tolist()
+                == ref["ts_r"].astype("int64").tolist()), direction
