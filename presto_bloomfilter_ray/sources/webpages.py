@@ -47,6 +47,18 @@ def _wordlist() -> np.ndarray:
     return _WORDS
 
 
+_WORDS_ARROW = None
+
+
+def _wordlist_arrow():
+    global _WORDS_ARROW
+    if _WORDS_ARROW is None:
+        import pyarrow as _pa
+
+        _WORDS_ARROW = _pa.array(list(_wordlist()), type=_pa.large_string())
+    return _WORDS_ARROW
+
+
 def _zipf_cdf(n: int, s: float) -> np.ndarray:
     ranks = np.arange(1, n + 1, dtype=np.float64)
     w = ranks ** (-s)
@@ -117,32 +129,42 @@ def make_batch(indices: np.ndarray) -> pa.Table:
         np.concatenate(([0], np.cumsum(n_words)[:-1])).astype(np.uint64), n_words
     )
     picks = _splitmix64(idx[row_of] * np.uint64(69_069) + j_of * np.uint64(2_654_435_761) + np.uint64(SEED)) % np.uint64(len(words))
-    flat_words = words[picks.astype(np.int64)]
+    # arrow take on the (tiny, cached) word table instead of a numpy
+    # object fancy-index: no per-pick Python string materialization
+    words_arr = _wordlist_arrow()
+    flat_words = words_arr.take(pa.array(picks.astype(np.int64)))
     bounds = np.concatenate(([0], np.cumsum(n_words)))
 
-    urls, htmls, texts, langs = [], [], [], []
-    for row in range(n):
-        i = int(indices[row])
-        bw = flat_words[bounds[row] : bounds[row + 1]]
-        title = " ".join(bw[:4])
-        body = " ".join(bw)
-        url = f"https://host{host_ids[row]:05d}.example.com/p/{i:012d}"
-        html = (
-            f"<html><head><title>{title}</title></head>"
-            f"<body><h1>{title}</h1><p>{body}</p></body></html>"
-        ).encode()
-        urls.append(url)
-        htmls.append(html)
-        texts.append(extract_text(html))
-        langs.append(_LANGS[int(lang_ids[row])])
+    # assemble every string column with Arrow kernels — no Python row
+    # loop (byte-identical to the old per-row f-string path, pinned by
+    # a golden test; ~20× faster per core). The extracted text of this
+    # html template is exactly "title title body", so `text` is built
+    # directly and stays a pure function of `html`.
+    import pyarrow.compute as pc
+
+    word_lists = pa.LargeListArray.from_arrays(
+        pa.array(bounds, type=pa.int64()), flat_words)
+    body = pc.binary_join(word_lists, pa.scalar(" ", pa.large_string())).cast(pa.string())
+    title = pc.binary_join(pc.list_slice(word_lists, 0, 4),
+                           pa.scalar(" ", pa.large_string())).cast(pa.string())
+    host_s = pc.utf8_lpad(pc.cast(pa.array(host_ids.astype(np.int64)), pa.string()), 5, "0")
+    id_s = pc.utf8_lpad(pc.cast(pa.array(indices.astype(np.int64)), pa.string()), 12, "0")
+    url = pc.binary_join_element_wise(
+        pa.scalar("https://host"), host_s, pa.scalar(".example.com/p/"), id_s, "")
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><head><title>"), title,
+        pa.scalar("</title></head><body><h1>"), title,
+        pa.scalar("</h1><p>"), body, pa.scalar("</p></body></html>"), "")
+    text = pc.binary_join_element_wise(title, title, body, " ")
+    langs = pa.array(np.asarray(_LANGS, dtype=object)[lang_ids], type=pa.string())
     ts = pa.array(_EPOCH_US + indices.astype(np.int64) * 1_000_000,
                   type=pa.timestamp("us"))
     return pa.table({
-        "url": pa.array(urls, type=pa.string()),
+        "url": url,
         "warc_ts": ts,
-        "html": pa.array(htmls, type=pa.binary()),
-        "text": pa.array(texts, type=pa.string()),
-        "lang": pa.array(langs, type=pa.string()),
+        "html": html.cast(pa.binary()),
+        "text": text,
+        "lang": langs,
     })
 
 
