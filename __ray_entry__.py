@@ -1003,6 +1003,55 @@ def _quantiles_textlen(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _hll_per_host(sf_dir: str):
+    """HIGH-cardinality grouped sketching through the native row-shuffle
+    path: per-``url_host`` HLL of distinct urls over the webpages table
+    (thousands of Zipf-skewed host groups — the pattern where
+    per-(key, block) partials would exceed row volume, SURVEY §2.1
+    note). Exact per-host references via DuckDB in-query; emitted as
+    bound-check booleans (the webpages table is not a registered view)."""
+    import duckdb
+
+    from presto_bloomfilter_ray import HyperLogLog
+    from presto_bloomfilter_ray.engine import SketchAgg
+    from presto_bloomfilter_ray.sources import ensure_webpages, url_host
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    path = ensure_webpages(max(2000, int(n_docs) * 4))
+
+    def add_host(b: pa.Table) -> pa.Table:
+        return pa.table({"host": url_host(b.column("url")),
+                         "url": b.column("url")})
+
+    est = (
+        _rd().read_parquet(path, columns=["url"])
+        .map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(SketchAgg(lambda: HyperLogLog(12), on="url",
+                             alias_name="est", finalize_mode="estimate"))
+        .to_pandas()
+    )
+    exact = duckdb.sql(f"""
+        select split_part(url, '/', 3) host, count(distinct url) n
+        from '{path}/*.parquet' group by 1
+    """).df()
+    merged = est.merge(exact, on="host", how="outer")
+    bound = 3 * HyperLogLog(12).relative_error_bound()
+    diff = (merged["est"] - merged["n"]).abs()
+    rel = diff / merged["n"].clip(lower=1)
+    # the 1.04/√m bound is asymptotic; tiny groups (a handful of urls)
+    # occasionally lose one count to a register collision — allow an
+    # absolute slack of 2 there, the relative bound everywhere else
+    ok = (rel <= bound) | (diff <= 2)
+    return pd.DataFrame({
+        "n_hosts_gt_500": [bool(len(merged) > 500)],
+        "all_hosts_covered": [bool(merged["est"].notna().all()
+                                   and merged["n"].notna().all())],
+        "all_within_bound": [bool(ok.all())],
+    })
+
+
 def _webpages_suite(sf_dir: str):
     """Flagship north-star pipeline over the deterministic CC-style
     webpages table (generated at a size tied to sf via documents rows)."""
@@ -1130,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_aggregate_events": _stream_aggregate_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
+        "hll_per_host": _hll_per_host,
         "webpages_suite": _webpages_suite,
     }
 
@@ -1437,6 +1487,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_check": """
             SELECT TRUE AS n_verified_pairs_gt0,
                    TRUE AS est_within_binomial_bound
+        """,
+        "hll_per_host": """
+            SELECT TRUE AS n_hosts_gt_500, TRUE AS all_hosts_covered,
+                   TRUE AS all_within_bound
         """,
         # webpages_suite stays rows-only: its input is the generated
         # webpages table (not a registered driver view), so exact
