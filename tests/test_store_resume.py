@@ -248,3 +248,19 @@ def test_suite_runs_on_actor_kv_backend(ray_session):
     res2 = run_suite(web, store_root="actor://suite-kv-test", run_id="akv",
                      n_hint=4000)
     assert res2["summary"]["resumed_partitions"] == res2["summary"]["partitions"]
+
+
+def test_open_store_uri_dispatch(tmp_path):
+    """open_store resolves pyarrow.fs URIs (file://...) and plain paths
+    to the fs backend; round-trips bytes through both forms."""
+    from presto_bloomfilter_ray.engine import SketchStore, open_store
+
+    uri_store = open_store(f"file://{tmp_path}/uri")
+    assert isinstance(uri_store, SketchStore)
+    uri_store.put("k/v", b"payload")
+    assert uri_store.get("k/v") == b"payload"
+    plain = open_store(str(tmp_path / "plain"))
+    plain.put("x", b"y")
+    assert plain.keys() == ["x"]
+    with pytest.raises(ValueError):
+        plain.get("../../etc/passwd")  # key escape guard
