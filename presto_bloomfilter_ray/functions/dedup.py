@@ -36,9 +36,6 @@ import pyarrow.compute as pc
 
 from ..sketches.hashing import hash64
 
-_MERSENNE = (1 << 61) - 1
-
-
 def normalize_text(text_col) -> pa.ChunkedArray:
     """Lowercase + collapse whitespace — shared by all dedup variants."""
     out = pc.utf8_lower(pc.replace_substring_regex(text_col, r"\s+", " "))
@@ -272,7 +269,7 @@ def _bucket_boundaries(sort_keys: np.ndarray, ids: np.ndarray):
     k, i = k[keep], i[keep]
     starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1)) if len(k) else np.zeros(0, np.int64)
     sizes = np.diff(np.concatenate((starts, [len(k)]))).astype(np.int64)
-    return i, starts.astype(np.int64), sizes, order, keep
+    return i, starts.astype(np.int64), sizes
 
 
 def _pairs_from_buckets(ids_sorted: np.ndarray, starts: np.ndarray,
@@ -471,7 +468,7 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
     def emit_pairs(g: pa.Table) -> pa.Table:
         bh = np.asarray(g.column("band_hash"))
         ids = np.asarray(g.column(id_col))
-        ids_sorted, starts, sizes, _, _ = _bucket_boundaries(bh, ids)
+        ids_sorted, starts, sizes = _bucket_boundaries(bh, ids)
         a, b = _pairs_from_buckets(ids_sorted, starts, sizes, pair_cutoff)
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
