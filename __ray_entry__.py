@@ -1003,6 +1003,31 @@ def _quantiles_textlen(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _bottomk_sample_orderkeys(sf_dir: str):
+    """Mergeable deterministic uniform sampling (bottom-k by content
+    hash, the KMV construction carrying values): sample 50 orderkeys
+    from the distributed merge tree; the sample must be a subset of the
+    true key set, exactly k items, and IDENTICAL on a re-run with a
+    different partitioning (pure function of the item set)."""
+    import duckdb
+
+    from presto_bloomfilter_ray import BottomKSample
+    from presto_bloomfilter_ray.engine import build_sketch
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    s1 = build_sketch(orders, "o_orderkey", lambda: BottomKSample(50))
+    s2 = build_sketch(orders.repartition(7), "o_orderkey",
+                      lambda: BottomKSample(50))
+    sample = s1.sample()
+    true_keys = {str(r[0]) for r in duckdb.sql(
+        f"select distinct o_orderkey from '{sf_dir}/orders.parquet'").fetchall()}
+    return pd.DataFrame({
+        "k": [50],
+        "sample_is_subset": [bool(set(sample) <= true_keys)],
+        "partitioning_invariant": [bool(sample == s2.sample())],
+    })
+
+
 def _hll_per_host(sf_dir: str):
     """HIGH-cardinality grouped sketching through the native row-shuffle
     path: per-``url_host`` HLL of distinct urls over the webpages table
@@ -1179,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_aggregate_events": _stream_aggregate_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
+        "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
         "hll_per_host": _hll_per_host,
         "webpages_suite": _webpages_suite,
     }
@@ -1487,6 +1513,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_check": """
             SELECT TRUE AS n_verified_pairs_gt0,
                    TRUE AS est_within_binomial_bound
+        """,
+        "bottomk_sample_orderkeys": """
+            SELECT CAST(50 AS BIGINT) AS k, TRUE AS sample_is_subset,
+                   TRUE AS partitioning_invariant
         """,
         "hll_per_host": """
             SELECT TRUE AS n_hosts_gt_500, TRUE AS all_hosts_covered,

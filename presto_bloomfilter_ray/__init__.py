@@ -11,6 +11,7 @@ per-partition lineage.
 
 from .sketches import (
     KLL,
+    BottomKSample,
     BloomFilter,
     CountMin,
     HyperLogLog,

@@ -11,6 +11,7 @@ from .countmin import CountMin
 from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
+from .sample import BottomKSample
 from .theta import ThetaSketch
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "CountMin",
     "TDigest",
     "ThetaSketch",
+    "BottomKSample",
     "KLL",
     "deserialize",
     "from_base64",
