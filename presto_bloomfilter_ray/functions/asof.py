@@ -96,40 +96,54 @@ def asof_join(left_ds, right_df, key: str, ts: str, value_cols: List[str],
     def probe(batch: pa.Table) -> pa.Table:
         index = ray.get(ref)
         n = batch.num_rows
-        keys = batch.column(key).to_pylist()
+        kcol = batch.column(key)
         # unify units: whatever timestamp resolution the source block
         # carries, compare in µs (arrow rescales on timestamp casts)
         ts_vals = np.asarray(batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64()))
         matched_ts = np.full(n, np.nan)
         matched_vals = {c: np.full(n, None, dtype=object) for c in value_cols}
-        # group probe rows by key (runs over the sorted order)
-        order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
-        i = 0
-        while i < n:
-            j = i
-            k = keys[order[i]]
-            while j < n and keys[order[j]] == k:
-                j += 1
+        # group probe rows into key runs: numeric keys sort in numpy
+        # (no per-row Python comparisons); others fall back to object
+        if (pa.types.is_integer(kcol.type) or pa.types.is_floating(kcol.type)):
+            karr = np.asarray(kcol)
+            order = np.argsort(karr, kind="stable")
+            sorted_keys = karr[order]
+            run_starts = np.concatenate(
+                ([0], np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1, [n]))
+            key_of_run = lambda s: sorted_keys[s].item()  # noqa: E731
+        else:
+            keys = kcol.to_pylist()
+            order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+            sk = [keys[i] for i in order]
+            run_starts = np.concatenate(
+                ([0], [i for i in range(1, n) if sk[i] != sk[i - 1]], [n])
+            ).astype(np.int64)
+            key_of_run = lambda s: sk[s]  # noqa: E731
+        for r in range(len(run_starts) - 1):
+            i, j = int(run_starts[r]), int(run_starts[r + 1])
             rows = order[i:j]
-            entry = index.get(k)
-            if entry is not None:
-                rts, rvals = entry
-                if direction == "backward":
-                    pos = np.searchsorted(rts, ts_vals[rows], side="right") - 1
-                    ok = pos >= 0
-                else:
-                    pos = np.searchsorted(rts, ts_vals[rows], side="left")
-                    ok = pos < len(rts)
-                sel = rows[ok]
-                p = pos[ok]
-                matched_ts[sel] = rts[p].astype(np.float64)
-                for c in value_cols:
-                    matched_vals[c][sel] = rvals[c][p]
-            i = j
+            entry = index.get(key_of_run(i))
+            if entry is None:
+                continue
+            rts, rvals = entry
+            if direction == "backward":
+                pos = np.searchsorted(rts, ts_vals[rows], side="right") - 1
+                ok = pos >= 0
+            else:
+                pos = np.searchsorted(rts, ts_vals[rows], side="left")
+                ok = pos < len(rts)
+            sel = rows[ok]
+            p = pos[ok]
+            matched_ts[sel] = rts[p].astype(np.float64)
+            for c in value_cols:
+                matched_vals[c][sel] = rvals[c][p]
+        valid = ~np.isnan(matched_ts)
+        ts_out = np.zeros(n, dtype=np.int64)
+        ts_out[valid] = matched_ts[valid].astype(np.int64)
         out = batch.append_column(
             f"{ts}{suffix}",
-            pa.array([None if np.isnan(v) else int(v) for v in matched_ts],
-                     type=pa.timestamp("us")),
+            pa.Array.from_pandas(  # masked int64 → timestamp, no row loop
+                ts_out, mask=~valid, type=pa.timestamp("us")),
         )
         for c in value_cols:
             out = out.append_column(f"{c}{suffix}", pa.array(list(matched_vals[c])))
