@@ -27,7 +27,10 @@ table. Partitioning contracts (100 TB design notes):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+import os
+import tempfile
+import uuid
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -35,6 +38,124 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sketches.hashing import hash64
+
+
+def _pow2(n: int) -> int:
+    """Round up to a power of two. The ``& (n - 1)`` partition masks
+    used throughout this module reach every bucket id only for
+    power-of-two counts (e.g. n=48 → mask 0b101111 → 32 reachable
+    buckets with heavy skew); rounding keeps co-partitioning correct
+    AND parallelism at the requested level."""
+    n = int(n)
+    return 1 << max(0, n - 1).bit_length()
+
+
+# ------------------------------------------------- sharded anti-join
+# The scale path for dedup REMOVAL. A web corpus at 100 TB is 30-50 %
+# near-duplicate, so the removed-id / keep-map table can reach 10^10
+# entries (~80 GB) — no driver set or per-task broadcast survives that.
+# Instead the map is hash-partitioned by ``key & (n_shards - 1)`` into
+# sorted parquet shards on shared storage (written DISTRIBUTED — the
+# map never touches the driver), and the filter stage loads only the
+# shards its batch's keys hash into, memoized per worker process. When
+# the corpus is id-clustered (the common layout), each task touches a
+# handful of shards; worst case a worker holds the shards it has seen,
+# bounded by the LRU cap below, each ~|map|/n_shards entries.
+
+_SHARD_CACHE: Dict = {}  # (shard_dir, part) -> (sorted keys, keep) per worker
+_SHARD_CACHE_CAP = 256
+
+
+def _write_key_shards(kv_ds, shard_dir: str, n_shards: int,
+                      has_keep: bool) -> None:
+    """Hash-partition a (key[, keep]) Dataset into ``n_shards`` sorted
+    parquet shards — the build half of the sharded anti-join. Runs as
+    one repartition + groupby over the (small relative to the corpus)
+    key table; writes are atomic (tmp + rename) so a re-run never
+    reads a torn shard."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(shard_dir, exist_ok=True)
+    mask = n_shards - 1
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = b.column("key").cast(pa.int64())
+        out = {"key": key, "part": pc.bit_wise_and(key, mask)}
+        if has_keep:
+            out["keep"] = b.column("keep").cast(pa.int64())
+        return pa.table(out)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        p = int(g.column("part")[0].as_py())
+        keys = np.asarray(g.column("key"))
+        order = np.argsort(keys)
+        cols = {"key": pa.array(keys[order])}
+        if has_keep:
+            cols["keep"] = pa.array(np.asarray(g.column("keep"))[order])
+        final = os.path.join(shard_dir, f"shard-{p:05d}.parquet")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, final)
+        return pa.table({"part": pa.array([p]), "n": pa.array([len(keys)])})
+
+    (kv_ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(n_shards)  # coalesce before groupby (PERF.md §12)
+        .groupby("part").map_groups(write_shard, batch_format="pyarrow")
+    ).materialize()
+
+
+def _load_shard(shard_dir: str, part: int,
+                has_keep: bool) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Per-worker memoized shard load (missing shard = empty)."""
+    import pyarrow.parquet as pq
+
+    ck = (shard_dir, part)
+    hit = _SHARD_CACHE.get(ck)
+    if hit is None:
+        path = os.path.join(shard_dir, f"shard-{part:05d}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            hit = (np.asarray(t.column("key")),
+                   np.asarray(t.column("keep")) if has_keep else None)
+        else:
+            hit = (np.zeros(0, dtype=np.int64), None)
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_CAP:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[ck] = hit
+    return hit
+
+
+def _shard_lookup(keys: np.ndarray, shard_dir: str, n_shards: int,
+                  has_keep: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (found mask, keep values) for a batch of int64 keys, touching
+    only the shards the batch's keys hash into."""
+    n = len(keys)
+    found = np.zeros(n, dtype=bool)
+    keep = np.zeros(n, dtype=np.int64)
+    parts = keys & np.int64(n_shards - 1)
+    for p in np.unique(parts):
+        sk, kv = _load_shard(shard_dir, int(p), has_keep)
+        if len(sk) == 0:
+            continue
+        m = parts == p
+        sel = keys[m]
+        idx = np.searchsorted(sk, sel)
+        idx_c = np.clip(idx, 0, len(sk) - 1)
+        hit = sk[idx_c] == sel
+        found[m] = hit
+        if kv is not None:
+            kv_sel = np.zeros(len(sel), dtype=np.int64)
+            kv_sel[hit] = kv[idx_c[hit]]
+            keep[m] = kv_sel
+    return found, keep
+
+
+def _n_shards_for(n_entries: int, target_per_shard: int = 2_000_000) -> int:
+    """Shards sized ~target entries (≈16-32 MB sorted int64 pairs),
+    power of two, capped so tiny maps don't fan into thousands of
+    files and huge maps don't exceed 4096 shards."""
+    return min(4096, _pow2(max(8, -(-n_entries // target_per_shard))))
+
 
 def normalize_text(text_col) -> pa.ChunkedArray:
     """Lowercase + collapse whitespace — shared by all dedup variants."""
@@ -49,7 +170,9 @@ def add_content_hash(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, pa.array(h.astype(np.int64)))
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                broadcast_limit: int = 2_000_000,
+                work_dir: Optional[str] = None):
     """Keep the min-``id_col`` row per distinct normalized text.
 
     Deterministic (min id), matching a SQL ``row_number() over
@@ -58,10 +181,16 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     Scale design: the shuffle carries only (content_hash, id) PAIRS
     (16 bytes/row), aggregated with a vectorized Count+Min — never the
     text, and never per-group Python. Only hashes with count > 1 (the
-    actual duplicate groups) come back to the driver as a keep-map;
-    the row dataset is then map-filtered against the broadcast map.
-    Duplicate-group count is what bounds driver memory — proportional
-    to real duplication, not corpus size.
+    actual duplicate groups) form the keep-map. Removal has two paths:
+
+    * ``|map| <= broadcast_limit``: collect + ``ray.put`` once, probe
+      with sorted ``searchsorted`` per batch — the small-side fast path.
+    * above the limit (web corpora are 30-50 % duplicate, so the map
+      can reach 10^10 entries): the keep-map NEVER touches the driver —
+      it is hash-partitioned into sorted shards (``_write_key_shards``,
+      fully distributed) under ``work_dir`` (shared storage at scale)
+      and removal is a sharded anti-join: each batch loads only the
+      shards its hashes land in, memoized per worker.
     """
     from ray.data.aggregate import Count, Min
 
@@ -77,26 +206,48 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
         .groupby("content_hash")
         .aggregate(Count(alias_name="n"), Min(id_col, alias_name="keep_id"))
     )
-    dups = agg.filter(expr="n > 1").select_columns(
-        ["content_hash", "keep_id"]).to_pandas()
-    if dups.empty:
+    dups_ds = agg.filter(expr="n > 1").select_columns(
+        ["content_hash", "keep_id"]).materialize()
+    n_dups = dups_ds.count()
+    if n_dups == 0:
         return ds
-    order = np.argsort(dups["content_hash"].to_numpy())
-    dup_hashes = dups["content_hash"].to_numpy()[order]
-    keep_ids = dups["keep_id"].to_numpy()[order]
-    ref = ray.put((dup_hashes, keep_ids))
 
-    def drop_losers(b: pa.Table) -> pa.Table:
-        dh, ki = ray.get(ref)
+    if n_dups <= broadcast_limit:
+        dups = dups_ds.to_pandas()
+        order = np.argsort(dups["content_hash"].to_numpy())
+        dup_hashes = dups["content_hash"].to_numpy()[order]
+        keep_ids = dups["keep_id"].to_numpy()[order]
+        ref = ray.put((dup_hashes, keep_ids))
+
+        def drop_losers(b: pa.Table) -> pa.Table:
+            dh, ki = ray.get(ref)
+            h = hash64(normalize_text(b.column(col)), 0xDED0).astype(np.int64)
+            idx = np.searchsorted(dh, h)
+            idx_c = np.clip(idx, 0, len(dh) - 1)
+            in_dup = dh[idx_c] == h
+            ids = np.asarray(b.column(id_col))
+            keep = ~in_dup | (ids == ki[idx_c])
+            return b.filter(pa.array(keep))
+
+        return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+    # sharded anti-join path: keep-map stays distributed end to end
+    shard_dir = work_dir or tempfile.mkdtemp(prefix="exact-dedup-shards-")
+    n_shards = _n_shards_for(n_dups)
+    kv = dups_ds.map_batches(
+        lambda b: pa.table({"key": b.column("content_hash"),
+                            "keep": b.column("keep_id")}),
+        batch_format="pyarrow")
+    _write_key_shards(kv, shard_dir, n_shards, has_keep=True)
+
+    def drop_losers_sharded(b: pa.Table) -> pa.Table:
         h = hash64(normalize_text(b.column(col)), 0xDED0).astype(np.int64)
-        idx = np.searchsorted(dh, h)
-        idx_c = np.clip(idx, 0, len(dh) - 1)
-        in_dup = dh[idx_c] == h
-        ids = np.asarray(b.column(id_col))
-        keep = ~in_dup | (ids == ki[idx_c])
+        found, keep_id = _shard_lookup(h, shard_dir, n_shards, has_keep=True)
+        ids = np.asarray(b.column(id_col)).astype(np.int64)
+        keep = ~found | (ids == keep_id)
         return b.filter(pa.array(keep))
 
-    return ds.map_batches(drop_losers, batch_format="pyarrow")
+    return ds.map_batches(drop_losers_sharded, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- MinHash
@@ -427,6 +578,37 @@ def _verify_pairs(sig_ds, edges, num_perm: int, id_col: str, n_parts: int,
     )
 
 
+def _min_bands_screen(bands: int, num_perm: int, min_est: float,
+                      tail: float = 1e-5) -> int:
+    """Band-collision screen strength: require ≥ m colliding bands
+    before a pair pays the verification shuffle.
+
+    m is the largest value with ``P(Binom(bands, min_est^r) < m) <
+    tail`` (exact binomial CDF, r = rows per band): a TRUE pair at
+    exactly the threshold is dropped pre-verification with probability
+    < ``tail``; pairs above the threshold lose far less. m is further
+    capped at the DETERMINISTIC bound ``bands - (1-min_est)*num_perm``:
+    any pair whose signature agreement would pass verification
+    (est ≥ min_est ⇒ ≤ (1-min_est)*num_perm mismatched perms, each
+    breaking at most one band) has at least that many intact bands —
+    so below the cap the screen cannot drop a pair verification would
+    keep (up to the 2^-16/perm sig-truncation slack)."""
+    from math import comb
+
+    r = num_perm // bands
+    p = min_est ** r
+    cdf = 0.0
+    best = 1
+    for m in range(1, bands + 1):
+        cdf += comb(bands, m - 1) * (p ** (m - 1)) * ((1.0 - p) ** (bands - m + 1))
+        if cdf < tail:
+            best = m
+        else:
+            break
+    det_cap = max(1, bands - int(np.ceil((1.0 - min_est) * num_perm)))
+    return max(1, min(best, det_cap))
+
+
 def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
                         shingle_k: int = 5, text_col: str = "text",
                         id_col: str = "doc_id", concurrency: Optional[int] = None,
@@ -443,6 +625,7 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
     vectorized pass (raise ``n_parts`` with cluster size). Signatures
     are materialized as a Dataset (spillable), never collected.
     """
+    n_parts = _pow2(n_parts)  # '& (n-1)' masks need a power of two
     kwargs = {"batch_format": "pyarrow"}
     if concurrency:
         kwargs["concurrency"] = concurrency
@@ -479,17 +662,17 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
         .groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
     )
     # a pair found by several bands must verify once, not per band — and
-    # the band-collision COUNT is itself a free jaccard screen: a pair at
-    # j >= min_est collides in ~bands * min_est^r bands (r = rows per
-    # band); requiring a quarter of that expectation is statistically
-    # safe (Binomial tail ~1e-9 at j = min_est) and drops the flood of
-    # low-jaccard template-bucket pairs BEFORE each would drag a
-    # signature through the verification shuffle. Both the dedupe and
-    # the screen run INSIDE verification's phase A (same partitioning).
+    # the band-collision COUNT is itself a free jaccard screen that
+    # drops the flood of low-jaccard template-bucket pairs BEFORE each
+    # would drag a signature through the verification shuffle. Both the
+    # dedupe and the screen run INSIDE verification's phase A (same
+    # partitioning). The screen strength is DERIVED, not guessed: see
+    # _min_bands_screen (the previous fixed 0.25x-expectation rule had
+    # a ~1e-4 drop tail at threshold 0.8 / 32 bands, five orders looser
+    # than its comment claimed — round-2 advice).
     min_bands = 1
     if min_est > 0:
-        r = num_perm // bands
-        min_bands = max(1, int(np.ceil(0.25 * bands * (min_est ** r))))
+        min_bands = _min_bands_screen(bands, num_perm, min_est)
     return _verify_pairs(sig_ds, pairs, num_perm, id_col, n_parts, min_est,
                          min_bands)
 
@@ -497,7 +680,9 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
 def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                   bands: int = 32, shingle_k: int = 5,
                   text_col: str = "text", id_col: str = "doc_id",
-                  distributed_cc: bool = True):
+                  distributed_cc: bool = True,
+                  broadcast_limit: int = 2_000_000,
+                  work_dir: Optional[str] = None):
     """Near-dup removal: keep one representative (min id) per connected
     component of the ≥threshold candidate graph. Returns (deduped_ds,
     dup_map) where dup_map maps candidate id → its component's kept id.
@@ -543,19 +728,44 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     removed = {x for x, r in dup_map.items() if r != x}
     if not removed:
         return ds, {}
-    import ray
+    removed_arr = np.array(sorted(removed), dtype=np.int64)
 
-    removed_ref = ray.put(np.array(sorted(removed), dtype=np.int64))
+    if len(removed_arr) <= broadcast_limit:
+        import ray
 
-    def drop_dups(batch: pa.Table) -> pa.Table:
-        import ray as _ray
+        removed_ref = ray.put(removed_arr)
 
-        rem = _ray.get(removed_ref)
-        ids = np.asarray(batch.column(id_col))
-        keep = ~np.isin(ids, rem)
-        return batch.filter(pa.array(keep))
+        def drop_dups(batch: pa.Table) -> pa.Table:
+            import ray as _ray
 
-    return ds.map_batches(drop_dups, batch_format="pyarrow"), dup_map
+            rem = _ray.get(removed_ref)
+            ids = np.asarray(batch.column(id_col)).astype(np.int64)
+            # sorted-probe, not np.isin (which re-sorts per batch)
+            idx = np.clip(np.searchsorted(rem, ids), 0, len(rem) - 1)
+            return batch.filter(pa.array(rem[idx] != ids))
+
+        return ds.map_batches(drop_dups, batch_format="pyarrow"), dup_map
+
+    # sharded anti-join path: above the broadcast limit the removed-id
+    # table is hash-partitioned into sorted shards and each filter
+    # batch loads only the shards its ids land in (per-worker memo) —
+    # no per-task re-broadcast of a multi-GB set. (The component label
+    # table still transits the driver once — the stated ~16 B/node
+    # contract of connected_components; the filter stage is what must
+    # not replicate it across the cluster.)
+    import ray.data as rd
+
+    shard_dir = work_dir or tempfile.mkdtemp(prefix="minhash-dedup-shards-")
+    n_shards = _n_shards_for(len(removed_arr))
+    _write_key_shards(rd.from_arrow(pa.table({"key": removed_arr})),
+                      shard_dir, n_shards, has_keep=False)
+
+    def drop_dups_sharded(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        found, _ = _shard_lookup(ids, shard_dir, n_shards, has_keep=False)
+        return batch.filter(pa.array(~found))
+
+    return ds.map_batches(drop_dups_sharded, batch_format="pyarrow"), dup_map
 
 
 # ----------------------------------------------------------------- SimHash
@@ -627,6 +837,8 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     A pair found by several chunks is folded to its min hamming.
     """
     from ray.data.aggregate import Min
+
+    n_parts = _pow2(n_parts)  # '& (n-1)' masks need a power of two
 
     def sigs(batch: pa.Table) -> pa.Table:
         sh = simhash64(batch.column(text_col))  # arrow in, no row loop

@@ -69,13 +69,18 @@ class BottomKSample(Sketch):
             return self
         h = hash64(ca, 0x5A3B1E)
         arr = ca.combine_chunks()
-        # pre-trim within the batch FIRST: only candidate rows (bottom
-        # 2k by hash) pay the python value materialization at scale
-        if len(h) > 2 * self.k:
-            part = np.argpartition(h, 2 * self.k)[: 2 * self.k]
-            h = h[part]
-            arr = arr.take(pa.array(part.astype(np.int64)))
-        self._absorb(h, arr.to_pylist())
+        # dedupe hashes FIRST (duplicates collapse), then keep the k
+        # smallest UNIQUE hashes — trimming before deduping would let
+        # duplicate-heavy batches crowd out distinct items, breaking
+        # the partitioning-invariance contract. np.unique returns the
+        # sorted unique hashes plus the first row index of each, so at
+        # most k rows pay the python value materialization.
+        uh, first_idx = np.unique(h, return_index=True)
+        if len(uh) > self.k:
+            uh = uh[: self.k]
+            first_idx = first_idx[: self.k]
+        arr = arr.take(pa.array(first_idx.astype(np.int64)))
+        self._absorb(uh, arr.to_pylist())
         return self
 
     def merge(self, other: "BottomKSample") -> "BottomKSample":

@@ -1,0 +1,138 @@
+"""Sharded anti-join removal — the dedup scale path (round-2 verdict #1).
+
+Above ``broadcast_limit`` the removed-id / keep-map table is hash-
+partitioned into sorted parquet shards written DISTRIBUTED, and the
+filter stage loads only the shards each batch touches — replacing the
+driver-set + per-task broadcast that cannot survive web-scale
+duplication rates. These tests prove the shard path kicks in and is
+bit-identical to the broadcast path on a high-duplication corpus.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from presto_bloomfilter_ray.functions import exact_dedup, minhash_dedup
+from presto_bloomfilter_ray.functions.dedup import (
+    _min_bands_screen,
+    _n_shards_for,
+    _pow2,
+    _shard_lookup,
+    _write_key_shards,
+)
+
+
+def _high_dup_corpus(n_docs=600, n_distinct=80, seed=11):
+    """~87% duplicate corpus: every distinct text repeated many times.
+    Distinct texts are genuinely dissimilar (random word draws), so
+    LSH buckets stay within exact-dup groups."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{j:03d}" for j in range(400)]
+    texts = [" ".join(rng.choice(vocab, size=40, replace=True))
+             for _ in range(n_distinct)]
+    rows = [{"doc_id": i, "text": texts[int(rng.integers(0, n_distinct))]}
+            for i in range(n_docs)]
+    return rows
+
+
+def test_exact_dedup_sharded_matches_broadcast(ray_session, tmp_path):
+    import ray.data as rd
+
+    rows = _high_dup_corpus()
+    ds = rd.from_items(rows).repartition(7)
+    kept_bcast = sorted(r["doc_id"] for r in exact_dedup(
+        ds, broadcast_limit=10**9).take_all())
+    work = str(tmp_path / "exact-shards")
+    kept_shard = sorted(r["doc_id"] for r in exact_dedup(
+        ds, broadcast_limit=0, work_dir=work).take_all())
+    assert kept_shard == kept_bcast
+    assert len(kept_shard) == 80  # one per distinct text
+    # the shard path actually ran: shards exist on disk
+    shards = [f for f in os.listdir(work) if f.endswith(".parquet")]
+    assert len(shards) >= 8
+
+
+def test_minhash_dedup_sharded_matches_broadcast(ray_session, tmp_path):
+    import ray.data as rd
+
+    rows = _high_dup_corpus(n_docs=300, n_distinct=30)
+    ds = rd.from_items(rows).repartition(5)
+    kept_bcast, map_bcast = minhash_dedup(ds, threshold=0.9,
+                                          broadcast_limit=10**9)
+    work = str(tmp_path / "mh-shards")
+    kept_shard, map_shard = minhash_dedup(ds, threshold=0.9,
+                                          broadcast_limit=0, work_dir=work)
+    ids_b = sorted(r["doc_id"] for r in kept_bcast.take_all())
+    ids_s = sorted(r["doc_id"] for r in kept_shard.take_all())
+    assert ids_s == ids_b
+    assert map_shard == map_bcast
+    assert len(ids_s) <= 30 + 5  # near-dup collapse bounded by distinct count
+    shards = [f for f in os.listdir(work) if f.endswith(".parquet")]
+    assert len(shards) >= 8
+
+
+def test_shard_lookup_roundtrip(ray_session, tmp_path):
+    """Direct contract of the shard machinery: membership + keep values
+    survive the distributed write, including negative hash keys."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    keys = np.array([-(2**62) - 5, -17, 0, 3, 9, 2**62 + 1], dtype=np.int64)
+    keeps = np.arange(100, 106, dtype=np.int64)
+    work = str(tmp_path / "kv")
+    _write_key_shards(
+        rd.from_arrow(pa.table({"key": keys, "keep": keeps})),
+        work, n_shards=8, has_keep=True)
+    probe = np.array([-17, 4, 2**62 + 1, 0, 12345], dtype=np.int64)
+    found, keep = _shard_lookup(probe, work, 8, has_keep=True)
+    assert found.tolist() == [True, False, True, True, False]
+    assert keep[found].tolist() == [101, 105, 102]
+
+
+def test_pow2_and_shard_sizing():
+    assert [_pow2(n) for n in (1, 2, 3, 48, 64, 65)] == [1, 2, 4, 64, 64, 128]
+    assert _n_shards_for(10) == 8
+    assert _n_shards_for(50_000_000) == 32  # ~2M entries per shard
+    assert _n_shards_for(10**11) == 4096  # capped
+
+
+def test_min_bands_screen_derivation():
+    """Screen strength from the exact binomial tail + deterministic cap
+    (round-2 advice: the fixed rule's tail claim was off ~5 orders)."""
+    from math import comb
+
+    for bands, num_perm, min_est in [(32, 128, 0.8), (32, 128, 0.9),
+                                     (16, 64, 0.7), (8, 128, 0.95)]:
+        m = _min_bands_screen(bands, num_perm, min_est)
+        r = num_perm // bands
+        p = min_est ** r
+        # tail: P(Binom(bands, p) < m) < 1e-5 at exactly the threshold.
+        # m == 1 is 'no screen' (a candidate needs >= 1 collision to
+        # exist at all) — its tail is LSH's inherent recall, not the
+        # screen's drop probability.
+        if m > 1:
+            tail = sum(comb(bands, j) * p**j * (1 - p) ** (bands - j)
+                       for j in range(m))
+            assert tail < 1e-5
+        # deterministic cap: any pair passing est >= min_est has at
+        # least bands - ceil((1-min_est)*num_perm) intact bands
+        assert m <= max(1, bands - int(np.ceil((1 - min_est) * num_perm)))
+        assert m >= 1
+
+
+@pytest.mark.parametrize("n_parts", [48, 100])
+def test_non_pow2_parts_are_rounded(ray_session, n_parts):
+    """Non-power-of-two n_parts must not silently skew bucketing
+    (round-2 advice: '& (n-1)' with n=48 reaches only 32 buckets)."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import lsh_candidate_pairs
+
+    rows = [{"doc_id": i, "text": f"totally unique text {i} " * 10}
+            for i in range(20)]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    ds = rd.from_items(rows)
+    edges = lsh_candidate_pairs(ds, min_est=0.9, n_parts=n_parts).to_pandas()
+    assert (0, 100) in set(zip(edges["a"], edges["b"]))

@@ -35,6 +35,31 @@ def test_sample_is_subset_and_duplicates_collapse():
     assert len(s.sample()) == 10
 
 
+def test_duplicate_heavy_batch_keeps_all_distinct():
+    """Regression (round-2 advice): a batch of few distinct values
+    repeated many times must keep every distinct item, not just the
+    lowest-hash ones — the old pre-trim-then-dedupe dropped them."""
+    vals = pa.array([f"v{i}" for i in range(8)] * 512)  # 4096 rows, 8 distinct
+    s = BottomKSample(100).update_arrow(vals)
+    assert sorted(s.sample()) == sorted(f"v{i}" for i in range(8))
+    # and the result is identical to feeding the distinct set directly
+    d = BottomKSample(100).update_arrow(pa.array([f"v{i}" for i in range(8)]))
+    assert s.sample() == d.sample()
+
+
+def test_duplicate_heavy_partitioning_invariance():
+    """Sample must be a pure function of the distinct item SET,
+    regardless of duplicate multiplicity or batch composition."""
+    base = [f"doc-{i:04d}" for i in range(300)]
+    serial = BottomKSample(50).update_arrow(pa.array(base))
+    # same distinct set, but delivered as skewed duplicate-heavy batches
+    heavy = BottomKSample(50)
+    heavy.update_arrow(pa.array(base[:4] * 2000))        # > 2k rows, 4 distinct
+    heavy.update_arrow(pa.array(base * 7))               # everything, x7
+    heavy.update_arrow(pa.array(base[250:] * 100))
+    assert heavy.sample() == serial.sample()
+
+
 def test_envelope_roundtrip_and_unicode():
     s = BottomKSample(5)
     s.update_arrow(pa.array(["汉字", "café", "plain", "", None, "x"]))
