@@ -144,13 +144,38 @@ def _merge_block_fn():
     return merge_block
 
 
+def _merge_tree(partials, fan_in: int, merge_rounds: Optional[int]):
+    """Shrink a one-envelope-per-row partials Dataset through fan-in
+    merge rounds until ≤ ``fan_in`` envelopes remain for the driver
+    fold. ``merge_rounds=None`` (default) is ADAPTIVE: rounds run
+    until the count bound holds BY CONSTRUCTION (round-2 verdict #5 —
+    a fixed depth only bounds the driver fold by configuration; 10^6
+    map blocks with depth 2 would still leave ~10^3 envelopes). Each
+    round's inputs are one-row envelope blocks, so the inter-round
+    ``materialize``/count is metadata-cheap. An int pins the depth
+    explicitly (tuning/tests)."""
+    if merge_rounds is not None:
+        for _ in range(max(0, merge_rounds)):
+            partials = partials.map_batches(
+                _merge_block_fn(), batch_format="pyarrow", batch_size=fan_in)
+        return partials
+    partials = partials.materialize()
+    n = partials.count()
+    while n > fan_in:
+        partials = partials.map_batches(
+            _merge_block_fn(), batch_format="pyarrow", batch_size=fan_in
+        ).materialize()
+        n = partials.count()
+    return partials
+
+
 def build_sketch(
     ds,
     col: str,
     factory: SketchFactory,
     batch_size: Optional[int] = None,
     fan_in: int = 32,
-    merge_rounds: int = 2,
+    merge_rounds: Optional[int] = None,
     concurrency: Optional[int] = None,
 ) -> Sketch:
     """Global sketch over a Dataset column, scale path.
@@ -158,10 +183,12 @@ def build_sketch(
     read → ``map_batches`` partials (one serialized sketch per batch,
     ``batch_size=None`` = whole block) → parallel merge tree with
     ``fan_in`` (each round is a ``map_batches(batch_size=fan_in)`` over
-    the partials dataset, merging fan_in envelopes into one) → final
-    driver merge of ≤ fan_in envelopes. Mirrors the reference's
-    accumulate → exchange-serialized-state → combine pipeline
-    (SURVEY §3.1) with a bounded-depth tree instead of a single reducer.
+    the partials dataset, merging fan_in envelopes into one; depth is
+    adaptive — see :func:`_merge_tree`) → final driver merge of
+    ≤ fan_in envelopes, a bound that holds by construction. Mirrors
+    the reference's accumulate → exchange-serialized-state → combine
+    pipeline (SURVEY §3.1) with a bounded-depth tree instead of a
+    single reducer.
     """
     if concurrency is not None:
         partials = ds.map_batches(
@@ -172,16 +199,7 @@ def build_sketch(
         partials = ds.map_batches(
             _partial_fn(factory, col), batch_format="pyarrow", batch_size=batch_size
         )
-    # Bound the tree depth: each round is a parallel map_batches that
-    # merges ``fan_in`` one-row partial blocks into one; ``merge_rounds``
-    # rounds shrink the count by fan_in^rounds (32^2 = 1024x by default,
-    # enough that even a 10^6-block input leaves only ~10^3 envelopes
-    # for the final driver-side fold). Rounds are cheap no-ops when the
-    # partial count is already small.
-    for _ in range(max(0, merge_rounds)):
-        partials = partials.map_batches(
-            _merge_block_fn(), batch_format="pyarrow", batch_size=fan_in
-        )
+    partials = _merge_tree(partials, fan_in, merge_rounds)
     blobs = [r["sketch"] for r in partials.take_all()]
     if not blobs:
         return factory()
@@ -307,15 +325,16 @@ def salted_grouped_sketch(
 
 
 def merge_serialized_column(ds, col: str = "sketch", fan_in: int = 32,
-                            merge_rounds: int = 2) -> Optional[Sketch]:
+                            merge_rounds: Optional[int] = None) -> Optional[Sketch]:
     """Union a column of serialized sketches — the reference's
     ``bloom_filter_from_string`` / ``bloom_filter_load`` aggregation
     shape (``BloomFilterFromString.java:30-38``).
 
     Distributed: each batch merges its envelopes into one partial
-    (map-side combine), then the same bounded-depth fan-in tree as
-    :func:`build_sketch` shrinks the partials; only ≤ ``fan_in``
-    envelopes reach the driver for the final fold.
+    (map-side combine), then the same fan-in tree as
+    :func:`build_sketch` (adaptive depth, see :func:`_merge_tree`)
+    shrinks the partials; ≤ ``fan_in`` envelopes reach the driver for
+    the final fold, by construction.
     """
 
     def merge_batch(batch: pa.Table) -> pa.Table:
@@ -330,9 +349,7 @@ def merge_serialized_column(ds, col: str = "sketch", fan_in: int = 32,
 
     partials = ds.select_columns([col]).map_batches(
         merge_batch, batch_format="pyarrow")
-    for _ in range(max(0, merge_rounds)):
-        partials = partials.map_batches(
-            _merge_block_fn(), batch_format="pyarrow", batch_size=fan_in)
+    partials = _merge_tree(partials, fan_in, merge_rounds)
     acc: Optional[Sketch] = None
     for row in partials.take_all():
         sk = deserialize(row["sketch"])

@@ -19,30 +19,43 @@ nulls.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
 
 def _index_right(right_df, key: str, ts: str, value_cols: List[str]):
-    """→ dict key → (sorted ts int64 array, {col: values array})."""
+    """Broadcast layout for the as-of probe: the right side globally
+    sorted by (key, ts), keys run-length encoded.
+
+    → (sorted unique keys, per-key offsets (len(ukeys)+1), global ts
+    int64 µs array, {col: Arrow array}). A probe match is a GLOBAL row
+    position, so value attach is one vectorized ``pc.take`` per column
+    with null-masked indices — no per-row Python objects (round-2
+    verdict #4)."""
     import pandas as pd
 
-    out: Dict = {}
-    right_df = right_df.copy()
+    df = right_df.copy()
     # normalize to µs epoch ints regardless of pandas' ns default, so
     # comparisons line up with Arrow timestamp[us] on the left side
-    right_df[ts] = pd.to_datetime(right_df[ts]).astype("datetime64[us]")
-    for k, g in right_df.groupby(key, sort=False):
-        g = g.sort_values(ts, kind="stable")
-        out[k] = (
-            g[ts].astype("int64").to_numpy(),
-            {c: g[c].to_numpy() for c in value_cols},
-        )
-    return out
+    df[ts] = pd.to_datetime(df[ts]).astype("datetime64[us]")
+    df = df.sort_values([key, ts], kind="stable").reset_index(drop=True)
+    n = len(df)
+    karr = df[key].to_numpy()
+    if n == 0:
+        return (karr, np.zeros(1, dtype=np.int64),
+                np.zeros(0, dtype=np.int64),
+                {c: pa.Array.from_pandas(df[c]) for c in value_cols})
+    first = np.ones(n, dtype=bool)
+    first[1:] = karr[1:] != karr[:-1]
+    starts = np.flatnonzero(first).astype(np.int64)
+    offsets = np.concatenate([starts, [n]])
+    return (karr[starts], offsets, df[ts].astype("int64").to_numpy(),
+            {c: pa.Array.from_pandas(df[c]) for c in value_cols})
 
 
 def range_join(left_ds, intervals_df, on: str, lo: str = "lo", hi: str = "hi",
@@ -62,20 +75,27 @@ def range_join(left_ds, intervals_df, on: str, lo: str = "lo", hi: str = "hi",
     his = iv[hi].to_numpy()
     if (his[:-1] > los[1:]).any():
         raise ValueError("intervals overlap; range_join requires disjoint intervals")
-    vals = {c: iv[c].to_numpy() for c in value_cols}
+    vals = {c: pa.Array.from_pandas(iv[c]) for c in value_cols}
     ref = ray.put((los, his, vals))
 
     def probe(batch: pa.Table) -> pa.Table:
         L, H, V = ray.get(ref)
+        n = batch.num_rows
+        if n == 0:
+            out = batch
+            for c in value_cols:
+                out = out.append_column(f"{c}{suffix}", pa.nulls(0, V[c].type))
+            return out
         x = np.asarray(batch.column(on).cast(pa.float64()))
         idx = np.searchsorted(L, x, side="right") - 1
         idx_c = np.clip(idx, 0, len(L) - 1)
         ok = (idx >= 0) & (x < H[idx_c])
+        # null indices → null outputs: one vectorized take per column,
+        # no per-row object materialization
+        indices = pa.array(idx_c, mask=~ok)
         out = batch
         for c in value_cols:
-            col = np.full(batch.num_rows, None, dtype=object)
-            col[ok] = V[c][idx_c[ok]]
-            out = out.append_column(f"{c}{suffix}", pa.array(list(col)))
+            out = out.append_column(f"{c}{suffix}", pc.take(V[c], indices))
         return out
 
     return left_ds.map_batches(probe, batch_format="pyarrow")
@@ -94,17 +114,27 @@ def asof_join(left_ds, right_df, key: str, ts: str, value_cols: List[str],
     ref = ray.put(idx)
 
     def probe(batch: pa.Table) -> pa.Table:
-        index = ray.get(ref)
+        ukeys, offsets, rts, rvals = ray.get(ref)
         n = batch.num_rows
+        if n == 0:  # map operators usually skip empty blocks; be safe
+            out = batch.append_column(f"{ts}{suffix}",
+                                      pa.nulls(0, pa.timestamp("us")))
+            for c in value_cols:
+                out = out.append_column(f"{c}{suffix}",
+                                        pa.nulls(0, rvals[c].type))
+            return out
         kcol = batch.column(key)
         # unify units: whatever timestamp resolution the source block
         # carries, compare in µs (arrow rescales on timestamp casts)
         ts_vals = np.asarray(batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64()))
-        matched_ts = np.full(n, np.nan)
-        matched_vals = {c: np.full(n, None, dtype=object) for c in value_cols}
-        # group probe rows into key runs: numeric keys sort in numpy
-        # (no per-row Python comparisons); others fall back to object
-        if (pa.types.is_integer(kcol.type) or pa.types.is_floating(kcol.type)):
+        match_pos = np.full(n, -1, dtype=np.int64)  # global right-row index
+        # group probe rows into key runs: null-free numeric keys sort
+        # in numpy (np.asarray on a NULLABLE int column would yield
+        # float64 and merge adjacent keys above 2^53 — round-2 advice);
+        # everything else takes the object path, null keys unmatched
+        numeric = (pa.types.is_integer(kcol.type)
+                   or pa.types.is_floating(kcol.type))
+        if numeric and kcol.null_count == 0:
             karr = np.asarray(kcol)
             order = np.argsort(karr, kind="stable")
             sorted_keys = karr[order]
@@ -113,40 +143,45 @@ def asof_join(left_ds, right_df, key: str, ts: str, value_cols: List[str],
             key_of_run = lambda s: sorted_keys[s].item()  # noqa: E731
         else:
             keys = kcol.to_pylist()
-            order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
-            sk = [keys[i] for i in order]
-            run_starts = np.concatenate(
-                ([0], [i for i in range(1, n) if sk[i] != sk[i - 1]], [n])
-            ).astype(np.int64)
-            key_of_run = lambda s: sk[s]  # noqa: E731
+            nn = [i for i in range(n) if keys[i] is not None]
+            order = np.array(sorted(nn, key=keys.__getitem__), dtype=np.int64)
+            m = len(order)
+            if m == 0:
+                run_starts = np.zeros(1, dtype=np.int64)
+            else:
+                sk = [keys[i] for i in order]
+                run_starts = np.concatenate(
+                    ([0], [i for i in range(1, m) if sk[i] != sk[i - 1]], [m])
+                ).astype(np.int64)
+            key_of_run = lambda s: keys[order[s]]  # noqa: E731
         for r in range(len(run_starts) - 1):
             i, j = int(run_starts[r]), int(run_starts[r + 1])
             rows = order[i:j]
-            entry = index.get(key_of_run(i))
-            if entry is None:
+            kval = key_of_run(i)
+            ki = int(np.searchsorted(ukeys, kval))
+            if ki >= len(ukeys) or ukeys[ki] != kval:
                 continue
-            rts, rvals = entry
+            lo, hi = int(offsets[ki]), int(offsets[ki + 1])
+            seg = rts[lo:hi]
             if direction == "backward":
-                pos = np.searchsorted(rts, ts_vals[rows], side="right") - 1
+                pos = np.searchsorted(seg, ts_vals[rows], side="right") - 1
                 ok = pos >= 0
             else:
-                pos = np.searchsorted(rts, ts_vals[rows], side="left")
-                ok = pos < len(rts)
-            sel = rows[ok]
-            p = pos[ok]
-            matched_ts[sel] = rts[p].astype(np.float64)
-            for c in value_cols:
-                matched_vals[c][sel] = rvals[c][p]
-        valid = ~np.isnan(matched_ts)
+                pos = np.searchsorted(seg, ts_vals[rows], side="left")
+                ok = pos < len(seg)
+            match_pos[rows[ok]] = lo + pos[ok]
+        valid = match_pos >= 0
         ts_out = np.zeros(n, dtype=np.int64)
-        ts_out[valid] = matched_ts[valid].astype(np.int64)
+        ts_out[valid] = rts[match_pos[valid]]
         out = batch.append_column(
             f"{ts}{suffix}",
             pa.Array.from_pandas(  # masked int64 → timestamp, no row loop
                 ts_out, mask=~valid, type=pa.timestamp("us")),
         )
+        # one vectorized take per value column: null indices → nulls
+        indices = pa.array(np.where(valid, match_pos, 0), mask=~valid)
         for c in value_cols:
-            out = out.append_column(f"{c}{suffix}", pa.array(list(matched_vals[c])))
+            out = out.append_column(f"{c}{suffix}", pc.take(rvals[c], indices))
         return out
 
     return left_ds.map_batches(probe, batch_format="pyarrow")
@@ -170,6 +205,9 @@ def asof_join_bucketed(left_ds, right_ds, key: str, ts: str,
 
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    from .dedup import _pow2
+
+    n_buckets = _pow2(n_buckets)  # '& (n-1)' masks need a power of two
     left_schema = left_ds.schema()
     left_cols = list(left_schema.names)
     left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}

@@ -66,14 +66,27 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, vec_col: str = "embedding",
     return partials.head(k).reset_index(drop=True)
 
 
-def _sample_centroids(ds, vec_col: str, ncentroids: int,
-                      sample_fraction: float = 0.2, iters: int = 5,
-                      seed: int = 7) -> np.ndarray:
-    """Coarse k-means centroids from a corpus sample — a few Lloyd
-    iterations on the driver (the sample and centroids are tiny)."""
-    sample = ds.select_columns([vec_col]).random_sample(
-        sample_fraction, seed=seed).to_pandas()
-    m = _l2norm(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+def _bounded_sample_matrix(ds, vec_col: str, sample_fraction: float,
+                           max_sample_rows: int, seed: int) -> np.ndarray:
+    """Corpus sample as an (n, d) normalized float32 matrix, bounded by
+    an ABSOLUTE row budget: the driver materializes at most
+    ``max_sample_rows`` rows no matter the corpus size (a bare
+    fraction pulls terabytes at 10^10 vectors — round-2 verdict #2).
+    The fraction is scaled by the known row count and a hard ``limit``
+    backstops the Bernoulli sampler's tail."""
+    n_rows = ds.count()
+    frac = min(sample_fraction, max_sample_rows / max(1, n_rows))
+    sample = (
+        ds.select_columns([vec_col])
+        .random_sample(frac, seed=seed)
+        .limit(max_sample_rows)
+        .to_pandas()
+    )
+    return _l2norm(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+
+
+def _lloyd(m: np.ndarray, ncentroids: int, iters: int, seed: int) -> np.ndarray:
+    """A few Lloyd iterations over the (bounded) sample matrix."""
     rng = np.random.default_rng(seed)
     c = m[rng.choice(len(m), size=min(ncentroids, len(m)), replace=False)]
     for _ in range(iters):
@@ -84,6 +97,19 @@ def _sample_centroids(ds, vec_col: str, ncentroids: int,
                 c[j] = sel.mean(axis=0)
         c = _l2norm(c)
     return c
+
+
+def _sample_centroids(ds, vec_col: str, ncentroids: int,
+                      sample_fraction: float = 0.2, iters: int = 5,
+                      seed: int = 7,
+                      max_sample_rows: int = 65_536) -> np.ndarray:
+    """Coarse k-means centroids from a BOUNDED corpus sample — a few
+    Lloyd iterations on the driver (the sample is capped at
+    ``max_sample_rows`` rows, so centroids build in constant driver
+    memory regardless of corpus size)."""
+    m = _bounded_sample_matrix(ds, vec_col, sample_fraction,
+                               max_sample_rows, seed)
+    return _lloyd(m, ncentroids, iters, seed)
 
 
 def cosine_neardup_pairs_ivf(ds, threshold: float = 0.99,
@@ -218,18 +244,11 @@ class IVFIndex:
         self.centroids: Optional[np.ndarray] = None
 
     def build(self, ds, vec_col: str = "embedding", id_col: str = "vec_id",
-              sample_fraction: float = 0.1, iters: int = 5, seed: int = 7):
-        sample = ds.random_sample(sample_fraction, seed=seed).to_pandas()
-        m = _l2norm(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
-        rng = np.random.default_rng(seed)
-        c = m[rng.choice(len(m), size=min(self.ncentroids, len(m)), replace=False)]
-        for _ in range(iters):
-            assign = np.argmax(m @ c.T, axis=1)
-            for j in range(len(c)):
-                sel = m[assign == j]
-                if len(sel):
-                    c[j] = sel.mean(axis=0)
-            c = _l2norm(c)
+              sample_fraction: float = 0.1, iters: int = 5, seed: int = 7,
+              max_sample_rows: int = 65_536):
+        m = _bounded_sample_matrix(ds, vec_col, sample_fraction,
+                                   max_sample_rows, seed)
+        c = _lloyd(m, self.ncentroids, iters, seed)
         self.centroids = c
         cref = ray.put(c)
 

@@ -211,9 +211,12 @@ def clean_text(batch: pa.Table, text_col: str = "text",
     pipeline; matches DuckDB ``nfc_normalize`` + regexp cleanup).
 
     Control/whitespace cleanup is vectorized Arrow regex; NFC goes
-    through ``unicodedata`` guarded by the C-speed ``is_normalized``
-    check (this build's ``pc.utf8_normalize`` is a no-op), so already-
-    NFC text — virtually all web text — pays one fast check per row.
+    through ``unicodedata`` guarded by two screens (this build's
+    ``pc.utf8_normalize`` is a no-op): a per-batch ASCII screen
+    (``pc.match_substring_regex`` — ASCII is NFC by definition, so
+    pure-ASCII batches and rows skip Python entirely; round-2 verdict
+    #6), then the C-speed ``is_normalized`` check on the flagged rows
+    only. Rows are rebuilt only when something actually changed.
     """
     import unicodedata
 
@@ -221,13 +224,26 @@ def clean_text(batch: pa.Table, text_col: str = "text",
     txt = pc.replace_substring_regex(txt, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
     txt = pc.replace_substring_regex(txt, r"\s+", " ")
     txt = pc.utf8_trim_whitespace(txt)
-    vals = txt.to_pylist()
-    fixed = [
-        v if v is None or unicodedata.is_normalized("NFC", v)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = txt.cast(pa.string())
+    flagged = pc.fill_null(
+        pc.match_substring_regex(txt, r"[^\x00-\x7F]"), False)
+    if not pc.any(flagged).as_py():  # pure-ASCII batch: already NFC
+        return set_column(batch, out_col, txt)
+    idxs = np.flatnonzero(np.asarray(flagged))
+    sub = txt.take(pa.array(idxs)).to_pylist()
+    fixed_sub = [
+        v if unicodedata.is_normalized("NFC", v)
         else unicodedata.normalize("NFC", v)
-        for v in vals
+        for v in sub
     ]
-    return set_column(batch, out_col, pa.array(fixed, type=pa.string()))
+    if fixed_sub == sub:  # non-ASCII but already NFC: no rebuild
+        return set_column(batch, out_col, txt)
+    vals = txt.to_pylist()
+    for i, v in zip(idxs, fixed_sub):
+        vals[i] = v
+    return set_column(batch, out_col, pa.array(vals, type=pa.string()))
 
 
 def word_count(ds, text_col: str = "text", top_k: Optional[int] = None):

@@ -41,6 +41,16 @@ class ThetaSketch(Sketch):
         )  # sorted, distinct, len <= k
 
     def _absorb(self, h: np.ndarray) -> None:
+        if h.size == 0:
+            return
+        if self.values.size >= self.k:
+            # saturated: only hashes below the current θ cutoff can
+            # enter the bottom-k — pre-filter so the O(k log k) union
+            # re-sort runs over the few candidates, not the whole
+            # batch (round-2 verdict #7)
+            h = h[h < self.values[-1]]
+            if h.size == 0:
+                return
         merged = np.union1d(self.values, h)  # sorted distinct
         self.values = merged[: self.k]
 

@@ -93,3 +93,33 @@ def test_tdigest_through_ray_pipeline(ray_session, sf_dir, duck):
     for q in (0.1, 0.5, 0.9):
         rank_err = abs((vals <= td.quantile(q)).mean() - q)
         assert rank_err < 3 * td.rank_error_bound()
+
+
+def test_adaptive_merge_tree_bounds_driver_fold(ray_session):
+    """Round-2 verdict #5: with merge_rounds=None (default) the fan-in
+    tree must leave <= fan_in envelopes for the driver fold BY
+    CONSTRUCTION — here 10^4 synthetic one-item HLL partials."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from presto_bloomfilter_ray import HyperLogLog, deserialize
+    from presto_bloomfilter_ray.engine.agg import _merge_tree
+
+    n = 10_000
+    blobs = [HyperLogLog(10).update_arrow(pa.array([f"item-{i}"])).serialize()
+             for i in range(n)]
+    partials = rd.from_arrow(pa.table(
+        {"sketch": pa.array(blobs, type=pa.large_binary())}))
+    out = _merge_tree(partials, fan_in=32, merge_rounds=None)
+    n_left = out.count()
+    assert n_left <= 32
+    acc = None
+    for r in out.take_all():
+        sk = deserialize(r["sketch"])
+        acc = sk if acc is None else acc.merge(sk)
+    est = acc.estimate()
+    assert abs(est - n) / n <= 3 * HyperLogLog(10).relative_error_bound()
+
+    # explicit int depth still honored (tuning/back-compat): depth 0 is
+    # a no-op tree
+    assert _merge_tree(partials, fan_in=32, merge_rounds=0).count() == n

@@ -39,6 +39,33 @@ def test_ivf_index_build_and_search(ray_session, sf_dir, duck, tmp_path):
     assert res["score"].iloc[0] == pytest.approx(1.0, abs=1e-5)
 
 
+def test_centroid_sample_bounded_by_row_budget(ray_session):
+    """Round-2 verdict #2: centroid sampling must materialize at most
+    ``max_sample_rows`` rows on the driver regardless of corpus size
+    or fraction — a bare fraction pulls terabytes at 10^10 vectors."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.similarity import (
+        _bounded_sample_matrix,
+        _sample_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(5000, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(rng.normal(size=5000 * 8).astype(np.float32)), 8),
+    })
+    ds = rd.from_arrow(tbl)
+    m = _bounded_sample_matrix(ds, "embedding", sample_fraction=1.0,
+                               max_sample_rows=200, seed=7)
+    assert m.shape[0] <= 200
+    c = _sample_centroids(ds, "embedding", ncentroids=4,
+                          sample_fraction=1.0, max_sample_rows=200)
+    assert c.shape == (4, 8)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
+
+
 def test_image_decode_stage_plumbing(ray_session):
     import ray.data as rd
 
