@@ -1119,9 +1119,15 @@ def _webpages_suite(sf_dir: str):
     lens = duckdb.sql(
         f"select length(text) n from '{path}/*.parquet'").df()["n"].to_numpy()
     p50_rank = float((lens <= td_p50).mean())
+    n_langs_exact = duckdb.sql(
+        f"select count(distinct lang) from '{path}/*.parquet'").fetchone()[0]
+    # every column is deterministic and oracle-checkable (round-2
+    # verdict #3): ``rows`` equals greatest(2000, count(documents)*4)
+    # in SQL; lang coverage and the sketch estimates become
+    # exact-reference booleans (same pattern as hll_per_host)
     return pd.DataFrame({
         "rows": [int(s["rows"])],
-        "n_langs": [len(s["langs"])],
+        "n_langs_ok": [bool(len(s["langs"]) == int(n_langs_exact))],
         "hll_urls_ok": [bool(abs(s["distinct_urls_hll"] - exact["du"])
                              / max(1, exact["du"]) <= hll_bound)],
         "hll_hosts_ok": [bool(abs(s["distinct_hosts_hll"] - exact["dh"])
@@ -1522,8 +1528,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT TRUE AS n_hosts_gt_500, TRUE AS all_hosts_covered,
                    TRUE AS all_within_bound
         """,
-        # webpages_suite stays rows-only: its input is the generated
-        # webpages table (not a registered driver view), so exact
-        # references are computed inside the query and surfaced as
-        # booleans, but rows/n_langs depend on the generated table.
+        # webpages_suite input is the generated webpages table (not a
+        # registered driver view); exact references are computed inside
+        # the query and surfaced as booleans, and the one value column
+        # (rows) is a pure function of count(documents) — so the
+        # flagship pipeline is fully oracle-checked too.
+        "webpages_suite": """
+            SELECT CAST(greatest(2000, count(*) * 4) AS BIGINT) AS rows,
+                   TRUE AS n_langs_ok,
+                   TRUE AS hll_urls_ok,
+                   TRUE AS hll_hosts_ok,
+                   TRUE AS textlen_p50_rank_ok,
+                   TRUE AS probe_no_false_negatives
+            FROM documents
+        """,
     }
