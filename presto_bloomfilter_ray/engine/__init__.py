@@ -16,9 +16,12 @@ from .ops import (
     semi_join,
     to_base64,
 )
+from .http_service import HttpStore, SketchHTTPService
 from .store import ActorKVStore, SketchStore, open_store
 
 __all__ = [
+    "HttpStore",
+    "SketchHTTPService",
     "SketchAgg",
     "SketchPartialBuilder",
     "salted_grouped_sketch",

@@ -220,8 +220,14 @@ class ActorKVStore(_StoreSugar):
 
 def open_store(uri: str):
     """Backend dispatch (reference ``ibackend.go:18-29`` / ``conf.go``):
-    ``actor://<name>`` → :class:`ActorKVStore`; anything else (local
-    path or pyarrow.fs URI) → :class:`SketchStore`."""
+    ``actor://<name>`` → :class:`ActorKVStore`; ``http(s)://…`` →
+    :class:`~.http_service.HttpStore` (the reference persist-service
+    wire protocol); anything else (local path or pyarrow.fs URI) →
+    :class:`SketchStore`."""
     if uri.startswith("actor://"):
         return ActorKVStore(uri[len("actor://"):] or "sketch-kv")
+    if uri.startswith(("http://", "https://")):
+        from .http_service import HttpStore
+
+        return HttpStore(uri)
     return SketchStore(uri)
