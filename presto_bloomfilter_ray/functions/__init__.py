@@ -1,3 +1,4 @@
+from .components import connected_components, connected_components_ds
 from .dedup import (
     add_content_hash,
     exact_dedup,

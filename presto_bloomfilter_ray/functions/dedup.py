@@ -682,24 +682,57 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                   text_col: str = "text", id_col: str = "doc_id",
                   distributed_cc: bool = True,
                   broadcast_limit: int = 2_000_000,
-                  work_dir: Optional[str] = None):
+                  work_dir: Optional[str] = None,
+                  cc_backend: str = "driver"):
     """Near-dup removal: keep one representative (min id) per connected
     component of the ≥threshold candidate graph. Returns (deduped_ds,
     dup_map) where dup_map maps candidate id → its component's kept id.
 
     End-to-end distributed: candidate generation, verification
     (:func:`lsh_candidate_pairs` — edge Dataset, no driver rows) and
-    clustering (min-label propagation over the edge Dataset). The only
-    driver state is the component label table (one int per CANDIDATE
-    node — bounded by real near-duplication, not corpus size) used to
-    build ``dup_map`` and the broadcast removed-id filter.
-    ``distributed_cc=False`` swaps in a driver union-find over the
-    collected edge list (debug / tiny inputs).
+    clustering (min-label propagation over the edge Dataset). With the
+    default ``cc_backend="driver"`` the only driver state is the
+    component label table (one int per CANDIDATE node — bounded by
+    real near-duplication, not corpus size) used to build ``dup_map``
+    and the removed-id filter; ``distributed_cc=False`` swaps in a
+    driver union-find over the collected edge list (debug / tiny
+    inputs).
+
+    ``cc_backend="dataset"`` removes even that: clustering runs as
+    :func:`~.components.connected_components_ds` (labels stay a
+    hash-partitioned Dataset), the removed-id set flows straight into
+    the sharded anti-join (:func:`_write_key_shards`) without EVER
+    touching the driver, and the second return value is the labels
+    **Dataset** ``(node, component)`` instead of a dict — the path for
+    corpora whose candidate-node set itself outgrows driver memory.
     """
+    if cc_backend not in ("driver", "dataset"):
+        raise ValueError(f"unknown cc_backend: {cc_backend!r}")
     edges = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col,
                                 id_col, min_est=threshold).materialize()
     if edges.count() == 0:
-        return ds, {}
+        return ds, ({} if cc_backend == "driver" else None)
+
+    if cc_backend == "dataset":
+        from .components import connected_components_ds
+
+        labels = connected_components_ds(edges).materialize()
+        removed_kv = labels.filter(expr="node != component").map_batches(
+            lambda b: pa.table({"key": b.column("node")}),
+            batch_format="pyarrow").materialize()
+        n_removed = removed_kv.count()
+        if n_removed == 0:
+            return ds, labels
+        shard_dir = work_dir or tempfile.mkdtemp(prefix="minhash-dedup-shards-")
+        n_shards = _n_shards_for(n_removed)
+        _write_key_shards(removed_kv, shard_dir, n_shards, has_keep=False)
+
+        def drop_dups_ds(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col)).astype(np.int64)
+            found, _ = _shard_lookup(ids, shard_dir, n_shards, has_keep=False)
+            return batch.filter(pa.array(~found))
+
+        return ds.map_batches(drop_dups_ds, batch_format="pyarrow"), labels
 
     if distributed_cc:
         from .components import connected_components
