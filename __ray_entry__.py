@@ -487,6 +487,54 @@ def _minhash_dedup_documents(sf_dir: str):
     })
 
 
+def _exact_dedup_sharded(sf_dir: str):
+    """exact_dedup with the sharded anti-join removal path FORCED
+    (broadcast_limit=0): the keep-map never touches the driver — it is
+    hash-partitioned into sorted shards and each filter batch loads
+    only the shards its hashes land in. Must produce byte-identical
+    results to the broadcast path / SQL oracle."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from presto_bloomfilter_ray.functions import exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    deduped = exact_dedup(docs, broadcast_limit=0,
+                          work_dir=tempfile.mkdtemp(prefix="q-exact-shards-"))
+    return deduped.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def _minhash_dedup_dataset_cc(sf_dir: str):
+    """minhash_dedup on the ZERO-driver-state path: clustering via
+    connected_components_ds (labels stay a hash-partitioned Dataset)
+    and removal via the sharded anti-join. Checks the same
+    deterministic contract as minhash_dedup_documents PLUS agreement
+    with the driver-backend labels."""
+    import tempfile
+
+    from presto_bloomfilter_ray.functions import minhash_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept_drv, dup_map = minhash_dedup(docs, threshold=0.9)
+    kept_ds, labels = minhash_dedup(
+        docs, threshold=0.9, cc_backend="dataset",
+        work_dir=tempfile.mkdtemp(prefix="q-mh-shards-"))
+    n_docs = docs.count()
+    n_kept = kept_ds.count()
+    lab_df = labels.to_pandas()
+    got_map = dict(zip(lab_df["node"].astype(int),
+                       lab_df["component"].astype(int)))
+    removed = sum(1 for k, v in got_map.items() if k != v)
+    return pd.DataFrame({
+        "n_docs": [int(n_docs)],
+        "partition_ok": [bool(n_kept + removed == n_docs)],
+        "matches_driver_backend": [bool(
+            got_map == dup_map
+            and n_kept == kept_drv.count())],
+    })
+
+
 def _simhash_candidates_documents(sf_dir: str):
     """SimHash candidates with a deterministic floor: identical
     normalized texts have identical simhashes (hamming 0), land in the
@@ -1188,7 +1236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct_orderkeys": _union_distinct_orderkeys,
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
+        "exact_dedup_sharded": _exact_dedup_sharded,
         "minhash_dedup_documents": _minhash_dedup_documents,
+        "minhash_dedup_dataset_cc": _minhash_dedup_dataset_cc,
         "simhash_candidates_documents": _simhash_candidates_documents,
         "ngram_jaccard_check": _ngram_jaccard_check,
         "text_stats_by_lang": _text_stats_by_lang,
@@ -1334,6 +1384,21 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
                     ORDER BY doc_id) = 1
             ) GROUP BY lang
+        """,
+        # the sharded anti-join path must match the same exact-dedup
+        # oracle bit for bit
+        "exact_dedup_sharded": """
+            SELECT lang, count(*) AS n_docs FROM (
+                SELECT lang FROM documents
+                QUALIFY row_number() OVER (
+                    PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                    ORDER BY doc_id) = 1
+            ) GROUP BY lang
+        """,
+        "minhash_dedup_dataset_cc": """
+            SELECT count(*) AS n_docs, TRUE AS partition_ok,
+                   TRUE AS matches_driver_backend
+            FROM documents
         """,
         "text_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
