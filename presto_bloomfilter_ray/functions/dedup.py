@@ -157,6 +157,20 @@ def _n_shards_for(n_entries: int, target_per_shard: int = 2_000_000) -> int:
     return min(4096, _pow2(max(8, -(-n_entries // target_per_shard))))
 
 
+def _fresh_shard_dir(work_dir: Optional[str], prefix: str) -> str:
+    """A UNIQUE directory per shard build. Two hazards make reuse of a
+    caller's directory unsafe: (1) a re-run with different data only
+    overwrites parts that currently have keys — a stale shard for a
+    now-empty part would silently drop rows; (2) the per-worker shard
+    cache is keyed by (dir, part) and would serve the previous build.
+    So ``work_dir`` is treated as a PARENT (shared storage at scale)
+    and each build gets a fresh uuid subdirectory."""
+    if work_dir is None:
+        return tempfile.mkdtemp(prefix=prefix)
+    os.makedirs(work_dir, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=work_dir)
+
+
 def normalize_text(text_col) -> pa.ChunkedArray:
     """Lowercase + collapse whitespace — shared by all dedup variants."""
     out = pc.utf8_lower(pc.replace_substring_regex(text_col, r"\s+", " "))
@@ -232,7 +246,7 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return ds.map_batches(drop_losers, batch_format="pyarrow")
 
     # sharded anti-join path: keep-map stays distributed end to end
-    shard_dir = work_dir or tempfile.mkdtemp(prefix="exact-dedup-shards-")
+    shard_dir = _fresh_shard_dir(work_dir, "exact-dedup-shards-")
     n_shards = _n_shards_for(n_dups)
     kv = dups_ds.map_batches(
         lambda b: pa.table({"key": b.column("content_hash"),
@@ -731,7 +745,7 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
         n_removed = removed_kv.count()
         if n_removed == 0:
             return ds, labels
-        shard_dir = work_dir or tempfile.mkdtemp(prefix="minhash-dedup-shards-")
+        shard_dir = _fresh_shard_dir(work_dir, "minhash-dedup-shards-")
         n_shards = _n_shards_for(n_removed)
         _write_key_shards(removed_kv, shard_dir, n_shards, has_keep=False)
 
@@ -796,7 +810,7 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     # not replicate it across the cluster.)
     import ray.data as rd
 
-    shard_dir = work_dir or tempfile.mkdtemp(prefix="minhash-dedup-shards-")
+    shard_dir = _fresh_shard_dir(work_dir, "minhash-dedup-shards-")
     n_shards = _n_shards_for(len(removed_arr))
     _write_key_shards(rd.from_arrow(pa.table({"key": removed_arr})),
                       shard_dir, n_shards, has_keep=False)

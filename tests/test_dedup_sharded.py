@@ -23,6 +23,14 @@ from presto_bloomfilter_ray.functions.dedup import (
 )
 
 
+def _all_shards(root):
+    out = []
+    for dirpath, _, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files
+                   if f.endswith(".parquet"))
+    return out
+
+
 def _high_dup_corpus(n_docs=600, n_distinct=80, seed=11):
     """~87% duplicate corpus: every distinct text repeated many times.
     Distinct texts are genuinely dissimilar (random word draws), so
@@ -48,8 +56,9 @@ def test_exact_dedup_sharded_matches_broadcast(ray_session, tmp_path):
         ds, broadcast_limit=0, work_dir=work).take_all())
     assert kept_shard == kept_bcast
     assert len(kept_shard) == 80  # one per distinct text
-    # the shard path actually ran: shards exist on disk
-    shards = [f for f in os.listdir(work) if f.endswith(".parquet")]
+    # the shard path actually ran: shards exist on disk (each build
+    # writes into a fresh uuid subdirectory of work_dir)
+    shards = [f for f in _all_shards(work)]
     assert len(shards) >= 8
 
 
@@ -68,7 +77,7 @@ def test_minhash_dedup_sharded_matches_broadcast(ray_session, tmp_path):
     assert ids_s == ids_b
     assert map_shard == map_bcast
     assert len(ids_s) <= 30 + 5  # near-dup collapse bounded by distinct count
-    shards = [f for f in os.listdir(work) if f.endswith(".parquet")]
+    shards = [f for f in _all_shards(work)]
     assert len(shards) >= 8
 
 
@@ -89,6 +98,34 @@ def test_shard_lookup_roundtrip(ray_session, tmp_path):
     found, keep = _shard_lookup(probe, work, 8, has_keep=True)
     assert found.tolist() == [True, False, True, True, False]
     assert keep[found].tolist() == [101, 105, 102]
+
+
+def test_work_dir_reuse_is_safe(ray_session, tmp_path):
+    """Reusing one work_dir across builds with DIFFERENT data must not
+    serve stale shards (each build writes a fresh uuid subdirectory;
+    a stale shard for a now-empty part would silently drop rows, and
+    the per-worker cache is keyed by directory)."""
+    import ray.data as rd
+
+    work = str(tmp_path / "shared-work")
+    # build 1: heavy duplication — many shards with many keys
+    ds1 = rd.from_items(_high_dup_corpus(n_docs=400, n_distinct=20, seed=1))
+    out1 = sorted(r["doc_id"] for r in exact_dedup(
+        ds1, broadcast_limit=0, work_dir=work).take_all())
+    assert len(out1) == 20
+    # build 2, SAME work_dir: all-unique corpus — nothing may be dropped
+    rows2 = [{"doc_id": i, "text": f"completely unique body {i}"}
+             for i in range(100)]
+    ds2 = rd.from_items(rows2)
+    deduped2 = exact_dedup(ds2, broadcast_limit=0, work_dir=work)
+    # no duplicate groups → exact_dedup short-circuits; every row kept
+    assert sorted(r["doc_id"] for r in deduped2.take_all()) == list(range(100))
+    # build 3, SAME work_dir: a different duplicate structure
+    rows3 = [{"doc_id": i, "text": f"t{i % 7}"} for i in range(70)]
+    out3 = sorted(r["doc_id"] for r in exact_dedup(
+        rd.from_items(rows3), broadcast_limit=0,
+        work_dir=work).take_all())
+    assert out3 == list(range(7))
 
 
 def test_pow2_and_shard_sizing():
