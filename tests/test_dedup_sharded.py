@@ -173,3 +173,45 @@ def test_non_pow2_parts_are_rounded(ray_session, n_parts):
     ds = rd.from_items(rows)
     edges = lsh_candidate_pairs(ds, min_est=0.9, n_parts=n_parts).to_pandas()
     assert (0, 100) in set(zip(edges["a"], edges["b"]))
+
+
+def test_shard_lookup_fuzz_no_ray(tmp_path):
+    """Property check of the lookup math against a Python dict oracle —
+    shards written directly (no Ray), random int64 keys incl. negatives
+    and boundary values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        keys=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=60,
+                      unique=True),
+        probes=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=60),
+        n_shards=st.sampled_from([1, 2, 8, 64]),
+    )
+    def check(keys, probes, n_shards):
+        import tempfile
+
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        keeps = {k: i for i, k in enumerate(keys)}
+        arr = np.array(keys, dtype=np.int64)
+        parts = arr & np.int64(n_shards - 1)
+        for p in np.unique(parts):
+            m = parts == p
+            order = np.argsort(arr[m])
+            pq.write_table(
+                pa.table({"key": pa.array(arr[m][order]),
+                          "keep": pa.array(
+                              np.array([keeps[k] for k in arr[m][order]],
+                                       dtype=np.int64))}),
+                os.path.join(d, f"shard-{int(p):05d}.parquet"))
+        pr = np.array(probes, dtype=np.int64)
+        found, keep = _shard_lookup(pr, d, n_shards, has_keep=True)
+        for i, k in enumerate(probes):
+            assert bool(found[i]) == (k in keeps)
+            if found[i]:
+                assert keep[i] == keeps[k]
+
+    check()
