@@ -67,6 +67,26 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve a sketch store over the reference persist-service wire
+    protocol (PUT/GET /bloomfilter/<key>) for non-engine clients."""
+    from .engine.http_service import SketchHTTPService
+    from .engine.store import open_store
+
+    svc = SketchHTTPService(open_store(args.store), host=args.host,
+                            port=args.port).start()
+    print(json.dumps({"url": svc.url, "store": args.store}), flush=True)
+    try:
+        import time
+
+        while True:  # serve until interrupted
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        svc.stop()
+
+
 def cmd_stats(args) -> int:
     """Introspect a sketch store: keys, sizes, params, estimates."""
     from .engine.store import open_store
@@ -125,6 +145,13 @@ def main(argv=None) -> int:
     t.add_argument("--prefix", default="")
     t.add_argument("--estimates", action="store_true")
     t.set_defaults(fn=cmd_stats, needs_ray=False)
+
+    v = sub.add_parser("serve", help="serve a sketch store over HTTP "
+                       "(reference persist-service wire protocol)")
+    v.add_argument("--store", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8123)
+    v.set_defaults(fn=cmd_serve, needs_ray=False)
 
     args = p.parse_args(argv)
     if getattr(args, "needs_ray", True):

@@ -91,3 +91,43 @@ def test_facade_over_actor_kv(ray_session):
         client.persist(bf, "k1")
         # visible from the Ray side without HTTP
         assert backing.load("k1").might_contain("via-http")
+
+
+def test_cli_serve_roundtrip(tmp_path):
+    """`cli serve` starts the façade on the requested port and a bare
+    client round-trips — no Ray session required."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow as pa
+
+    store_dir = str(tmp_path / "served")
+    bf = BloomFilter(100, 0.01)
+    bf.update_arrow(pa.array(["served-item"]))
+    SketchStore(store_dir).persist(bf, "pre/existing")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "presto_bloomfilter_ray.cli", "serve",
+         "--store", store_dir, "--port", "0"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo")
+    try:
+        line = proc.stdout.readline()
+        url = json.loads(line)["url"]
+        deadline = time.time() + 10
+        client = HttpStore(url)
+        while time.time() < deadline:
+            try:
+                assert client.load("pre/existing").might_contain("served-item")
+                break
+            except OSError:
+                time.sleep(0.2)
+        else:
+            raise AssertionError("server never came up")
+        b2 = BloomFilter(100, 0.01)
+        b2.update_arrow(pa.array(["two"]))
+        client.persist(b2, "new/key")
+        assert SketchStore(store_dir).load("new/key").might_contain("two")
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
