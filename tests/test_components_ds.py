@@ -91,3 +91,22 @@ def test_minhash_dedup_unknown_backend_raises(ray_session):
     ds = rd.from_items([{"doc_id": 0, "text": "x"}])
     with pytest.raises(ValueError):
         minhash_dedup(ds, cc_backend="nope")
+
+
+def test_pointer_jumping_beats_diameter(ray_session):
+    """Pointer jumping converges path graphs in O(log d) rounds: a
+    200-node chain with max_iters=20 (<< diameter) succeeds on both
+    backends; disabling shortcut on the Dataset backend raises instead
+    of silently returning wrong labels."""
+    import ray.data as rd
+
+    chain = pd.DataFrame({"a": np.arange(200, dtype=np.int64),
+                          "b": np.arange(1, 201, dtype=np.int64)})
+    drv = connected_components(chain, max_iters=20)
+    assert (drv["component"] == 0).all() and len(drv) == 201
+    dsb = connected_components_ds(rd.from_pandas(chain), max_iters=20,
+                                  n_parts=4).to_pandas()
+    assert (dsb["component"] == 0).all() and len(dsb) == 201
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components_ds(rd.from_pandas(chain), max_iters=3,
+                                n_parts=4, shortcut=False)
