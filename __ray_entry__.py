@@ -1051,6 +1051,44 @@ def _quantiles_textlen(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _topk_words_misra_gries(sf_dir: str):
+    """Misra-Gries heavy hitters over the corpus's words, built through
+    the distributed merge tree. Deterministic contract vs exact DuckDB
+    counts: every counter is a lower bound within N/k, and every word
+    with true frequency > N/k is guaranteed tracked."""
+    import duckdb
+
+    from presto_bloomfilter_ray import TopK
+    from presto_bloomfilter_ray.engine import build_sketch
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w = pc.list_flatten(pc.split_pattern_regex(b.column("text"), r"\s+"))
+        return pa.table({"word": w.filter(pc.not_equal(w, ""))})
+
+    ds = docs.map_batches(words, batch_format="pyarrow")
+    sk = build_sketch(ds, "word", lambda: TopK(200))
+    exact = duckdb.sql(f"""
+        select word, count(*) n from (
+            select unnest(regexp_extract_all(text, '\\S+')) word
+            from '{sf_dir}/documents.parquet')
+        group by word
+    """).df()
+    counts = dict(zip(exact["word"], exact["n"].astype(int)))
+    n_total = int(exact["n"].sum())
+    bound = n_total / 200
+    tracked = dict(sk.top())
+    lower_ok = all(c <= counts.get(w, 0) and counts.get(w, 0) - c <= bound
+                   for w, c in tracked.items())
+    heavy_ok = all(w in tracked for w, f in counts.items() if f > bound)
+    return pd.DataFrame({
+        "n_words": [n_total],
+        "counters_within_bound": [bool(lower_ok and sk.total == n_total)],
+        "all_heavy_hitters_tracked": [bool(heavy_ok)],
+    })
+
+
 def _bottomk_sample_orderkeys(sf_dir: str):
     """Mergeable deterministic uniform sampling (bottom-k by content
     hash, the KMV construction carrying values): sample 50 orderkeys
@@ -1260,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_aggregate_events": _stream_aggregate_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
+        "topk_words_misra_gries": _topk_words_misra_gries,
         "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
         "hll_per_host": _hll_per_host,
         "webpages_suite": _webpages_suite,
@@ -1584,6 +1623,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_check": """
             SELECT TRUE AS n_verified_pairs_gt0,
                    TRUE AS est_within_binomial_bound
+        """,
+        "topk_words_misra_gries": """
+            SELECT CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS n_words,
+                   TRUE AS counters_within_bound,
+                   TRUE AS all_heavy_hitters_tracked
+            FROM documents
         """,
         "bottomk_sample_orderkeys": """
             SELECT CAST(50 AS BIGINT) AS k, TRUE AS sample_is_subset,

@@ -12,6 +12,7 @@ per-partition lineage.
 from .sketches import (
     KLL,
     BottomKSample,
+    TopK,
     BloomFilter,
     CountMin,
     HyperLogLog,

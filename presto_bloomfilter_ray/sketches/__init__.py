@@ -12,6 +12,7 @@ from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
 from .sample import BottomKSample
+from .topk import TopK
 from .theta import ThetaSketch
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "TDigest",
     "ThetaSketch",
     "BottomKSample",
+    "TopK",
     "KLL",
     "deserialize",
     "from_base64",
