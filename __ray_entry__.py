@@ -785,6 +785,50 @@ def _multimodal_image_features(sf_dir: str):
     })
 
 
+def _multimodal_av_pipeline(sf_dir: str):
+    """Audio/video plumbing over opaque binary columns: frame-sampling
+    actor-pool stages (decode stubs — no ffmpeg in this container; the
+    schema/batch/actor contract is what's exercised). Deterministic
+    booleans: fixed-size outputs, bounded energies, content-determinism."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions.multimodal import (
+        AudioFrameSample,
+        VideoFrameSample,
+    )
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    path = ensure_webpages(max(2000, int(n_docs) * 4))
+    pages = _rd().read_parquet(path, columns=["url", "html"])
+    out = (
+        pages.map_batches(AudioFrameSample, fn_constructor_kwargs=dict(
+            n_frames=8, data_col="html"),
+            batch_format="pyarrow", batch_size=128, concurrency=2)
+        .map_batches(VideoFrameSample, fn_constructor_kwargs=dict(
+            n_frames=2, height=8, width=8, data_col="html"),
+            batch_format="pyarrow", batch_size=128, concurrency=2)
+    )
+    df = out.select_columns(["url", "frame_energy", "frames"]).to_pandas()
+    e_dims = df["frame_energy"].map(len).unique()
+    f_dims = df["frames"].map(len).unique()
+    e_ok = all(0.0 <= v <= 1.0 for vec in df["frame_energy"] for v in vec)
+    first = pages.take(1)[0]
+    one = pa.table({"url": [first["url"]], "html": [first["html"]]})
+    redo = AudioFrameSample(n_frames=8, data_col="html")(one)
+    same = np.allclose(
+        np.asarray(redo.column("frame_energy")[0].as_py()),
+        np.asarray(df.loc[df["url"] == first["url"], "frame_energy"].iloc[0]))
+    return pd.DataFrame({
+        "n_rows_ok": [bool(len(df) == pages.count())],
+        "audio_dim_fixed": [bool(len(e_dims) == 1 and e_dims[0] == 8)],
+        "video_dim_fixed": [bool(len(f_dims) == 1 and f_dims[0] == 2 * 8 * 8 * 3)],
+        "energies_bounded": [bool(e_ok)],
+        "decode_deterministic": [bool(same)],
+    })
+
+
 # ---------------------------------------------------------------- similarity
 def _ann_topk_cosine(sf_dir: str):
     import duckdb
@@ -1289,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
         "multimodal_image_features": _multimodal_image_features,
+        "multimodal_av_pipeline": _multimodal_av_pipeline,
         "ivf_neardup_recall": _ivf_neardup_recall,
         "ivf_ann_topk": _ivf_ann_topk,
         "theta_custkey_overlap": _theta_custkey_overlap,
@@ -1546,6 +1591,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_image_features": """
             SELECT TRUE AS n_rows_ok, TRUE AS feature_dim_fixed,
+                   TRUE AS decode_deterministic
+        """,
+        "multimodal_av_pipeline": """
+            SELECT TRUE AS n_rows_ok, TRUE AS audio_dim_fixed,
+                   TRUE AS video_dim_fixed, TRUE AS energies_bounded,
                    TRUE AS decode_deterministic
         """,
         "ivf_neardup_recall": """

@@ -104,3 +104,26 @@ def test_distributed_build_matches_bound(ray_session):
     for item, f in exact.items():
         if f > bound:
             assert item in dict(sk.top())
+
+
+def test_topk_through_grouped_sketchagg(ray_session):
+    """TopK composes with the native grouped-aggregation path: per-key
+    heavy hitters via ds.groupby(k).aggregate(SketchAgg(TopK))."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray import deserialize
+    from presto_bloomfilter_ray.engine import SketchAgg
+
+    rows = []
+    for lang, hot in [("en", "the"), ("de", "der")]:
+        rows += [{"lang": lang, "word": hot}] * 50
+        rows += [{"lang": lang, "word": f"{lang}-w{i}"} for i in range(30)]
+    ds = rd.from_items(rows).repartition(6)
+    out = ds.groupby("lang").aggregate(
+        SketchAgg(lambda: TopK(10), on="word", alias_name="sk")).take_all()
+    by_lang = {r["lang"]: deserialize(r["sk"]) for r in out}
+    assert by_lang["en"].top(1)[0][0] == "the"
+    assert by_lang["de"].top(1)[0][0] == "der"
+    for lang, sk in by_lang.items():
+        assert sk.total == 80
+        assert sk.top(1)[0][1] >= 50 - sk.error_bound()
