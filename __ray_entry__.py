@@ -1070,6 +1070,26 @@ def _stream_aggregate_events(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def _stream_windowed_events(sf_dir: str):
+    """Watermark-finalized tumbling windows over the event stream
+    (stateful per-bucket actors, bounded open-window state, late-event
+    accounting). Input sorted by ts ⇒ zero late events and the result
+    equals the exact batch tumbling aggregate — hash-checked against
+    the SQL oracle; out-of-order/late semantics are pinned in pytest."""
+    from presto_bloomfilter_ray.pipelines import stream_windowed_aggregate
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"]).sort("ts")
+    got, n_late = stream_windowed_aggregate(
+        ev, ts_col="ts", key_col="event_type", value_col="value",
+        size_s=3600, allowed_lateness_s=0, advance_every=4)
+    got = got.rename(columns={"key": "event_type"})
+    got["hour"] = pd.to_datetime(got["window_start"], unit="us").astype(
+        "datetime64[us]")  # oracle emits us resolution
+    got["sum_value"] = got["sum_value"].round(4)
+    got["n_late"] = int(n_late)
+    return got[["event_type", "hour", "n_events", "sum_value", "n_late"]]
+
+
 def _quantiles_textlen(sf_dir: str):
     import duckdb
 
@@ -1341,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_hosts_by_lang": _hll_hosts_by_lang,
         "salted_hll_sources_by_lang": _salted_hll_sources_by_lang,
         "stream_aggregate_events": _stream_aggregate_events,
+        "stream_windowed_events": _stream_windowed_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
         "topk_words_misra_gries": _topk_words_misra_gries,
@@ -1645,6 +1666,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    TRUE AS distinct_users_within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stream_windowed_events": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value,
+                   CAST(0 AS BIGINT) AS n_late
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "cm_heavy_hitters": """
             SELECT lang, CAST(count(*) AS BIGINT) AS freq_exact,

@@ -74,6 +74,143 @@ class BucketState:
         }
 
 
+@ray.remote
+class WindowBucketState:
+    """Per-bucket tumbling-window state with WATERMARK finalization.
+
+    The streaming-window property this adds over ``BucketState``:
+    state is BOUNDED — windows whose end falls at or before the
+    watermark are finalized (emitted and dropped from memory), and
+    events arriving for an already-finalized window are counted as
+    late instead of corrupting emitted results. Accumulation is
+    vectorized (pandas groupby per ingest)."""
+
+    def __init__(self, size_us: int):
+        self.size = int(size_us)
+        self.state: Dict = {}   # (key, window_start_us) -> [n, sum]
+        self.finalized_before = -(1 << 62)  # highest finalized watermark
+        self.late = 0
+
+    def ingest(self, keys: np.ndarray, ts_us: np.ndarray,
+               vals: np.ndarray) -> int:
+        import pandas as pd
+
+        starts = (ts_us // self.size) * self.size
+        # events for windows already finalized are LATE: the window's
+        # result has been emitted — count, don't corrupt
+        late = starts + self.size <= self.finalized_before
+        self.late += int(late.sum())
+        ok = ~late
+        if not ok.any():
+            return 0
+        df = pd.DataFrame({"k": keys[ok], "s": starts[ok], "v": vals[ok]})
+        agg = df.groupby(["k", "s"], sort=False)["v"].agg(["count", "sum"])
+        for (k, s), row in agg.iterrows():
+            cur = self.state.get((k, int(s)))
+            if cur is None:
+                self.state[(k, int(s))] = [int(row["count"]), float(row["sum"])]
+            else:
+                cur[0] += int(row["count"])
+                cur[1] += float(row["sum"])
+        return len(df)
+
+    def advance(self, watermark_us: int) -> List:
+        """Finalize every window ending at or before the watermark:
+        emit its rows and DROP the state (the bounded-memory half of
+        the contract)."""
+        watermark_us = int(watermark_us)
+        if watermark_us <= self.finalized_before:
+            return []
+        self.finalized_before = watermark_us
+        done = [(k, s, n, v) for (k, s), (n, v) in self.state.items()
+                if s + self.size <= watermark_us]
+        for k, s, _, _ in done:
+            del self.state[(k, s)]
+        return done
+
+    def drain(self) -> Dict:
+        """End of stream: emit everything still open + the late count."""
+        rows = [(k, s, n, v) for (k, s), (n, v) in self.state.items()]
+        self.state = {}
+        return {"rows": rows, "late": self.late,
+                "open_windows": 0}
+
+
+def stream_windowed_aggregate(ds, ts_col: str, key_col: str, value_col: str,
+                              size_s: int = 3600,
+                              allowed_lateness_s: int = 0,
+                              n_buckets: int = 8, batch_size: int = 8192,
+                              advance_every: int = 8):
+    """Tumbling event-time windows over a stream with WATERMARKS.
+
+    The single consumer pulls ``iter_batches`` (streaming, never
+    materialized), splits each batch by key-hash bucket into stateful
+    actors, and advances the watermark ``max(event ts seen) -
+    allowed_lateness`` every ``advance_every`` batches — finalized
+    windows flow back incrementally and are dropped from actor state,
+    so actor memory is bounded by OPEN windows, not stream length.
+    Events older than an already-finalized window are counted late,
+    never silently merged into emitted results.
+
+    Returns ``(windows_df, n_late)``: a pandas DataFrame
+    ``(key, window_start, n_events, sum_value)`` (timestamps µs) and
+    the late-event count. With an input sorted by ``ts_col`` and any
+    ``allowed_lateness_s >= 0``, no event is ever late and the result
+    equals the exact batch tumbling aggregate (oracle-checked).
+    """
+    import pandas as pd
+
+    size_us = int(size_s) * 1_000_000
+    late_us = int(allowed_lateness_s) * 1_000_000
+    actors = [WindowBucketState.remote(size_us) for _ in range(n_buckets)]
+    finalized: List = []
+    pending: List = []
+    max_ts = None
+    n_batches = 0
+    for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+        ts = np.asarray(batch.column(ts_col).cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+        if ts.size == 0:
+            continue
+        keys = np.asarray(batch.column(key_col).cast(pa.large_string()))
+        vals = np.asarray(batch.column(value_col), dtype=np.float64)
+        buckets = hash64(batch.column(key_col).cast(pa.large_string()),
+                         0x57AB1E) % np.uint64(n_buckets)
+        for b in range(n_buckets):
+            sel = np.flatnonzero(buckets == b)
+            if sel.size:
+                pending.append(actors[b].ingest.remote(keys[sel], ts[sel],
+                                                       vals[sel]))
+        batch_max = int(ts.max())
+        max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        n_batches += 1
+        if n_batches % advance_every == 0:
+            ray.get(pending)  # ingest-before-advance ordering barrier
+            pending = []
+            wm = max_ts - late_us
+            for rows in ray.get([a.advance.remote(wm) for a in actors]):
+                finalized.extend(rows)
+    ray.get(pending)
+    n_late = 0
+    for snap in ray.get([a.drain.remote() for a in actors]):
+        finalized.extend(snap["rows"])
+        n_late += snap["late"]
+    for a in actors:
+        ray.kill(a)
+    if not finalized:
+        return (pd.DataFrame({"key": pd.Series([], dtype=object),
+                              "window_start": pd.Series([], dtype="int64"),
+                              "n_events": pd.Series([], dtype="int64"),
+                              "sum_value": pd.Series([], dtype="float64")}),
+                n_late)
+    df = pd.DataFrame(finalized,
+                      columns=["key", "window_start", "n_events", "sum_value"])
+    df = df.sort_values(["key", "window_start"]).reset_index(drop=True)
+    df["window_start"] = df["window_start"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df, n_late
+
+
 def stream_aggregate(ds, key_col: str, value_col: str, distinct_col: str,
                      n_buckets: int = 8, batch_size: int = 8192,
                      max_in_flight: int = 32) -> Dict:
