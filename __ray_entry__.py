@@ -1153,6 +1153,55 @@ def _topk_words_misra_gries(sf_dir: str):
     })
 
 
+def _topk_words_by_lang(sf_dir: str):
+    """Per-lang Misra-Gries heavy hitters through the NATIVE grouped
+    path (ds.groupby(lang).aggregate(SketchAgg(TopK))): the per-lang
+    top word must be certified within each sketch's N_lang/k bound."""
+    import duckdb
+
+    from presto_bloomfilter_ray import TopK, deserialize
+    from presto_bloomfilter_ray.engine import SketchAgg
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def words(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        lang = pc.take(b.column("lang"), parents)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"lang": pc.filter(lang, keep),
+                         "word": pc.filter(flat, keep)})
+
+    out = (docs.map_batches(words, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(SketchAgg(lambda: TopK(100), on="word",
+                                alias_name="sk"))).take_all()
+    sketches = {r["lang"]: deserialize(r["sk"]) for r in out}
+    exact = duckdb.sql(f"""
+        select lang, word, count(*) n from (
+            select lang, unnest(regexp_extract_all(text, '\\S+')) word
+            from '{sf_dir}/documents.parquet')
+        group by lang, word
+    """).df()
+    rows = []
+    for lang in sorted(sketches):
+        sk = sketches[lang]
+        sub = exact[exact["lang"] == lang]
+        counts = dict(zip(sub["word"], sub["n"].astype(int)))
+        n_lang = int(sub["n"].sum())
+        bound = n_lang / 100
+        tracked = dict(sk.top())
+        ok = (sk.total == n_lang
+              and all(c <= counts.get(w, 0)
+                      and counts.get(w, 0) - c <= bound
+                      for w, c in tracked.items())
+              and all(w in tracked for w, f in counts.items() if f > bound))
+        rows.append({"lang": lang, "n_words": n_lang,
+                     "mg_bound_holds": bool(ok)})
+    return pd.DataFrame(rows)
+
+
 def _bottomk_sample_orderkeys(sf_dir: str):
     """Mergeable deterministic uniform sampling (bottom-k by content
     hash, the KMV construction carrying values): sample 50 orderkeys
@@ -1365,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_heavy_hitters": _cm_heavy_hitters,
         "quantiles_textlen": _quantiles_textlen,
         "topk_words_misra_gries": _topk_words_misra_gries,
+        "topk_words_by_lang": _topk_words_by_lang,
         "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
         "hll_per_host": _hll_per_host,
         "webpages_suite": _webpages_suite,
@@ -1707,6 +1757,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS counters_within_bound,
                    TRUE AS all_heavy_hitters_tracked
             FROM documents
+        """,
+        "topk_words_by_lang": """
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS n_words,
+                   TRUE AS mg_bound_holds
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "bottomk_sample_orderkeys": """
             SELECT CAST(50 AS BIGINT) AS k, TRUE AS sample_is_subset,
