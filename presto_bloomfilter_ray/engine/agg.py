@@ -154,6 +154,10 @@ def _merge_tree(partials, fan_in: int, merge_rounds: Optional[int]):
     round's inputs are one-row envelope blocks, so the inter-round
     ``materialize``/count is metadata-cheap. An int pins the depth
     explicitly (tuning/tests)."""
+    if fan_in < 2:
+        # a 1-fan-in round maps every 1-row batch to itself — the
+        # adaptive loop would never shrink the count and hang
+        raise ValueError("fan_in must be >= 2")
     if merge_rounds is not None:
         for _ in range(max(0, merge_rounds)):
             partials = partials.map_batches(

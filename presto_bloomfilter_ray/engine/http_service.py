@@ -73,45 +73,70 @@ class SketchHTTPService:
                 if body and self.command != "HEAD":
                     self.wfile.write(body)
 
-            def do_PUT(self):
-                key = self._key()
-                if key is None:
-                    return self._reply(404)
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
+            def _guard(self, fn):
+                """Backend errors (disk full, dead actor, Ray shutdown)
+                must surface as a 500 status — an escaped exception
+                would drop the socket mid-request and lose a queued
+                keep-alive request with it."""
                 try:
-                    svc.store.put(key, body)
-                except ValueError:  # key escapes root etc.
-                    return self._reply(400)
-                self._reply(200)
+                    fn()
+                except Exception:
+                    try:
+                        self._reply(500)
+                    except Exception:
+                        pass  # socket already gone
+
+            def do_PUT(self):
+                def run():
+                    key = self._key()
+                    if key is None:
+                        return self._reply(404)
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    try:
+                        svc.store.put(key, body)
+                    except ValueError:  # key escapes root etc.
+                        return self._reply(400)
+                    self._reply(200)
+
+                self._guard(run)
 
             def do_GET(self):
-                parsed = urlparse(self.path)
-                if parsed.path == "/keys":
-                    prefix = parse_qs(parsed.query).get("prefix", [""])[0]
-                    out = json.dumps(svc.store.keys(prefix)).encode()
-                    return self._reply(200, out, "application/json")
-                key = self._key()
-                if key is None:
-                    return self._reply(404)
-                try:
-                    data = svc.store.get(key)
-                except (FileNotFoundError, OSError, ValueError):
-                    return self._reply(404)
-                self._reply(200, data)
+                def run():
+                    parsed = urlparse(self.path)
+                    if parsed.path == "/keys":
+                        prefix = parse_qs(parsed.query).get("prefix", [""])[0]
+                        out = json.dumps(svc.store.keys(prefix)).encode()
+                        return self._reply(200, out, "application/json")
+                    key = self._key()
+                    if key is None:
+                        return self._reply(404)
+                    try:
+                        data = svc.store.get(key)
+                    except (FileNotFoundError, OSError, ValueError):
+                        return self._reply(404)
+                    self._reply(200, data)
+
+                self._guard(run)
 
             def do_HEAD(self):
-                key = self._key()
-                if key is None or not svc.store.exists(key):
-                    return self._reply(404)
-                self._reply(200)
+                def run():
+                    key = self._key()
+                    if key is None or not svc.store.exists(key):
+                        return self._reply(404)
+                    self._reply(200)
+
+                self._guard(run)
 
             def do_DELETE(self):
-                key = self._key()
-                if key is None:
-                    return self._reply(404)
-                svc.store.delete(key)
-                self._reply(200)
+                def run():
+                    key = self._key()
+                    if key is None:
+                        return self._reply(404)
+                    svc.store.delete(key)
+                    self._reply(200)
+
+                self._guard(run)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]

@@ -1,6 +1,7 @@
 from .components import connected_components, connected_components_ds
 from .dedup import (
     add_content_hash,
+    cleanup_shard_dirs,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,

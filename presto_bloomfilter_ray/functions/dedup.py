@@ -54,25 +54,43 @@ def _pow2(n: int) -> int:
 # The scale path for dedup REMOVAL. A web corpus at 100 TB is 30-50 %
 # near-duplicate, so the removed-id / keep-map table can reach 10^10
 # entries (~80 GB) — no driver set or per-task broadcast survives that.
-# Instead the map is hash-partitioned by ``key & (n_shards - 1)`` into
-# sorted parquet shards on shared storage (written DISTRIBUTED — the
-# map never touches the driver), and the filter stage loads only the
-# shards its batch's keys hash into, memoized per worker process. When
-# the corpus is id-clustered (the common layout), each task touches a
-# handful of shards; worst case a worker holds the shards it has seen,
-# bounded by the LRU cap below, each ~|map|/n_shards entries.
+# The map is hash-partitioned by ``key & (n_shards - 1)`` into sorted
+# parquet shards on shared storage (written DISTRIBUTED — the map never
+# touches the driver) plus a completeness MANIFEST, then removal runs
+# one of two ways:
+#
+# * shard count ≤ the per-worker cache cap: a map-only filter — each
+#   batch loads the shards its keys hash into, LRU-memoized per worker.
+#   Total worker-resident bytes are bounded by cap × shard size; keys
+#   are uniform hashes / arbitrary ids, so workers converge on holding
+#   the shards of the partitions they process.
+# * shard count ABOVE the cap (the 10^10-entry regime, where per-batch
+#   uniform keys would touch every shard and thrash any cache): the
+#   CORPUS is co-partitioned on the same ``key & mask`` (one shuffle)
+#   so each partition reads EXACTLY ONE shard — the classic
+#   distributed hash anti-join.
+#
+# The manifest makes missing state loud: a filter worker that cannot
+# see the manifest (work_dir not on shared storage in a multi-node
+# run) raises instead of silently treating every shard as empty.
 
-_SHARD_CACHE: Dict = {}  # (shard_dir, part) -> (sorted keys, keep) per worker
+_SHARD_CACHE: Dict = {}  # (shard_dir, part) -> (sorted keys, keep); LRU
 _SHARD_CACHE_CAP = 256
+_MANIFEST_CACHE: Dict = {}  # shard_dir -> manifest dict
+_MANIFEST_NAME = "MANIFEST.json"
+_CREATED_SHARD_DIRS: List[str] = []  # this process's builds, for cleanup
 
 
 def _write_key_shards(kv_ds, shard_dir: str, n_shards: int,
                       has_keep: bool) -> None:
     """Hash-partition a (key[, keep]) Dataset into ``n_shards`` sorted
-    parquet shards — the build half of the sharded anti-join. Runs as
-    one repartition + groupby over the (small relative to the corpus)
-    key table; writes are atomic (tmp + rename) so a re-run never
-    reads a torn shard."""
+    parquet shards plus a completeness manifest — the build half of the
+    sharded anti-join. One repartition + groupby over the (small
+    relative to the corpus) key table; shard writes are atomic
+    (tmp + rename) and the manifest is written LAST, so readers either
+    see a complete build or fail loudly."""
+    import json
+
     import pyarrow.parquet as pq
 
     os.makedirs(shard_dir, exist_ok=True)
@@ -98,31 +116,128 @@ def _write_key_shards(kv_ds, shard_dir: str, n_shards: int,
         os.replace(tmp, final)
         return pa.table({"part": pa.array([p]), "n": pa.array([len(keys)])})
 
-    (kv_ds.map_batches(tag, batch_format="pyarrow")
+    summary = (kv_ds.map_batches(tag, batch_format="pyarrow")
         .repartition(n_shards)  # coalesce before groupby (PERF.md §12)
         .groupby("part").map_groups(write_shard, batch_format="pyarrow")
-    ).materialize()
+    ).to_pandas()  # ≤ n_shards tiny rows
+    manifest = {"n_shards": int(n_shards), "has_keep": bool(has_keep),
+                "parts": {str(int(p)): int(n)
+                          for p, n in zip(summary.get("part", []),
+                                          summary.get("n", []))}}
+    tmp = os.path.join(shard_dir, f".{_MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(shard_dir, _MANIFEST_NAME))
+    _CREATED_SHARD_DIRS.append(shard_dir)
+
+
+def cleanup_shard_dirs() -> List[str]:
+    """Remove every shard directory built by THIS process's dedup calls
+    (they otherwise persist under /tmp or the caller's ``work_dir`` —
+    the full keep-map as parquet). Call only AFTER the returned deduped
+    Datasets have been fully consumed: their filter stages read the
+    shards lazily."""
+    import shutil
+
+    removed = []
+    while _CREATED_SHARD_DIRS:
+        d = _CREATED_SHARD_DIRS.pop()
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(d)
+    return removed
+
+
+def _load_manifest(shard_dir: str) -> Dict:
+    import json
+
+    m = _MANIFEST_CACHE.get(shard_dir)
+    if m is None:
+        path = os.path.join(shard_dir, _MANIFEST_NAME)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"sharded anti-join manifest missing at {path}: the shard "
+                "build did not complete, or work_dir is not on storage "
+                "shared with this worker (multi-node runs need a shared "
+                "filesystem / object-store path)") from None
+        _MANIFEST_CACHE[shard_dir] = m
+    return m
 
 
 def _load_shard(shard_dir: str, part: int,
                 has_keep: bool) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Per-worker memoized shard load (missing shard = empty)."""
+    """Per-worker LRU-memoized shard load. The manifest distinguishes
+    a genuinely empty part (absent from the manifest) from missing
+    state (no manifest → raise)."""
     import pyarrow.parquet as pq
 
     ck = (shard_dir, part)
     hit = _SHARD_CACHE.get(ck)
-    if hit is None:
-        path = os.path.join(shard_dir, f"shard-{part:05d}.parquet")
-        if os.path.exists(path):
-            t = pq.read_table(path)
-            hit = (np.asarray(t.column("key")),
-                   np.asarray(t.column("keep")) if has_keep else None)
-        else:
-            hit = (np.zeros(0, dtype=np.int64), None)
-        if len(_SHARD_CACHE) >= _SHARD_CACHE_CAP:
-            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    if hit is not None:
+        # LRU refresh: re-insert so cyclic access doesn't evict the
+        # working set in FIFO order
+        _SHARD_CACHE.pop(ck)
         _SHARD_CACHE[ck] = hit
+        return hit
+    manifest = _load_manifest(shard_dir)
+    if str(int(part)) not in manifest["parts"]:
+        hit = (np.zeros(0, dtype=np.int64), None)
+    else:
+        t = pq.read_table(os.path.join(shard_dir, f"shard-{part:05d}.parquet"))
+        hit = (np.asarray(t.column("key")),
+               np.asarray(t.column("keep")) if has_keep else None)
+    if len(_SHARD_CACHE) >= _SHARD_CACHE_CAP:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    _SHARD_CACHE[ck] = hit
     return hit
+
+
+def _sharded_anti_join(ds, shard_dir: str, n_shards: int, has_keep: bool,
+                       key_of, keep_mask,
+                       co_partition: Optional[bool] = None):
+    """Filter ``ds`` against a shard table, picking the physical plan
+    by shard count (see the module-section comment above):
+
+    * map-only per-batch lookups with the per-worker LRU when the
+      shard count fits the cache cap;
+    * otherwise co-partition the CORPUS on the same ``key & mask``
+      (one shuffle) so every partition reads exactly one shard — the
+      distributed hash anti-join, immune to cache thrash under
+      uniform keys.
+
+    ``key_of(batch) → int64 keys``; ``keep_mask(batch, keys, found,
+    keep_vals) → bool survivors``.
+    """
+    if co_partition is None:
+        co_partition = n_shards > _SHARD_CACHE_CAP
+
+    if not co_partition:
+        def filt(b: pa.Table) -> pa.Table:
+            keys = key_of(b)
+            found, kv = _shard_lookup(keys, shard_dir, n_shards, has_keep)
+            return b.filter(pa.array(keep_mask(b, keys, found, kv)))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = key_of(b)
+        b = b.append_column("_aj_key", pa.array(keys))
+        return b.append_column("_aj_part",
+                               pa.array(keys & np.int64(n_shards - 1)))
+
+    def filt_group(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g.column("_aj_key"))
+        found, kv = _shard_lookup(keys, shard_dir, n_shards, has_keep)
+        out = g.filter(pa.array(keep_mask(g, keys, found, kv)))
+        return out.drop_columns(["_aj_key", "_aj_part"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(min(n_shards, 512))  # coalesce (PERF.md §12)
+        .groupby("_aj_part").map_groups(filt_group, batch_format="pyarrow")
+    )
 
 
 def _shard_lookup(keys: np.ndarray, shard_dir: str, n_shards: int,
@@ -186,7 +301,8 @@ def add_content_hash(batch: pa.Table, col: str = "text",
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
                 broadcast_limit: int = 2_000_000,
-                work_dir: Optional[str] = None):
+                work_dir: Optional[str] = None,
+                co_partition: Optional[bool] = None):
     """Keep the min-``id_col`` row per distinct normalized text.
 
     Deterministic (min id), matching a SQL ``row_number() over
@@ -254,14 +370,15 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow")
     _write_key_shards(kv, shard_dir, n_shards, has_keep=True)
 
-    def drop_losers_sharded(b: pa.Table) -> pa.Table:
-        h = hash64(normalize_text(b.column(col)), 0xDED0).astype(np.int64)
-        found, keep_id = _shard_lookup(h, shard_dir, n_shards, has_keep=True)
-        ids = np.asarray(b.column(id_col)).astype(np.int64)
-        keep = ~found | (ids == keep_id)
-        return b.filter(pa.array(keep))
+    def key_of(b: pa.Table) -> np.ndarray:
+        return hash64(normalize_text(b.column(col)), 0xDED0).astype(np.int64)
 
-    return ds.map_batches(drop_losers_sharded, batch_format="pyarrow")
+    def keep_mask(b: pa.Table, keys, found, keep_id) -> np.ndarray:
+        ids = np.asarray(b.column(id_col)).astype(np.int64)
+        return ~found | (ids == keep_id)
+
+    return _sharded_anti_join(ds, shard_dir, n_shards, True, key_of,
+                              keep_mask, co_partition)
 
 
 # ----------------------------------------------------------------- MinHash
@@ -705,7 +822,8 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                   distributed_cc: bool = True,
                   broadcast_limit: int = 2_000_000,
                   work_dir: Optional[str] = None,
-                  cc_backend: str = "driver"):
+                  cc_backend: str = "driver",
+                  co_partition: Optional[bool] = None):
     """Near-dup removal: keep one representative (min id) per connected
     component of the ≥threshold candidate graph. Returns (deduped_ds,
     dup_map) where dup_map maps candidate id → its component's kept id.
@@ -733,7 +851,15 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     edges = lsh_candidate_pairs(ds, num_perm, bands, shingle_k, text_col,
                                 id_col, min_est=threshold).materialize()
     if edges.count() == 0:
-        return ds, ({} if cc_backend == "driver" else None)
+        if cc_backend == "driver":
+            return ds, {}
+        # keep the documented contract: second value is ALWAYS a
+        # (node, component) Dataset on this backend, empty here
+        import ray.data as rd
+
+        return ds, rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
 
     if cc_backend == "dataset":
         from .components import connected_components_ds
@@ -748,13 +874,11 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
         shard_dir = _fresh_shard_dir(work_dir, "minhash-dedup-shards-")
         n_shards = _n_shards_for(n_removed)
         _write_key_shards(removed_kv, shard_dir, n_shards, has_keep=False)
-
-        def drop_dups_ds(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col)).astype(np.int64)
-            found, _ = _shard_lookup(ids, shard_dir, n_shards, has_keep=False)
-            return batch.filter(pa.array(~found))
-
-        return ds.map_batches(drop_dups_ds, batch_format="pyarrow"), labels
+        deduped = _sharded_anti_join(
+            ds, shard_dir, n_shards, False,
+            lambda b: np.asarray(b.column(id_col)).astype(np.int64),
+            lambda b, keys, found, kv: ~found, co_partition)
+        return deduped, labels
 
     if distributed_cc:
         from .components import connected_components
@@ -814,13 +938,11 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     n_shards = _n_shards_for(len(removed_arr))
     _write_key_shards(rd.from_arrow(pa.table({"key": removed_arr})),
                       shard_dir, n_shards, has_keep=False)
-
-    def drop_dups_sharded(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col)).astype(np.int64)
-        found, _ = _shard_lookup(ids, shard_dir, n_shards, has_keep=False)
-        return batch.filter(pa.array(~found))
-
-    return ds.map_batches(drop_dups_sharded, batch_format="pyarrow"), dup_map
+    deduped = _sharded_anti_join(
+        ds, shard_dir, n_shards, False,
+        lambda b: np.asarray(b.column(id_col)).astype(np.int64),
+        lambda b, keys, found, kv: ~found, co_partition)
+    return deduped, dup_map
 
 
 # ----------------------------------------------------------------- SimHash

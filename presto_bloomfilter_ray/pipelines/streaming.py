@@ -129,11 +129,13 @@ class WindowBucketState:
         return done
 
     def drain(self) -> Dict:
-        """End of stream: emit everything still open + the late count."""
+        """End of stream: emit everything still open + the late count.
+        ``open_windows`` is the count that was still open at drain —
+        the bounded-memory metric this class exists to provide."""
         rows = [(k, s, n, v) for (k, s), (n, v) in self.state.items()]
         self.state = {}
         return {"rows": rows, "late": self.late,
-                "open_windows": 0}
+                "open_windows": len(rows)}
 
 
 def stream_windowed_aggregate(ds, ts_col: str, key_col: str, value_col: str,

@@ -55,13 +55,11 @@ class TopK(Sketch):
             vals = np.fromiter(self.counts.values(), dtype=np.int64,
                                count=len(self.counts))
             thresh = int(np.partition(vals, -(self.k + 1))[-(self.k + 1)])
-            if thresh > 0:
-                self.counts = {x: c - thresh for x, c in self.counts.items()
-                               if c - thresh > 0}
-            else:  # ties at zero: keep the k largest deterministically
-                order = sorted(self.counts.items(),
-                               key=lambda kv: (-kv[1], kv[0]))
-                self.counts = dict(order[: self.k])
+            # counters only come from value_counts (>= 1) or survive the
+            # > 0 filter below, so thresh >= 1 always — dropping without
+            # the matching decrement would break the N/k lower-bound
+            self.counts = {x: c - thresh for x, c in self.counts.items()
+                           if c - thresh > 0}
 
     def update_arrow(self, array) -> "TopK":
         ca = normalize_elements(array)

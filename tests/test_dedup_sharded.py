@@ -192,12 +192,14 @@ def test_shard_lookup_fuzz_no_ray(tmp_path):
         n_shards=st.sampled_from([1, 2, 8, 64]),
     )
     def check(keys, probes, n_shards):
+        import json
         import tempfile
 
         d = tempfile.mkdtemp(dir=str(tmp_path))
         keeps = {k: i for i, k in enumerate(keys)}
         arr = np.array(keys, dtype=np.int64)
         parts = arr & np.int64(n_shards - 1)
+        manifest = {"n_shards": n_shards, "has_keep": True, "parts": {}}
         for p in np.unique(parts):
             m = parts == p
             order = np.argsort(arr[m])
@@ -207,6 +209,9 @@ def test_shard_lookup_fuzz_no_ray(tmp_path):
                               np.array([keeps[k] for k in arr[m][order]],
                                        dtype=np.int64))}),
                 os.path.join(d, f"shard-{int(p):05d}.parquet"))
+            manifest["parts"][str(int(p))] = int(m.sum())
+        with open(os.path.join(d, "MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
         pr = np.array(probes, dtype=np.int64)
         found, keep = _shard_lookup(pr, d, n_shards, has_keep=True)
         for i, k in enumerate(probes):
@@ -215,3 +220,66 @@ def test_shard_lookup_fuzz_no_ray(tmp_path):
                 assert keep[i] == keeps[k]
 
     check()
+
+
+def test_manifest_makes_missing_state_loud(ray_session, tmp_path):
+    """A worker that cannot see the manifest must RAISE, not silently
+    treat every shard as empty (multi-node non-shared work_dir hazard)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.dedup import (
+        _MANIFEST_NAME,
+        _load_manifest,
+        _MANIFEST_CACHE,
+    )
+
+    work = str(tmp_path / "kv2")
+    _write_key_shards(
+        rd.from_arrow(pa.table({"key": np.arange(10, dtype=np.int64)})),
+        work, n_shards=4, has_keep=False)
+    # manifest present: a part absent from it is a genuinely empty part
+    m = _load_manifest(work)
+    assert m["n_shards"] == 4 and sum(m["parts"].values()) == 10
+    os.remove(os.path.join(work, _MANIFEST_NAME))
+    _MANIFEST_CACHE.pop(work, None)
+    with pytest.raises(FileNotFoundError, match="manifest missing"):
+        _shard_lookup(np.array([1, 2], dtype=np.int64), work, 4,
+                      has_keep=False)
+
+
+def test_co_partitioned_anti_join_matches_map_only(ray_session, tmp_path):
+    """The corpus-shuffle plan (the >cache-cap regime) must produce the
+    same rows as the map-only lookup plan, for both dedup variants."""
+    import ray.data as rd
+
+    rows = _high_dup_corpus(n_docs=500, n_distinct=60, seed=3)
+    ds = rd.from_items(rows).repartition(6)
+    a = sorted(r["doc_id"] for r in exact_dedup(
+        ds, broadcast_limit=0, work_dir=str(tmp_path / "a"),
+        co_partition=False).take_all())
+    b = sorted(r["doc_id"] for r in exact_dedup(
+        ds, broadcast_limit=0, work_dir=str(tmp_path / "b"),
+        co_partition=True).take_all())
+    assert a == b and len(a) == 60
+    m1, _ = minhash_dedup(ds, threshold=0.9, broadcast_limit=0,
+                          work_dir=str(tmp_path / "c"), co_partition=False)
+    m2, _ = minhash_dedup(ds, threshold=0.9, broadcast_limit=0,
+                          work_dir=str(tmp_path / "d"), co_partition=True)
+    assert (sorted(r["doc_id"] for r in m1.take_all())
+            == sorted(r["doc_id"] for r in m2.take_all()))
+
+
+def test_cleanup_shard_dirs(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import cleanup_shard_dirs
+
+    work = str(tmp_path / "kv3")
+    _write_key_shards(
+        rd.from_arrow(pa.table({"key": np.arange(5, dtype=np.int64)})),
+        work, n_shards=2, has_keep=False)
+    assert os.path.exists(work)
+    removed = cleanup_shard_dirs()
+    assert work in removed and not os.path.exists(work)
