@@ -599,6 +599,37 @@ def _ngram_jaccard_check(sf_dir: str):
     })
 
 
+def _boilerplate_removal_stats(sf_dir: str):
+    """C4-style boilerplate line removal over the corpus: lines
+    occurring ≥ 3 times corpus-wide are dropped from every doc. The
+    oracle mirrors the whole pipeline in SQL (string_split + global
+    line counts + per-doc surviving-char sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hot = boilerplate_lines(docs, min_count=3)
+    cleaned = remove_boilerplate_lines(docs, hot, out_col="clean")
+
+    def stats(b: pa.Table) -> pa.Table:
+        changed = pc.cast(pc.invert(pc.equal(b["clean"], b["text"])), pa.int64())
+        return pa.table({
+            "changed": changed,
+            "clean_chars": pc.utf8_length(b["clean"]).cast(pa.int64()),
+        })
+
+    agg = cleaned.map_batches(stats, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("changed", alias_name="n_changed"),
+        Sum("clean_chars", alias_name="sum_clean_chars"),
+    )
+    return pd.DataFrame([agg])
+
+
 # ---------------------------------------------------------------- text
 def _text_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
@@ -1397,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
+        "boilerplate_removal_stats": _boilerplate_removal_stats,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -1574,6 +1606,32 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changed,
                    CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
             FROM c
+        """,
+        "boilerplate_removal_stats": """
+            WITH lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ), hot AS (
+                SELECT line FROM lines GROUP BY line HAVING count(*) >= 3
+            ), per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_lines,
+                       count(*) FILTER (WHERE line NOT IN
+                           (SELECT line FROM hot)) AS n_kept,
+                       coalesce(sum(length(line)) FILTER (WHERE line NOT IN
+                           (SELECT line FROM hot)), 0) AS kept_chars
+                FROM lines GROUP BY doc_id
+            )
+            -- split + newline-rejoin of ALL lines is the identity, so a
+            -- doc changes iff any line was dropped; clean length = kept
+            -- line chars + (n_kept - 1) newlines
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n_kept < n_lines THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(sum(kept_chars + CASE WHEN n_kept > 0
+                                              THEN n_kept - 1 ELSE 0 END)
+                        AS BIGINT) AS sum_clean_chars
+            FROM per_doc
         """,
         "quality_stats_by_lang": """
             WITH s AS (

@@ -18,6 +18,8 @@ from .similarity import (
 )
 from .text import (
     LangId,
+    boilerplate_lines,
+    remove_boilerplate_lines,
     bpe_token_count,
     add_text_stats,
     fingerprint64,

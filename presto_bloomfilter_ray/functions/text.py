@@ -286,3 +286,111 @@ def fingerprint64(text_col, ngram: int = 8) -> pa.Array:
 
     norm = pc.utf8_lower(pc.replace_substring_regex(text_col, r"\s+", " "))
     return pa.array(hash64(norm, 0x1234_5678_9ABC_DEF0).astype(np.int64))
+
+
+def boilerplate_lines(ds, text_col: str = "text", min_count: int = 2,
+                      broadcast_limit: int = 2_000_000,
+                      work_dir: Optional[str] = None):
+    """Corpus-level boilerplate line detection (C4-style): a line is
+    boilerplate when it OCCURS at least ``min_count`` times across the
+    corpus. Lines are exact (no normalization), so the result mirrors
+    a SQL ``string_split(text, chr(10))`` + ``count(*)`` exactly.
+
+    Scale design: the shuffle carries (line_hash, n) pairs pre-combined
+    per batch (map-side value_counts) — never line text; the hot-line
+    table is bounded by lines that genuinely repeat. Returns
+    ``(sorted hot-line hash array | shard_dir info)`` via the same
+    small/large split as dedup removal: a sorted int64 array when it
+    fits ``broadcast_limit``, else sharded to parquet
+    (:func:`~.dedup._write_key_shards`).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import (_fresh_shard_dir, _n_shards_for, _write_key_shards,
+                        hash64 as _h64)
+
+    def line_hash_counts(b: pa.Table) -> pa.Table:
+        lines = pc.list_flatten(pc.split_pattern(b.column(text_col), "\n"))
+        if len(lines) == 0:
+            return pa.table({"line_hash": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h = pa.array(hash64(lines, 0xB01E).astype(np.int64))
+        vc = h.value_counts()
+        return pa.table({"line_hash": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    hot = (
+        ds.map_batches(line_hash_counts, batch_format="pyarrow")
+        .groupby("line_hash").aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n >= {int(min_count)}")
+        .select_columns(["line_hash"])
+    ).materialize()
+    n_hot = hot.count()
+    if n_hot == 0:  # empty Datasets drop their schema through to_pandas
+        return {"kind": "array", "hashes": np.zeros(0, dtype=np.int64)}
+    if n_hot <= broadcast_limit:
+        arr = np.sort(np.asarray(
+            hot.to_pandas()["line_hash"].to_numpy(), dtype=np.int64))
+        return {"kind": "array", "hashes": arr}
+    shard_dir = _fresh_shard_dir(work_dir, "boilerplate-shards-")
+    n_shards = _n_shards_for(n_hot)
+    _write_key_shards(hot.map_batches(
+        lambda b: pa.table({"key": b.column("line_hash")}),
+        batch_format="pyarrow"), shard_dir, n_shards, has_keep=False)
+    return {"kind": "shards", "dir": shard_dir, "n_shards": n_shards}
+
+
+def remove_boilerplate_lines(ds, hot, text_col: str = "text",
+                             out_col: str = "text"):
+    """Drop boilerplate lines (from :func:`boilerplate_lines`) out of
+    every document, preserving the order of surviving lines. Fully
+    vectorized: split → flat line hashes → membership probe →
+    per-document reassembly via recomputed list offsets +
+    ``binary_join``. Documents whose lines were ALL boilerplate end as
+    empty strings (deterministic; SQL mirrors with coalesce)."""
+    import ray
+
+    if hot["kind"] == "array":
+        ref = ray.put(hot["hashes"])
+    else:
+        ref = None
+
+    def scrub(b: pa.Table) -> pa.Table:
+        from .text import set_column as _set
+
+        col = b.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(col, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = np.asarray(pc.list_parent_indices(lists))
+        h = hash64(flat, 0xB01E).astype(np.int64)
+        if ref is not None:
+            hotarr = ray.get(ref)
+            if len(hotarr):
+                idx = np.clip(np.searchsorted(hotarr, h), 0, len(hotarr) - 1)
+                is_hot = hotarr[idx] == h
+            else:
+                is_hot = np.zeros(len(h), dtype=bool)
+        else:
+            from .dedup import _shard_lookup
+
+            is_hot, _ = _shard_lookup(h, hot["dir"], hot["n_shards"],
+                                      has_keep=False)
+        keep = ~is_hot
+        kept_flat = pa.Array.from_pandas(flat).filter(pa.array(keep)) \
+            if isinstance(flat, pa.ChunkedArray) else flat.filter(pa.array(keep))
+        # rebuild list offsets: surviving lines per parent document
+        n_docs = b.num_rows
+        per_doc = np.bincount(parents[keep], minlength=n_docs)
+        offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           kept_flat)
+        joined = pc.binary_join(rebuilt, "\n")
+        return _set(b, out_col, joined.cast(pa.string()))
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -243,3 +243,40 @@ def test_bpe_token_count_matches_duckdb():
     theirs = [duckdb.sql("select len(regexp_extract_all(?, ?))",
                          params=[t, BPE_RE]).fetchone()[0] for t in texts]
     assert mine == theirs
+
+
+def test_boilerplate_line_removal(ray_session, duck):
+    """C4-style boilerplate removal: lines occurring >= min_count times
+    across the corpus are dropped from every document; surviving line
+    order preserved; all-boilerplate docs become empty strings. Checked
+    against a SQL mirror (string_split + count + reassembly)."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "COOKIE BANNER\nreal content one\nFOOTER"},
+        {"doc_id": 2, "text": "COOKIE BANNER\nreal content two\nFOOTER"},
+        {"doc_id": 3, "text": "unique document\nwith its own lines"},
+        {"doc_id": 4, "text": "COOKIE BANNER\nFOOTER"},  # all boilerplate
+        {"doc_id": 5, "text": "no newline single unique line"},
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    hot = boilerplate_lines(ds, min_count=2)
+    assert hot["kind"] == "array" and len(hot["hashes"]) == 2
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(ds, hot).take_all()}
+    assert out[1] == "real content one"
+    assert out[2] == "real content two"
+    assert out[3] == "unique document\nwith its own lines"
+    assert out[4] == ""
+    assert out[5] == "no newline single unique line"
+    # sharded path (forced) produces identical output
+    hot2 = boilerplate_lines(ds, min_count=2, broadcast_limit=0)
+    assert hot2["kind"] == "shards"
+    out2 = {r["doc_id"]: r["text"] for r in
+            remove_boilerplate_lines(ds, hot2).take_all()}
+    assert out2 == out
