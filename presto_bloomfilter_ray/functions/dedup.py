@@ -845,6 +845,19 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     touching the driver, and the second return value is the labels
     **Dataset** ``(node, component)`` instead of a dict — the path for
     corpora whose candidate-node set itself outgrows driver memory.
+
+    **Mirror-heavy corpora: run :func:`exact_dedup` FIRST.** m exact
+    copies of one text share identical signatures, so every band
+    bucket gains an m-clique — candidate rows grow as
+    ``distinct_texts × m² × bands`` (measured: a corpus with every
+    text ×40 produces ~10^8 candidate pairs and times out where the
+    distinct corpus takes seconds; multiplicity > ``pair_cutoff``
+    degrades to star edges but the zone just below it is quadratic).
+    The composition is SEMANTICS-PRESERVING: exact_dedup keeps each
+    text group's min id, and a component's min id is always such a
+    representative (exact copies have est_jaccard 1 and id > their
+    group min), so ``minhash_dedup(exact_dedup(ds))`` keeps exactly
+    the rows ``minhash_dedup(ds)`` would — test-pinned.
     """
     if cc_backend not in ("driver", "dataset"):
         raise ValueError(f"unknown cc_backend: {cc_backend!r}")

@@ -283,3 +283,25 @@ def test_cleanup_shard_dirs(ray_session, tmp_path):
     assert os.path.exists(work)
     removed = cleanup_shard_dirs()
     assert work in removed and not os.path.exists(work)
+
+
+def test_exact_then_minhash_composition_preserves_semantics(ray_session):
+    """exact_dedup -> minhash_dedup keeps exactly the rows a direct
+    minhash_dedup keeps (a component's min id is always an exact-group
+    representative) — the documented mirror-heavy-corpus fast path."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    vocab = [f"t{j:03d}" for j in range(300)]
+    base = [" ".join(rng.choice(vocab, size=35)) for _ in range(25)]
+    # near-dup variants of some texts + heavy exact duplication of all
+    variants = [t.replace(vocab[0], vocab[1]) if vocab[0] in t else t + " zz"
+                for t in base[:10]]
+    pool = base + variants
+    rows = [{"doc_id": i, "text": pool[int(rng.integers(0, len(pool)))]}
+            for i in range(400)]
+    ds = rd.from_items(rows).repartition(5)
+    direct, _ = minhash_dedup(ds, threshold=0.7)
+    composed, _ = minhash_dedup(exact_dedup(ds), threshold=0.7)
+    assert (sorted(r["doc_id"] for r in composed.take_all())
+            == sorted(r["doc_id"] for r in direct.take_all()))
