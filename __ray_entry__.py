@@ -612,11 +612,25 @@ def _boilerplate_removal_stats(sf_dir: str):
     )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # the synthetic corpus has no naturally repeated lines, so append a
+    # deterministic shared footer (mirrored in the oracle SQL) — every
+    # doc then has exactly one corpus-hot line and the removal +
+    # reassembly path is actually exercised by the driver check
+    docs = docs.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("text"), "text",
+            pc.binary_join_element_wise(
+                b["text"].cast(pa.string()), "-- shared footer --", "\n")),
+        batch_format="pyarrow")
     hot = boilerplate_lines(docs, min_count=3)
-    cleaned = remove_boilerplate_lines(docs, hot, out_col="clean")
+    cleaned = remove_boilerplate_lines(docs, hot, out_col="clean",
+                                       dropped_col="n_dropped")
 
     def stats(b: pa.Table) -> pa.Table:
-        changed = pc.cast(pc.invert(pc.equal(b["clean"], b["text"])), pa.int64())
+        # 'changed' = at least one line dropped — same definition as the
+        # oracle's n_kept < n_lines (clean != text misses the degenerate
+        # doc whose only line is empty AND hot: clean == text == "")
+        changed = pc.cast(pc.greater(b["n_dropped"], 0), pa.int64())
         return pa.table({
             "changed": changed,
             "clean_chars": pc.utf8_length(b["clean"]).cast(pa.int64()),
@@ -1608,9 +1622,13 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "boilerplate_removal_stats": """
-            WITH lines AS (
-                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            WITH docs AS (
+                -- same deterministic shared footer the Ray side appends
+                SELECT doc_id, text || chr(10) || '-- shared footer --' AS text
                 FROM documents
+            ), lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM docs
             ), hot AS (
                 SELECT line FROM lines GROUP BY line HAVING count(*) >= 3
             ), per_doc AS (
@@ -1622,9 +1640,10 @@ def oracle_sql() -> dict[str, str]:
                            (SELECT line FROM hot)), 0) AS kept_chars
                 FROM lines GROUP BY doc_id
             )
-            -- split + newline-rejoin of ALL lines is the identity, so a
-            -- doc changes iff any line was dropped; clean length = kept
-            -- line chars + (n_kept - 1) newlines
+            -- 'changed' = a line was dropped (the operator emits the
+            -- per-doc dropped count, so both sides share one
+            -- definition; clean != text would disagree on the
+            -- degenerate all-boilerplate empty doc)
             SELECT count(*) AS n_docs,
                    CAST(sum(CASE WHEN n_kept < n_lines THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_changed,

@@ -77,22 +77,29 @@ class SketchHTTPService:
                 """Backend errors (disk full, dead actor, Ray shutdown)
                 must surface as a 500 status — an escaped exception
                 would drop the socket mid-request and lose a queued
-                keep-alive request with it."""
+                keep-alive request with it. The 500 also closes the
+                connection: request state (an undrained body) can't be
+                trusted after an arbitrary failure point."""
                 try:
                     fn()
                 except Exception:
                     try:
                         self._reply(500)
+                        self.close_connection = True
                     except Exception:
                         pass  # socket already gone
 
             def do_PUT(self):
                 def run():
+                    # drain the body FIRST: an early error reply with
+                    # unread body bytes desyncs HTTP/1.1 keep-alive —
+                    # the next parser pass reads the body as a request
+                    # line and the queued request is lost
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
                     key = self._key()
                     if key is None:
                         return self._reply(404)
-                    length = int(self.headers.get("Content-Length", 0))
-                    body = self.rfile.read(length)
                     try:
                         svc.store.put(key, body)
                     except ValueError:  # key escapes root etc.

@@ -134,15 +134,20 @@ def _write_key_shards(kv_ds, shard_dir: str, n_shards: int,
 def cleanup_shard_dirs() -> List[str]:
     """Remove every shard directory built by THIS process's dedup calls
     (they otherwise persist under /tmp or the caller's ``work_dir`` —
-    the full keep-map as parquet). Call only AFTER the returned deduped
+    the full keep-map as parquet), and drop this process's cached
+    manifests/shards for them. Call only AFTER the returned deduped
     Datasets have been fully consumed: their filter stages read the
-    shards lazily."""
+    shards lazily. (Worker processes keep their own caches; those are
+    bounded by ``_SHARD_CACHE_CAP`` and die with the worker.)"""
     import shutil
 
     removed = []
     while _CREATED_SHARD_DIRS:
         d = _CREATED_SHARD_DIRS.pop()
         shutil.rmtree(d, ignore_errors=True)
+        _MANIFEST_CACHE.pop(d, None)
+        for ck in [k for k in _SHARD_CACHE if k[0] == d]:
+            _SHARD_CACHE.pop(ck, None)
         removed.append(d)
     return removed
 
@@ -162,6 +167,8 @@ def _load_manifest(shard_dir: str) -> Dict:
                 "build did not complete, or work_dir is not on storage "
                 "shared with this worker (multi-node runs need a shared "
                 "filesystem / object-store path)") from None
+        if len(_MANIFEST_CACHE) >= _SHARD_CACHE_CAP:  # bound long-lived procs
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
         _MANIFEST_CACHE[shard_dir] = m
     return m
 

@@ -306,8 +306,7 @@ def boilerplate_lines(ds, text_col: str = "text", min_count: int = 2,
     """
     from ray.data.aggregate import Sum
 
-    from .dedup import (_fresh_shard_dir, _n_shards_for, _write_key_shards,
-                        hash64 as _h64)
+    from .dedup import _fresh_shard_dir, _n_shards_for, _write_key_shards
 
     def line_hash_counts(b: pa.Table) -> pa.Table:
         lines = pc.list_flatten(pc.split_pattern(b.column(text_col), "\n"))
@@ -341,13 +340,17 @@ def boilerplate_lines(ds, text_col: str = "text", min_count: int = 2,
 
 
 def remove_boilerplate_lines(ds, hot, text_col: str = "text",
-                             out_col: str = "text"):
+                             out_col: str = "text",
+                             dropped_col: Optional[str] = None):
     """Drop boilerplate lines (from :func:`boilerplate_lines`) out of
     every document, preserving the order of surviving lines. Fully
     vectorized: split → flat line hashes → membership probe →
     per-document reassembly via recomputed list offsets +
     ``binary_join``. Documents whose lines were ALL boilerplate end as
-    empty strings (deterministic; SQL mirrors with coalesce)."""
+    empty strings. ``dropped_col`` additionally emits the per-doc
+    dropped-line count — the observability column, and the unambiguous
+    'changed' definition (``clean != text`` misses the degenerate
+    empty doc whose single empty line is hot)."""
     import ray
 
     if hot["kind"] == "array":
@@ -380,17 +383,20 @@ def remove_boilerplate_lines(ds, hot, text_col: str = "text",
             is_hot, _ = _shard_lookup(h, hot["dir"], hot["n_shards"],
                                       has_keep=False)
         keep = ~is_hot
-        kept_flat = pa.Array.from_pandas(flat).filter(pa.array(keep)) \
-            if isinstance(flat, pa.ChunkedArray) else flat.filter(pa.array(keep))
+        # lists was combine_chunks()-ed above, so flat is a plain Array
+        kept_flat = flat.filter(pa.array(keep))
         # rebuild list offsets: surviving lines per parent document
         n_docs = b.num_rows
         per_doc = np.bincount(parents[keep], minlength=n_docs)
         offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
-        if isinstance(kept_flat, pa.ChunkedArray):
-            kept_flat = kept_flat.combine_chunks()
         rebuilt = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                            kept_flat)
         joined = pc.binary_join(rebuilt, "\n")
-        return _set(b, out_col, joined.cast(pa.string()))
+        out = _set(b, out_col, joined.cast(pa.string()))
+        if dropped_col is not None:
+            total = np.bincount(parents, minlength=n_docs)
+            out = _set(out, dropped_col,
+                       pa.array((total - per_doc).astype(np.int64)))
+        return out
 
     return ds.map_batches(scrub, batch_format="pyarrow")

@@ -165,6 +165,21 @@ def stream_windowed_aggregate(ds, ts_col: str, key_col: str, value_col: str,
     size_us = int(size_s) * 1_000_000
     late_us = int(allowed_lateness_s) * 1_000_000
     actors = [WindowBucketState.remote(size_us) for _ in range(n_buckets)]
+    try:
+        return _stream_windowed_run(ds, actors, ts_col, key_col, value_col,
+                                    size_us, late_us, n_buckets, batch_size,
+                                    advance_every)
+    finally:
+        # a mid-stream failure (bad batch, dead actor) must not leak
+        # n_buckets stateful actors for the life of the Ray session
+        for a in actors:
+            ray.kill(a)
+
+
+def _stream_windowed_run(ds, actors, ts_col, key_col, value_col, size_us,
+                         late_us, n_buckets, batch_size, advance_every):
+    import pandas as pd
+
     finalized: List = []
     pending: List = []
     max_ts = None
@@ -197,8 +212,6 @@ def stream_windowed_aggregate(ds, ts_col: str, key_col: str, value_col: str,
     for snap in ray.get([a.drain.remote() for a in actors]):
         finalized.extend(snap["rows"])
         n_late += snap["late"]
-    for a in actors:
-        ray.kill(a)
     if not finalized:
         return (pd.DataFrame({"key": pd.Series([], dtype=object),
                               "window_start": pd.Series([], dtype="int64"),
