@@ -644,6 +644,95 @@ def _boilerplate_removal_stats(sf_dir: str):
     return pd.DataFrame([agg])
 
 
+def _pii_redaction_stats(sf_dir: str):
+    """PII scrub stage over the corpus (emails / phones / IPv4 →
+    tags): corpus-level audit metrics. The synthetic corpus carries no
+    PII, so a deterministic PII footer is appended to every 5th doc
+    (mirrored in the oracle SQL) — the redaction path actually fires."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions.text import redact_pii
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        mask = pa.array(ids % 5 == 0)
+        footer = pc.binary_join_element_wise(
+            " contact u", pc.cast(b["doc_id"], pa.string()),
+            "@ex.org or 555-123-4567 at 10.0.0.",
+            pa.array((ids % 250).astype(str)), "")
+        appended = pc.binary_join_element_wise(
+            b["text"].cast(pa.string()), footer, "")
+        return b.set_column(b.schema.get_field_index("text"), "text",
+                            pc.if_else(mask, appended,
+                                       b["text"].cast(pa.string())))
+
+    red = docs.map_batches(inject, batch_format="pyarrow") \
+              .map_batches(redact_pii, batch_format="pyarrow")
+
+    def stats(b: pa.Table) -> pa.Table:
+        hit = pc.or_(pc.or_(pc.greater(b["n_email"], 0),
+                            pc.greater(b["n_phone"], 0)),
+                     pc.greater(b["n_ipv4"], 0))
+        return pa.table({
+            "n_email": b["n_email"], "n_phone": b["n_phone"],
+            "n_ipv4": b["n_ipv4"],
+            "redacted": pc.cast(hit, pa.int64()),
+            "clean_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+        })
+
+    agg = red.map_batches(stats, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_email", alias_name="sum_email"),
+        Sum("n_phone", alias_name="sum_phone"),
+        Sum("n_ipv4", alias_name="sum_ipv4"),
+        Sum("redacted", alias_name="n_docs_redacted"),
+        Sum("clean_chars", alias_name="sum_clean_chars"),
+    )
+    return pd.DataFrame([agg])
+
+
+def _repetition_filter_stats(sf_dir: str):
+    """Gopher-style within-doc repetition signals over the corpus. The
+    synthetic corpus has no repeated lines, so two identical marker
+    lines are appended to every 3rd doc (mirrored in the oracle SQL) —
+    the duplicate-detection path actually fires."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions.text import repetition_signals
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        mask = pa.array(ids % 3 == 0)
+        appended = pc.binary_join_element_wise(
+            b["text"].cast(pa.string()), "R R R\nR R R", "\n")
+        return b.set_column(b.schema.get_field_index("text"), "text",
+                            pc.if_else(mask, appended,
+                                       b["text"].cast(pa.string())))
+
+    sig = docs.map_batches(inject, batch_format="pyarrow") \
+              .map_batches(repetition_signals, batch_format="pyarrow")
+
+    def stats(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_lines": b["n_lines"], "n_dup_lines": b["n_dup_lines"],
+            "dup_line_chars": b["dup_line_chars"],
+            "flagged": pc.cast(pc.greater(b["n_dup_lines"], 0), pa.int64()),
+        })
+
+    agg = sig.map_batches(stats, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_lines", alias_name="sum_lines"),
+        Sum("n_dup_lines", alias_name="sum_dup_lines"),
+        Sum("dup_line_chars", alias_name="sum_dup_chars"),
+        Sum("flagged", alias_name="n_docs_flagged"),
+    )
+    return pd.DataFrame([agg])
+
+
 # ---------------------------------------------------------------- text
 def _text_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
@@ -1443,6 +1532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
         "boilerplate_removal_stats": _boilerplate_removal_stats,
+        "pii_redaction_stats": _pii_redaction_stats,
+        "repetition_filter_stats": _repetition_filter_stats,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -1620,6 +1711,75 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changed,
                    CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
             FROM c
+        """,
+        "pii_redaction_stats": """
+            WITH docs AS (
+                -- same deterministic PII footer the Ray side injects
+                SELECT CASE WHEN doc_id % 5 = 0 THEN
+                           text || ' contact u' || doc_id::VARCHAR ||
+                           '@ex.org or 555-123-4567 at 10.0.0.' ||
+                           (doc_id % 250)::VARCHAR
+                       ELSE text END AS text
+                FROM documents
+            ), c AS (
+                SELECT
+                    len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        AS n_email,
+                    len(regexp_extract_all(text,
+                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+                    len(regexp_extract_all(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                        AS n_ipv4,
+                    length(
+                      regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                        '<IP>', 'g')) AS clean_chars
+                FROM docs
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_email) AS BIGINT) AS sum_email,
+                   CAST(sum(n_phone) AS BIGINT) AS sum_phone,
+                   CAST(sum(n_ipv4) AS BIGINT) AS sum_ipv4,
+                   CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_redacted,
+                   CAST(sum(clean_chars) AS BIGINT) AS sum_clean_chars
+            FROM c
+        """,
+        "repetition_filter_stats": """
+            WITH docs AS (
+                -- same deterministic duplicate-marker lines the Ray
+                -- side injects into every 3rd doc
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || chr(10) || 'R R R' || chr(10) || 'R R R'
+                            ELSE text END AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM docs
+            ), per AS (
+                -- occurrences beyond a line's first within its doc
+                SELECT doc_id, line, count(*) AS cnt FROM lines
+                GROUP BY doc_id, line
+            ), per_doc AS (
+                SELECT doc_id,
+                       sum(cnt) AS n_lines,
+                       sum(cnt - 1) AS n_dup_lines,
+                       sum((cnt - 1) * length(line)) AS dup_line_chars
+                FROM per GROUP BY doc_id
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+                   CAST(sum(n_dup_lines) AS BIGINT) AS sum_dup_lines,
+                   CAST(sum(dup_line_chars) AS BIGINT) AS sum_dup_chars,
+                   CAST(sum(CASE WHEN n_dup_lines > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_flagged
+            FROM per_doc
         """,
         "boilerplate_removal_stats": """
             WITH docs AS (

@@ -24,6 +24,8 @@ from .text import (
     add_text_stats,
     fingerprint64,
     quality_score,
+    redact_pii,
+    repetition_signals,
     token_count,
     word_count,
 )

@@ -400,3 +400,87 @@ def remove_boilerplate_lines(ds, hot, text_col: str = "text",
         return out
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def repetition_signals(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 repetition filters): per doc, the fraction of LINES that are
+    duplicates of an earlier line in the same doc, and the fraction of
+    line CHARS sitting in those duplicate occurrences. High values mark
+    spam / navigation / auto-generated pages.
+
+    Emits ``n_lines`` / ``n_dup_lines`` / ``dup_line_chars`` /
+    ``line_chars`` columns (ints — ratios left to the caller so
+    aggregates stay exact and SQL-mirrorable).
+
+    Fully vectorized: split → flat line hashes → lexsort by
+    (doc, hash) → run-adjacent equality marks every occurrence beyond
+    a line's first within its doc. No Python per row. Duplicate
+    detection is hash-level (same deterministic-collision contract as
+    the dedup oracles: P ≈ n²/2⁶⁴ per doc, identical across runs).
+    """
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(col, "\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parents = np.asarray(pc.list_parent_indices(lists))
+    h = hash64(flat, 0x9E97).astype(np.int64)
+    lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    n_docs = batch.num_rows
+
+    order = np.lexsort((h, parents))
+    ps, hs = parents[order], h[order]
+    dup_sorted = np.zeros(len(h), dtype=bool)
+    if len(h) > 1:
+        dup_sorted[1:] = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+    dup = np.zeros(len(h), dtype=bool)
+    dup[order] = dup_sorted
+
+    out = set_column(batch, "n_lines",
+                     pa.array(np.bincount(parents, minlength=n_docs)
+                              .astype(np.int64)))
+    out = set_column(out, "n_dup_lines",
+                     pa.array(np.bincount(parents[dup], minlength=n_docs)
+                              .astype(np.int64)))
+    out = set_column(out, "dup_line_chars",
+                     pa.array(np.bincount(parents, weights=lens * dup,
+                                          minlength=n_docs)
+                              .astype(np.int64)))
+    out = set_column(out, "line_chars",
+                     pa.array(np.bincount(parents, weights=lens,
+                                          minlength=n_docs)
+                              .astype(np.int64)))
+    return out
+
+
+#: PII patterns — RE2-compatible (no lookarounds) so the SAME pattern
+#: string runs in Arrow kernels and DuckDB ``regexp_replace(..., 'g')``.
+#: Applied in this order (email first: its local part may contain digit
+#: runs the narrower patterns would otherwise nibble).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text") -> pa.Table:
+    """Redact emails / phone numbers / IPv4 addresses — the standard
+    pre-training scrub stage. One ``replace_substring_regex`` pass per
+    pattern (all-C, no Python per row), plus per-doc match-count
+    columns ``n_email`` / ``n_phone`` / ``n_ipv4`` (counted BEFORE
+    replacement, for audit metrics). Designed as a
+    ``map_batches(batch_format="pyarrow")`` body; the oracle mirror is
+    ``regexp_replace(text, <same pattern>, <tag>, 'g')`` chained in the
+    same order."""
+    txt = batch.column(text_col)
+    out = batch
+    for name, pat, tag in PII_PATTERNS:
+        out = set_column(out, f"n_{name}",
+                         pc.count_substring_regex(txt, pat).cast(pa.int64()))
+        txt = pc.replace_substring_regex(txt, pat, tag)
+    return set_column(out, out_col, txt)

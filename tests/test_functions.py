@@ -280,3 +280,71 @@ def test_boilerplate_line_removal(ray_session, duck):
     out2 = {r["doc_id"]: r["text"] for r in
             remove_boilerplate_lines(ds, hot2).take_all()}
     assert out2 == out
+
+
+def test_repetition_signals_counts_and_duckdb_mirror(duck):
+    from presto_bloomfilter_ray.functions.text import repetition_signals
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a\nb\na\na\nc",        # 'a' ×3 → 2 dup lines, 2 dup chars
+            "unique\nlines\nonly",  # no repetition
+            "",                     # one empty line, no dups
+            "xx\nxx",               # 1 dup line, 2 dup chars
+        ],
+    })
+    out = repetition_signals(t)
+    assert out.column("n_lines").to_pylist() == [5, 3, 1, 2]
+    assert out.column("n_dup_lines").to_pylist() == [2, 0, 0, 1]
+    assert out.column("dup_line_chars").to_pylist() == [2, 0, 0, 2]
+    assert out.column("line_chars").to_pylist() == [5, 15, 0, 4]
+    # SQL mirror: occurrences beyond a line's first within its doc
+    duck.sql("CREATE OR REPLACE TABLE rdocs AS SELECT * FROM t")
+    got = duck.sql("""
+        WITH lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM rdocs
+        ), per AS (
+            SELECT doc_id, line, count(*) AS cnt FROM lines
+            GROUP BY doc_id, line
+        )
+        SELECT doc_id,
+               sum(cnt)::BIGINT AS n_lines,
+               sum(cnt - 1)::BIGINT AS n_dup_lines,
+               sum((cnt - 1) * length(line))::BIGINT AS dup_line_chars,
+               sum(cnt * length(line))::BIGINT AS line_chars
+        FROM per GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    for col in ["n_lines", "n_dup_lines", "dup_line_chars", "line_chars"]:
+        assert list(got[col]) == out.column(col).to_pylist(), col
+
+
+def test_redact_pii_matches_duckdb(duck):
+    from presto_bloomfilter_ray.functions.text import PII_PATTERNS, redact_pii
+
+    texts = [
+        "mail bob.smith+x@example.co.uk now",
+        "call 555-123-4567 or 555.987.6543",
+        "server at 192.168.001.1 port 80",
+        "none here",
+        "combo a@b.io 10.0.0.255 555-000-1111",
+    ]
+    t = pa.table({"text": texts})
+    out = redact_pii(t)
+    clean = out.column("text").to_pylist()
+    assert clean[0] == "mail <EMAIL> now"
+    assert clean[1] == "call <PHONE> or <PHONE>"
+    assert clean[2] == "server at <IP> port 80"
+    assert clean[3] == "none here"
+    assert clean[4] == "combo <EMAIL> <IP> <PHONE>"
+    assert out.column("n_email").to_pylist() == [1, 0, 0, 0, 1]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0, 0, 1]
+    assert out.column("n_ipv4").to_pylist() == [0, 0, 1, 0, 1]
+    # same pattern strings give the same result in DuckDB (RE2 both sides)
+    duck.sql("CREATE OR REPLACE TABLE pdocs AS SELECT * FROM t")
+    expr = "text"
+    for _, pat, tag in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    got = duck.sql(f"SELECT {expr} AS clean FROM pdocs").df()
+    assert list(got["clean"]) == clean
