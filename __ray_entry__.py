@@ -693,6 +693,24 @@ def _pii_redaction_stats(sf_dir: str):
     return pd.DataFrame([agg])
 
 
+def _host_cap_sample(sf_dir: str):
+    """Per-host document cap (≤ 10 docs per source, smallest doc_id
+    wins) — the domain-balancing stage of a CC-style training-data
+    pipeline, via the two-phase partial-top-k ``cap_per_key``. Emits
+    per-source kept counts + a doc_id checksum so the oracle hash
+    checks the exact selected set, not just its size."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import cap_per_key
+
+    docs = _read(sf_dir, "documents", columns=["source", "doc_id"])
+    kept = cap_per_key(docs, "source", "doc_id", k=10)
+    return kept.groupby("source").aggregate(
+        Count(alias_name="n_kept"),
+        Sum("doc_id", alias_name="sum_kept_ids"),
+    )
+
+
 def _repetition_filter_stats(sf_dir: str):
     """Gopher-style within-doc repetition signals over the corpus. The
     synthetic corpus has no repeated lines, so two identical marker
@@ -1532,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
         "boilerplate_removal_stats": _boilerplate_removal_stats,
+        "host_cap_sample": _host_cap_sample,
         "pii_redaction_stats": _pii_redaction_stats,
         "repetition_filter_stats": _repetition_filter_stats,
         "events_sliding": _events_sliding,
@@ -1711,6 +1730,16 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changed,
                    CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
             FROM c
+        """,
+        "host_cap_sample": """
+            SELECT source,
+                   count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+            FROM (
+                SELECT source, doc_id FROM documents
+                QUALIFY row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) <= 10
+            ) GROUP BY source
         """,
         "pii_redaction_stats": """
             WITH docs AS (

@@ -1,6 +1,7 @@
 from .components import connected_components, connected_components_ds
 from .dedup import (
     add_content_hash,
+    cap_per_key,
     cleanup_shard_dirs,
     exact_dedup,
     lsh_candidate_pairs,

@@ -1116,3 +1116,61 @@ def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def cap_per_key(ds, key_col: str, order_col: str, k: int):
+    """Keep the ``k`` smallest ``order_col`` rows per ``key_col`` — the
+    per-host document cap every Common-Crawl pipeline runs so hot
+    domains can't dominate the training mix (selection is deterministic:
+    smallest ``order_col`` wins; pass a unique id column for stable
+    results).
+
+    Scale design (100 TB): two-phase partial top-k. Phase 1 prunes
+    INSIDE ``map_batches`` — lexsort each batch by (key-hash, order),
+    run-rank, keep rank < k — so the only shuffle, the ``groupby`` of
+    phase 2, moves at most ``k × batches-containing-key`` candidate
+    rows per key instead of the corpus (a 10^8-doc host ships ~k rows
+    per input block, not 10^8). Run boundaries compare the REAL key of
+    adjacent sorted rows, so key-hash collisions cannot over-prune.
+    Carry only the columns you need into ``ds`` (id + key) and
+    semi-join the survivors back against the full table — candidate
+    rows travel whole.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def local_cap(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        keys = b.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kh = hash64(keys, 0xCA9).astype(np.int64)
+        vals = np.asarray(b.column(order_col))
+        order = np.lexsort((vals, kh))
+        kh_s = kh[order]
+        new_run = np.ones(len(kh_s), dtype=bool)
+        if len(kh_s) > 1:
+            new_run[1:] = kh_s[1:] != kh_s[:-1]
+            # break runs on the actual key too: equal hashes from
+            # DIFFERENT keys must not share a candidate budget
+            same_hash = ~new_run[1:]
+            if same_hash.any():
+                ks = keys.take(pa.array(order))
+                neq = np.asarray(
+                    pc.not_equal(ks.slice(1), ks.slice(0, len(ks) - 1)))
+                new_run[1:] |= same_hash & neq.astype(bool)
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        rank = np.arange(len(kh_s)) - starts[run_id]
+        keep_sorted = rank < k
+        keep_idx = np.sort(order[keep_sorted])
+        return b.take(pa.array(keep_idx))
+
+    pruned = ds.map_batches(local_cap, batch_format="pyarrow")
+
+    def final_cap(g):
+        return g.sort_values(order_col, kind="mergesort").head(k)
+
+    return pruned.groupby(key_col).map_groups(final_cap,
+                                              batch_format="pandas")

@@ -348,3 +348,32 @@ def test_redact_pii_matches_duckdb(duck):
         expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
     got = duck.sql(f"SELECT {expr} AS clean FROM pdocs").df()
     assert list(got["clean"]) == clean
+
+
+def test_cap_per_key(ray_session, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import cap_per_key
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    keys = [f"host{int(i)}" for i in rng.integers(0, 12, n)]
+    ids = rng.permutation(n).astype("int64")
+    t = pa.table({"host": keys, "doc_id": ids})
+    ds = rd.from_arrow(t).repartition(7)
+    kept = cap_per_key(ds, "host", "doc_id", k=5).to_pandas()
+    duck.sql("CREATE OR REPLACE TABLE capd AS SELECT * FROM t")
+    want = duck.sql("""
+        SELECT host, doc_id FROM capd
+        QUALIFY row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 5
+    """).df()
+    key = lambda d: d.sort_values(["host", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(kept), key(want))
+    # k larger than every group: identity set
+    all_kept = cap_per_key(ds, "host", "doc_id", k=10_000).to_pandas()
+    assert sorted(all_kept["doc_id"]) == sorted(range(n))
+    # map-side prune really bounds the shuffle: per batch ≤ k rows/key
+    from presto_bloomfilter_ray.functions.dedup import cap_per_key as cpk
+    import pytest
+    with pytest.raises(ValueError):
+        cpk(ds, "host", "doc_id", k=0)
