@@ -693,6 +693,120 @@ def _pii_redaction_stats(sf_dir: str):
     return pd.DataFrame([agg])
 
 
+def _bloom_decontaminate(sf_dir: str):
+    """Benchmark decontamination with the project's own Bloom sketch —
+    the canonical LLM-training use of ``bloom_filter`` +
+    ``bloom_filter_contains``. Docs with ``doc_id % 97 == 0`` act as
+    the held-out benchmark; every 11th remaining doc gets a benchmark
+    line injected (deterministic, mirrored in SQL) so contamination
+    actually exists. Emits the EXACT contaminated count (computed
+    in-query from the benchmark's line-hash set — the benchmark side
+    is small by nature, this is the realistic broadcast) plus two
+    guarantee booleans: the bloom flags are a superset of the exact
+    flags (no false negatives) and the false-positive overshoot is
+    within the configured-fpp bound."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from presto_bloomfilter_ray.functions.decontaminate import (
+        benchmark_bloom,
+        explode_lines,
+    )
+    from presto_bloomfilter_ray.sketches.hashing import hash64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        bench = ids % 97 == 0
+        inject = bench | ((ids % 11 == 0) & ~bench)
+        secret = pc.binary_join_element_wise(
+            "SECRET EVAL ITEM ", pa.array((ids % 5).astype(str)), "")
+        appended = pc.binary_join_element_wise(
+            b["text"].cast(pa.string()), secret, "\n")
+        txt = pc.if_else(pa.array(inject), appended,
+                         b["text"].cast(pa.string()))
+        out = b.set_column(b.schema.get_field_index("text"), "text", txt)
+        return out.append_column("is_bench", pa.array(bench))
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow")
+    bench_ds = tagged.map_batches(
+        lambda b: b.filter(b["is_bench"].combine_chunks()
+                           if isinstance(b["is_bench"], pa.ChunkedArray)
+                           else b["is_bench"]),
+        batch_format="pyarrow")
+    corpus = tagged.map_batches(
+        lambda b: b.filter(pc.invert(
+            b["is_bench"].combine_chunks()
+            if isinstance(b["is_bench"], pa.ChunkedArray)
+            else b["is_bench"])),
+        batch_format="pyarrow")
+
+    fpp = 1e-4
+    bloom = benchmark_bloom(bench_ds, expected_insertions=100_000, fpp=fpp)
+    # exact reference: the benchmark's distinct line hashes (small side)
+    bench_hashes = np.unique(np.concatenate([
+        hash64(t["line"], 0xDECA)
+        for t in bench_ds.map_batches(explode_lines,
+                                      batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow")
+    ] or [np.zeros(0, dtype=np.uint64)]))
+
+    import ray
+
+    from presto_bloomfilter_ray.engine.ops import get_or_load
+
+    env_ref = ray.put(bloom.serialize())
+    bh_ref = ray.put(bench_hashes)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bf = get_or_load(ray.get(env_ref))
+        bh = ray.get(bh_ref)
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(col, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = np.asarray(pc.list_parent_indices(lists))
+        ok = np.asarray(pc.greater_equal(
+            pc.utf8_length(pc.utf8_trim_whitespace(flat)), 1))
+        bloom_hit = bf.contains_many(flat) & ok
+        h = hash64(flat, 0xDECA)
+        if len(bh):
+            idx = np.clip(np.searchsorted(bh, h), 0, len(bh) - 1)
+            exact_hit = (bh[idx] == h) & ok
+        else:
+            exact_hit = np.zeros(len(h), dtype=bool)
+        n = b.num_rows
+        bloom_doc = np.bincount(parents[bloom_hit], minlength=n) > 0
+        exact_doc = np.bincount(parents[exact_hit], minlength=n) > 0
+        return pa.table({
+            "bloom_flag": pa.array(bloom_doc.astype(np.int64)),
+            "exact_flag": pa.array(exact_doc.astype(np.int64)),
+            "superset": pa.array((bloom_doc | ~exact_doc).astype(np.int64)),
+        })
+
+    agg = corpus.map_batches(probe, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("exact_flag", alias_name="n_contaminated"),
+        Sum("bloom_flag", alias_name="_n_bloom"),
+        Min("superset", alias_name="_superset_min"),
+    )
+    n_docs = int(agg["n_docs"])
+    n_exact = int(agg["n_contaminated"])
+    n_bloom = int(agg["_n_bloom"])
+    # expected FP docs ≈ clean docs × (1 - (1-fpp)^lines/doc); bound
+    # generously — the check is "fpp didn't blow up", not a tight test
+    fp_bound = 10 + int(5 * fpp * max(n_docs, 1) * 50)
+    return pd.DataFrame([{
+        "n_docs": n_docs,
+        "n_contaminated": n_exact,
+        "bloom_no_false_negatives": bool(agg["_superset_min"] == 1),
+        "bloom_fp_within_bound": bool(0 <= n_bloom - n_exact <= fp_bound),
+    }])
+
+
 def _host_cap_sample(sf_dir: str):
     """Per-host document cap (≤ 10 docs per source, smallest doc_id
     wins) — the domain-balancing stage of a CC-style training-data
@@ -1550,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
         "boilerplate_removal_stats": _boilerplate_removal_stats,
+        "bloom_decontaminate": _bloom_decontaminate,
         "host_cap_sample": _host_cap_sample,
         "pii_redaction_stats": _pii_redaction_stats,
         "repetition_filter_stats": _repetition_filter_stats,
@@ -1730,6 +1845,36 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changed,
                    CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
             FROM c
+        """,
+        "bloom_decontaminate": """
+            WITH tagged AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 97 = 0 OR doc_id % 11 = 0
+                            THEN text || chr(10) || 'SECRET EVAL ITEM ' ||
+                                 (doc_id % 5)::VARCHAR
+                            ELSE text END AS text,
+                       doc_id % 97 = 0 AS is_bench
+                FROM documents
+            ), bench_lines AS (
+                SELECT DISTINCT line FROM (
+                    SELECT unnest(string_split(text, chr(10))) AS line
+                    FROM tagged WHERE is_bench
+                ) WHERE length(trim(line)) >= 1
+            ), corpus_flag AS (
+                SELECT t.doc_id,
+                       max(CASE WHEN length(trim(l.line)) >= 1
+                                 AND l.line IN (SELECT line FROM bench_lines)
+                                THEN 1 ELSE 0 END) AS exact_flag
+                FROM tagged t,
+                     unnest(string_split(t.text, chr(10))) AS l(line)
+                WHERE NOT t.is_bench
+                GROUP BY t.doc_id
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(exact_flag) AS BIGINT) AS n_contaminated,
+                   TRUE AS bloom_no_false_negatives,
+                   TRUE AS bloom_fp_within_bound
+            FROM corpus_flag
         """,
         "host_cap_sample": """
             SELECT source,

@@ -1,4 +1,10 @@
 from .components import connected_components, connected_components_ds
+from .decontaminate import (
+    benchmark_bloom,
+    decontaminate,
+    explode_lines,
+    flag_contaminated,
+)
 from .dedup import (
     add_content_hash,
     cap_per_key,

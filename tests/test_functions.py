@@ -377,3 +377,40 @@ def test_cap_per_key(ray_session, duck):
     import pytest
     with pytest.raises(ValueError):
         cpk(ds, "host", "doc_id", k=0)
+
+
+def test_decontaminate_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import (
+        benchmark_bloom,
+        decontaminate,
+        flag_contaminated,
+    )
+
+    bench = rd.from_items([
+        {"text": "What is the capital of France?\nParis"},
+        {"text": "2 + 2 =\n4"},
+    ])
+    corpus = rd.from_items([
+        {"doc_id": 1, "text": "blog post\nWhat is the capital of France?\nmore"},
+        {"doc_id": 2, "text": "clean doc\nnothing shared"},
+        {"doc_id": 3, "text": "4\ntrailing"},          # shares the '4' line
+        {"doc_id": 4, "text": "totally unrelated"},
+        {"doc_id": 5, "text": "  \n\nParis"},           # blank lines + hit
+    ]).repartition(3)
+
+    bloom = benchmark_bloom(bench, expected_insertions=1000, fpp=1e-6)
+    flags = {r["doc_id"]: r["c"] for r in
+             flag_contaminated(corpus, bloom, flag_col="c").take_all()}
+    assert flags[1] and flags[3] and flags[5]
+    assert not flags[2] and not flags[4]
+
+    kept = sorted(r["doc_id"] for r in decontaminate(
+        corpus, bench, expected_insertions=1000, fpp=1e-6).take_all())
+    assert kept == [2, 4]
+    # blank/whitespace lines never poison the filter: a doc of only
+    # blank lines stays clean even though the benchmark has none either
+    blanks = rd.from_items([{"doc_id": 9, "text": "\n \n"}])
+    f = flag_contaminated(blanks, bloom, flag_col="c").take_all()
+    assert f[0]["c"] is False or f[0]["c"] == False  # noqa: E712
