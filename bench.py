@@ -124,7 +124,8 @@ def run_bench() -> dict:
         "bloom_semijoin_orders", "bloom_antijoin_customer",
         "exact_dedup_documents", "text_stats_by_lang",
         "hll_distinct_custkey", "quantiles_textlen",
-        "minhash_dedup_documents", "ann_topk_cosine")
+        "minhash_dedup_documents", "ann_topk_cosine",
+        "bloom_decontaminate")
     q = entrymod.queries()
     for name in names:
         t0 = time.perf_counter()
