@@ -3,6 +3,7 @@ from .decontaminate import (
     benchmark_bloom,
     decontaminate,
     explode_lines,
+    explode_token_ngrams,
     flag_contaminated,
 )
 from .dedup import (

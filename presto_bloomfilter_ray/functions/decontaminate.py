@@ -42,35 +42,129 @@ def explode_lines(batch: pa.Table, text_col: str = "text",
     return pa.table({out_col: flat.filter(keep)})
 
 
+#: rolling-polynomial multiplier for combining token hashes (odd ⇒
+#: invertible mod 2^64, standard splitmix-style spread)
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def explode_token_ngrams(batch: pa.Table, text_col: str = "text",
+                         n: int = 13, out_col: str = "gram") -> pa.Table:
+    """One row per token ``n``-gram of ``text_col`` — the GPT-3 §B /
+    The Pile §6 decontamination unit (13-gram of lowercased,
+    punctuation-split tokens). Emitted as a decimal-string hash of the
+    window (polynomial over the window's token hashes), not the window
+    text: build and probe both come through here, so the filter only
+    ever sees the canonical gram key, and a 100-token doc ships 100
+    small keys instead of 100 overlapping 13-token strings.
+
+    Docs shorter than ``n`` tokens emit ONE whole-doc gram (GPT-3 uses
+    min(len, 13)), so short exact copies of benchmark items still hit.
+    Fully vectorized: lower → regex split → flat token hashes → the
+    window polynomial is n shifted adds over the flat array.
+    """
+    grams, _ = _doc_grams(batch.column(text_col), batch.num_rows, n)
+    return pa.table({out_col: pa.array(grams).cast(pa.string())})
+
+
+def _doc_grams(col, n_docs: int, n: int):
+    """(uint64 gram hashes, parent doc index per gram) for a text
+    column — shared by the build and probe sides so both always see
+    the same canonical gram keys."""
+    from ..sketches.hashing import hash64
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks))
+    nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    flat = flat.filter(pa.array(nonempty))
+    parents = parents[nonempty]
+    h = hash64(flat, 0x6E6772)  # uint64 token hashes
+    m = len(h)
+    doc_len = np.bincount(parents, minlength=n_docs)
+
+    grams, owners = [], []
+    if m >= n:
+        # full windows: acc_i = sum_j h[i+j] * P^(n-1-j), valid iff the
+        # window stays inside one doc
+        acc = np.zeros(m - n + 1, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _GRAM_P + h[j:m - n + 1 + j]
+        valid = parents[: m - n + 1] == parents[n - 1:]
+        grams.append(acc[valid])
+        owners.append(parents[: m - n + 1][valid])
+    # short docs (< n tokens, ≥ 1): one whole-doc gram (min(len, n))
+    short = np.flatnonzero((doc_len > 0) & (doc_len < n))
+    if len(short):
+        starts = np.concatenate(([0], np.cumsum(doc_len)))
+        sg = np.empty(len(short), dtype=np.uint64)
+        # scalar uint64 ops warn on the intended mod-2^64 wraparound
+        # (array ops wrap silently); loop is bounded by docs-per-batch
+        with np.errstate(over="ignore"):
+            for i, d in enumerate(short):
+                w = h[starts[d]:starts[d + 1]]
+                a = np.uint64(0)
+                for t in w:
+                    a = a * _GRAM_P + t
+                sg[i] = a
+        grams.append(sg)
+        owners.append(short)
+    if grams:
+        return np.concatenate(grams), np.concatenate(owners)
+    return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+
+
 def benchmark_bloom(bench_ds, text_col: str = "text",
                     expected_insertions: int = 1_000_000,
-                    fpp: float = 1e-4, min_len: int = 1):
-    """Bloom filter over a benchmark Dataset's lines (distributed
-    build through the standard partial → merge-tree path)."""
+                    fpp: float = 1e-4, min_len: int = 1,
+                    unit: str = "line", ngram: int = 13):
+    """Bloom filter over a benchmark Dataset's membership units
+    (distributed build through the standard partial → merge-tree
+    path). ``unit="line"`` inserts non-trivial lines; ``unit="ngram"``
+    inserts GPT-3-style lowercased token ``ngram``-gram hashes
+    (:func:`explode_token_ngrams`)."""
     from ..engine.agg import build_sketch
     from ..sketches.bloom import BloomFilter
 
-    lines = bench_ds.map_batches(
-        lambda b: explode_lines(b, text_col, min_len=min_len),
-        batch_format="pyarrow")
-    return build_sketch(lines, "line",
+    if unit == "line":
+        units = bench_ds.map_batches(
+            lambda b: explode_lines(b, text_col, out_col="u",
+                                    min_len=min_len),
+            batch_format="pyarrow")
+    elif unit == "ngram":
+        units = bench_ds.map_batches(
+            lambda b: explode_token_ngrams(b, text_col, n=ngram,
+                                           out_col="u"),
+            batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown unit {unit!r} (line | ngram)")
+    return build_sketch(units, "u",
                         factory=lambda: BloomFilter(expected_insertions, fpp))
 
 
 def flag_contaminated(ds, sketch, text_col: str = "text",
                       flag_col: str = "contaminated",
-                      min_len: int = 1,
+                      min_len: int = 1, unit: str = "line",
+                      ngram: int = 13,
                       concurrency: Optional[int] = None):
-    """Append a boolean ``flag_col``: True iff ANY line of the doc is
-    (probably) in the benchmark filter. Pure map stage — the envelope
-    ships via ``ray.put`` once and deserializes once per worker through
-    the engine's hash-keyed sketch cache; per batch it's split →
-    flatten → one vectorized ``contains_many`` → per-doc ANY via
-    ``np.bincount``. No corpus shuffle."""
+    """Append a boolean ``flag_col``: True iff ANY membership unit of
+    the doc (line, or token n-gram with ``unit="ngram"``) is (probably)
+    in the benchmark filter. Pure map stage — the envelope ships via
+    ``ray.put`` once and deserializes once per worker through the
+    engine's hash-keyed sketch cache; per batch it's split → flatten →
+    one vectorized ``contains_many`` → per-doc ANY via ``np.bincount``.
+    No corpus shuffle. ``unit``/``ngram`` must match the build side."""
     import ray
 
     from ..engine.ops import get_or_load
 
+    if unit not in ("line", "ngram"):
+        raise ValueError(f"unknown unit {unit!r} (line | ngram)")
     env = sketch if isinstance(sketch, bytes) else sketch.serialize()
     ref = ray.put(env)
 
@@ -78,19 +172,24 @@ def flag_contaminated(ds, sketch, text_col: str = "text",
         from .text import set_column
 
         bf = get_or_load(ray.get(ref))
-        col = b.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lists = pc.split_pattern(col, "\n")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        flat = pc.list_flatten(lists)
-        parents = np.asarray(pc.list_parent_indices(lists))
-        ok = np.asarray(
-            pc.greater_equal(
-                pc.utf8_length(pc.utf8_trim_whitespace(flat)), min_len))
-        hit = bf.contains_many(flat) & ok
         n_docs = b.num_rows
+        col = b.column(text_col)
+        if unit == "ngram":
+            grams, parents = _doc_grams(col, n_docs, ngram)
+            flat = pa.array(grams).cast(pa.string())
+            hit = bf.contains_many(flat)
+        else:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lists = pc.split_pattern(col, "\n")
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            flat = pc.list_flatten(lists)
+            parents = np.asarray(pc.list_parent_indices(lists))
+            ok = np.asarray(
+                pc.greater_equal(
+                    pc.utf8_length(pc.utf8_trim_whitespace(flat)), min_len))
+            hit = bf.contains_many(flat) & ok
         any_hit = np.bincount(parents[hit], minlength=n_docs) > 0
         return set_column(b, flag_col, pa.array(any_hit))
 
@@ -102,15 +201,17 @@ def flag_contaminated(ds, sketch, text_col: str = "text",
 
 def decontaminate(ds, bench_ds, text_col: str = "text",
                   expected_insertions: int = 1_000_000,
-                  fpp: float = 1e-4, min_len: int = 1):
-    """Drop corpus docs sharing any line with the benchmark. Returns
-    the filtered Dataset. No false negatives: every truly contaminated
-    doc is removed; at most an ``fpp``-bounded sliver of clean docs is
-    over-removed (the safe direction)."""
+                  fpp: float = 1e-4, min_len: int = 1,
+                  unit: str = "line", ngram: int = 13):
+    """Drop corpus docs sharing any membership unit (line, or GPT-3
+    style token n-gram with ``unit="ngram"``) with the benchmark.
+    Returns the filtered Dataset. No false negatives: every truly
+    contaminated doc is removed; at most an ``fpp``-bounded sliver of
+    clean docs is over-removed (the safe direction)."""
     bloom = benchmark_bloom(bench_ds, text_col, expected_insertions, fpp,
-                            min_len)
+                            min_len, unit=unit, ngram=ngram)
     flagged = flag_contaminated(ds, bloom, text_col, "__contaminated",
-                                min_len=min_len)
+                                min_len=min_len, unit=unit, ngram=ngram)
 
     def drop_flagged(b: pa.Table) -> pa.Table:
         mask = b.column("__contaminated")

@@ -414,3 +414,56 @@ def test_decontaminate_no_false_negatives(ray_session):
     blanks = rd.from_items([{"doc_id": 9, "text": "\n \n"}])
     f = flag_contaminated(blanks, bloom, flag_col="c").take_all()
     assert f[0]["c"] is False or f[0]["c"] == False  # noqa: E712
+
+
+def test_decontaminate_ngram_unit(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import decontaminate, flag_contaminated
+    from presto_bloomfilter_ray.functions.decontaminate import (
+        benchmark_bloom,
+        explode_token_ngrams,
+    )
+
+    eval_q = ("Which planet is known as the red planet in our solar "
+              "system according to astronomers today exactly")  # 15 tokens
+    # two benchmark docs: a long question and a SHORT answer doc (<13
+    # tokens — exercises the whole-doc-gram path on the build side)
+    bench = rd.from_items([{"text": f"Q: {eval_q}?"}, {"text": "A: Mars"}])
+    corpus = rd.from_items([
+        # contaminated: contains the benchmark question verbatim
+        # (case/punct differ — n-gram normalization must still match)
+        {"doc_id": 1, "text": f"trivia dump!! {eval_q.upper()}, answer mars"},
+        # clean: shares many individual words but no 13-token window
+        {"doc_id": 2, "text": "the red planet is a nickname; astronomers "
+                              "study our solar system and every planet"},
+        # short exact copy of the short benchmark doc (<13 tokens:
+        # whole-doc gram on both sides; case/punct differences wash out)
+        {"doc_id": 3, "text": "a: mars"},
+        {"doc_id": 4, "text": "completely unrelated content here"},
+    ]).repartition(2)
+
+    bloom = benchmark_bloom(bench, expected_insertions=10_000, fpp=1e-6,
+                            unit="ngram")
+    flags = {r["doc_id"]: r["c"] for r in
+             flag_contaminated(corpus, bloom, flag_col="c",
+                               unit="ngram").take_all()}
+    assert flags[1], "verbatim 13-gram overlap must be flagged"
+    assert not flags[2], "word-level overlap without a window is clean"
+    assert flags[3], "short doc equal to a short benchmark line hits"
+    assert not flags[4]
+
+    kept = sorted(r["doc_id"] for r in decontaminate(
+        corpus, bench, expected_insertions=10_000, fpp=1e-6,
+        unit="ngram").take_all())
+    assert kept == [2, 4]
+
+    # gram extraction: window count and short-doc behavior
+    t = pa.table({"text": ["one two three four five", "a b"]})
+    g5 = explode_token_ngrams(t, n=5)
+    assert g5.num_rows == 2  # one full window + one short-doc gram
+    g2 = explode_token_ngrams(t, n=2)
+    assert g2.num_rows == 4 + 1
+    import pytest
+    with pytest.raises(ValueError):
+        explode_token_ngrams(t, n=0)
