@@ -67,6 +67,25 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    import ray.data as rd
+
+    from .functions import decontaminate
+
+    corpus = rd.read_parquet(args.input)
+    bench = rd.read_parquet(args.benchmark)
+    n_in = corpus.count()
+    out = decontaminate(corpus, bench, text_col=args.text_col,
+                        expected_insertions=args.expected_insertions,
+                        fpp=args.fpp, unit=args.unit, ngram=args.ngram)
+    out.write_parquet(args.output)
+    n_out = rd.read_parquet(args.output).count()
+    print(json.dumps({"input_docs": n_in, "kept": n_out,
+                      "removed": n_in - n_out, "unit": args.unit,
+                      "output": args.output}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve a sketch store over the reference persist-service wire
     protocol (PUT/GET /bloomfilter/<key>) for non-engine clients."""
@@ -139,6 +158,19 @@ def main(argv=None) -> int:
     d.add_argument("--text-col", default="text")
     d.add_argument("--id-col", default="doc_id")
     d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("decontaminate", help="drop corpus docs sharing "
+                       "lines / token n-grams with a benchmark table")
+    c.add_argument("--input", required=True)
+    c.add_argument("--benchmark", required=True,
+                   help="parquet of held-out eval docs (the small side)")
+    c.add_argument("--output", required=True)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--unit", choices=["line", "ngram"], default="ngram")
+    c.add_argument("--ngram", type=int, default=13)
+    c.add_argument("--expected-insertions", type=int, default=1_000_000)
+    c.add_argument("--fpp", type=float, default=1e-4)
+    c.set_defaults(fn=cmd_decontaminate)
 
     t = sub.add_parser("stats", help="introspect a sketch store")
     t.add_argument("--store", required=True)
