@@ -76,6 +76,10 @@ def _doc_grams(col, n_docs: int, n: int):
         raise ValueError("n must be >= 1")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0 or pa.types.is_null(col.type):
+        # empty batch / untyped all-null column (e.g. from an empty
+        # upstream filter): no grams
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
     toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()

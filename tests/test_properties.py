@@ -148,3 +148,67 @@ def test_theta_exact_below_saturation_any_sets(n_a, n_b, overlap):
     assert round(a.intersection_estimate(b)) == overlap
     assert round(a.union_estimate(b)) == n_a + n_b - overlap
     assert round(a.difference_estimate(b)) == n_a - overlap
+
+
+_doc_texts = st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0, max_size=80),
+    min_size=1, max_size=12)
+
+
+@given(texts=_doc_texts)
+@settings(**_SETTINGS)
+def test_repetition_signals_match_bruteforce(texts):
+    from collections import Counter
+
+    from presto_bloomfilter_ray.functions.text import repetition_signals
+
+    out = repetition_signals(pa.table({"text": texts}))
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        c = Counter(lines)
+        assert out.column("n_lines")[i].as_py() == len(lines)
+        assert out.column("n_dup_lines")[i].as_py() == sum(
+            v - 1 for v in c.values())
+        assert out.column("dup_line_chars")[i].as_py() == sum(
+            (v - 1) * len(k) for k, v in c.items())
+        assert out.column("line_chars")[i].as_py() == sum(
+            len(x) for x in lines)
+
+
+@given(texts=_doc_texts, n=st.integers(1, 6), cut=st.integers(0, 12))
+@settings(**_SETTINGS)
+def test_token_ngrams_count_and_batch_independence(texts, n, cut):
+    import re
+
+    from presto_bloomfilter_ray.functions.decontaminate import (
+        explode_token_ngrams,
+    )
+
+    whole = explode_token_ngrams(pa.table({"text": texts}), n=n)
+    # per-doc gram count: max(tokens - n + 1, 1 if any tokens)
+    expect = 0
+    for t in texts:
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        expect += max(len(toks) - n + 1, 1) if toks else 0
+    assert whole.num_rows == expect
+    # splitting the batch anywhere yields the same gram multiset
+    cut = min(cut, len(texts))
+    a = explode_token_ngrams(pa.table({"text": texts[:cut]}), n=n)
+    b = explode_token_ngrams(pa.table({"text": texts[cut:]}), n=n)
+    assert sorted(a.column("gram").to_pylist()
+                  + b.column("gram").to_pylist()) == \
+        sorted(whole.column("gram").to_pylist())
+
+
+@given(texts=_doc_texts)
+@settings(**_SETTINGS)
+def test_redact_pii_idempotent(texts):
+    from presto_bloomfilter_ray.functions.text import redact_pii
+
+    once = redact_pii(pa.table({"text": texts}))
+    twice = redact_pii(pa.table({"text": once.column("text")}))
+    assert once.column("text").to_pylist() == twice.column("text").to_pylist()
+    # second pass finds nothing: the tags contain no matchable spans
+    for c in ("n_email", "n_phone", "n_ipv4"):
+        assert sum(twice.column(c).to_pylist()) == 0
