@@ -693,6 +693,25 @@ def _pii_redaction_stats(sf_dir: str):
     return pd.DataFrame([agg])
 
 
+def _stratified_sample_by_lang(sf_dir: str):
+    """Deterministic per-language downsampling (the training-mix
+    rebalance stage): multiplicative-hash threshold on doc_id, exact
+    same arithmetic in the SQL mirror, so the oracle checks the
+    precise selected set — reproducible sampling is the point."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import hash_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    mix = {"en": 0.5, "de": 0.25}  # other langs keep everything
+    kept = hash_sample(docs, "doc_id", key_col="lang", fractions=mix,
+                       default_fraction=1.0)
+    return kept.groupby("lang").aggregate(
+        Count(alias_name="n_kept"),
+        Sum("doc_id", alias_name="sum_kept_ids"),
+    )
+
+
 def _bloom_decontaminate(sf_dir: str):
     """Benchmark decontamination with the project's own Bloom sketch —
     the canonical LLM-training use of ``bloom_filter`` +
@@ -1665,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text_stats": _clean_text_stats,
         "boilerplate_removal_stats": _boilerplate_removal_stats,
         "bloom_decontaminate": _bloom_decontaminate,
+        "stratified_sample_by_lang": _stratified_sample_by_lang,
         "host_cap_sample": _host_cap_sample,
         "pii_redaction_stats": _pii_redaction_stats,
         "repetition_filter_stats": _repetition_filter_stats,
@@ -1845,6 +1865,17 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changed,
                    CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars
             FROM c
+        """,
+        "stratified_sample_by_lang": """
+            SELECT lang,
+                   count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  CAST((CASE lang WHEN 'en' THEN 0.5
+                                  WHEN 'de' THEN 0.25
+                                  ELSE 1.0 END) * 4294967296 AS BIGINT)
+            GROUP BY lang
         """,
         "bloom_decontaminate": """
             WITH tagged AS (

@@ -38,6 +38,7 @@ from .text import (
     word_count,
 )
 from .asof import asof_join, asof_join_bucketed, range_join
+from .sampling import hash_sample, sample_mask
 from .windows import (
     session_windows,
     sliding_aggregate,

@@ -1,0 +1,71 @@
+"""Deterministic, SQL-mirrorable corpus sampling.
+
+Training-data pipelines need REPEATABLE sampling — the same mix on
+every rerun, resumable across failures, auditable by an external SQL
+engine. Random sampling (``Dataset.random_sample``) gives none of
+that. :func:`hash_sample` keeps a row iff
+
+    (id * MULT) % 2^32  <  fraction * 2^32
+
+a multiplicative-hash threshold on a non-negative integer id column:
+pure map-side (no shuffle, no state), stable under repartitioning,
+and expressible verbatim in ANSI SQL (int64 math never overflows for
+ids < 2^21 at the sf scales; at web scale use the same formula in
+128-bit SQL types). Per-stratum fractions (e.g. downsample a dominant
+language) ride the same formula with a per-key threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+#: Knuth multiplicative constant (2654435761 = 2^32 / φ, odd ⇒ the map
+#: id → (id*MULT) mod 2^32 is a bijection on 32-bit ids: no clumping)
+SAMPLE_MULT = 2654435761
+_MOD = 1 << 32
+
+
+def sample_mask(ids: np.ndarray, fraction) -> np.ndarray:
+    """Boolean keep-mask for :func:`hash_sample`'s threshold rule.
+    ``fraction`` may be a scalar or a per-row array."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if (ids < 0).any():
+        raise ValueError("hash_sample requires non-negative integer ids "
+                         "(Python and SQL '%' disagree on negatives)")
+    thresh = (np.asarray(fraction, dtype=np.float64) * _MOD).astype(np.int64)
+    return (ids * SAMPLE_MULT) % _MOD < thresh
+
+
+def hash_sample(ds, id_col: str, fraction: Optional[float] = None, *,
+                key_col: Optional[str] = None,
+                fractions: Optional[Dict] = None,
+                default_fraction: float = 1.0):
+    """Deterministic threshold sample. Either a global ``fraction``, or
+    stratified: ``key_col`` + ``fractions`` (key → fraction; keys
+    absent from the dict keep ``default_fraction``). The fractions
+    dict is a SMALL driver-side mix spec (one entry per stratum, e.g.
+    per language) captured in the task closure — not data.
+
+    SQL mirror (same rows, exactly)::
+
+        WHERE (id * 2654435761) % 4294967296 <
+              CAST(f * 4294967296 AS BIGINT)
+    """
+    if (fraction is None) == (fractions is None):
+        raise ValueError("pass exactly one of fraction / fractions")
+    if fractions is not None and key_col is None:
+        raise ValueError("fractions requires key_col")
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col))
+        if fraction is not None:
+            f = fraction
+        else:
+            keys = b.column(key_col).to_pandas()
+            f = keys.map(fractions).fillna(default_fraction).to_numpy()
+        return b.filter(pa.array(sample_mask(ids, f)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -467,3 +467,46 @@ def test_decontaminate_ngram_unit(ray_session):
     import pytest
     with pytest.raises(ValueError):
         explode_token_ngrams(t, n=0)
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import hash_sample
+    from presto_bloomfilter_ray.functions.sampling import sample_mask
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    langs = np.array(["en", "de", "fr"])[ids % 3]
+    t = pa.table({"doc_id": ids, "lang": langs})
+    ds = rd.from_arrow(t).repartition(5)
+
+    # global fraction: repartition-stable, close to requested rate
+    a = sorted(r["doc_id"] for r in
+               hash_sample(ds, "doc_id", 0.3).take_all())
+    b = sorted(r["doc_id"] for r in
+               hash_sample(ds.repartition(2), "doc_id", 0.3).take_all())
+    assert a == b
+    assert abs(len(a) / n - 0.3) < 0.03
+
+    # stratified: per-lang rates honored, SQL-exact
+    kept = hash_sample(ds, "doc_id", key_col="lang",
+                       fractions={"en": 0.5, "de": 0.1}).to_pandas()
+    duck.sql("CREATE OR REPLACE TABLE sdocs AS SELECT * FROM t")
+    want = duck.sql("""
+        SELECT doc_id, lang FROM sdocs
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.1
+                    ELSE 1.0 END) * 4294967296 AS BIGINT)
+    """).df()
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+    got_fr = (kept["lang"] == "fr").sum()
+    assert got_fr == (langs == "fr").sum()  # default fraction 1.0
+
+    import pytest
+    with pytest.raises(ValueError):
+        sample_mask(np.array([-1]), 0.5)
+    with pytest.raises(ValueError):
+        hash_sample(ds, "doc_id")
+    with pytest.raises(ValueError):
+        hash_sample(ds, "doc_id", fractions={"en": 0.5})
