@@ -994,6 +994,53 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _quantile_band_textlen(sf_dir: str):
+    """Two-pass sketch-driven outlier-length filter: KLL quantile
+    cutoffs (one streaming pass, broadcast scalars) then a pure map
+    filter. Exact value: n_total; bound booleans: each cutoff's
+    empirical rank within 3·rank_error of its target, kept fraction
+    within (hi_q - lo_q) ± 6·rank_error, and the filtered Dataset's
+    count consistent with the indicator counts."""
+    from ray.data.aggregate import Sum
+
+    from presto_bloomfilter_ray.functions import quantile_band_filter
+
+    lo_q, hi_q = 0.05, 0.95
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+    filtered, lo, hi, sk = quantile_band_filter(docs, "n_chars", lo_q, hi_q)
+    eps = sk.rank_error_bound()
+
+    def counts(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("n_chars"), dtype=np.float64)
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "n_lt_lo": pa.array([int((v < lo).sum())], pa.int64()),
+                         "n_le_hi": pa.array([int((v <= hi).sum())], pa.int64())})
+
+    agg = (docs.map_batches(counts, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_lt_lo", alias_name="n_lt_lo"),
+                      Sum("n_le_hi", alias_name="n_le_hi")))
+    n, n_lt_lo, n_le_hi = agg["n"], agg["n_lt_lo"], agg["n_le_hi"]
+    n_kept = filtered.count()
+    return pd.DataFrame({
+        "n_total": pd.array([n], dtype="int64"),
+        "lo_rank_ok": [abs(n_lt_lo / n - lo_q) <= 3 * eps],
+        "hi_rank_ok": [abs(n_le_hi / n - hi_q) <= 3 * eps],
+        "kept_frac_ok": [abs(n_kept / n - (hi_q - lo_q)) <= 6 * eps],
+        "filter_consistent": [n_kept == n_le_hi - n_lt_lo],
+    })
+
+
+def _tfidf_top_terms(sf_dir: str):
+    """Per-language TF-IDF top-5 terms (tf · ln(n_docs/df), rounded
+    before ranking) — map-side (lang, term) combine, vocabulary-sized
+    exchange, local top-k. Oracle = the same definition in SQL."""
+    from presto_bloomfilter_ray.functions import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+    return tfidf_top_terms(docs, top_k=5)
+
+
 def _events_sliding(sf_dir: str):
     """Sliding 1h windows stepping 30min over events (count + sum)."""
     from presto_bloomfilter_ray.functions import sliding_aggregate
@@ -1679,6 +1726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_check": _ngram_jaccard_check,
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "quantile_band_textlen": _quantile_band_textlen,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
@@ -2057,6 +2106,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents
+            ), stats AS (
+                SELECT lang, term, count(*) AS tf,
+                       count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY 1, 2
+            ), nd AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+            ), scored AS (
+                SELECT s.lang, s.term, s.tf, s.df,
+                       round(s.tf * ln(CAST(nd.n_docs AS DOUBLE) / s.df), 6)
+                           AS score
+                FROM stats s JOIN nd USING (lang)
+            )
+            SELECT lang, term, tf, df, score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY lang ORDER BY score DESC, term) AS rn
+                  FROM scored)
+            WHERE rn <= 5
+            ORDER BY lang, score DESC, term
+        """,
+        "quantile_band_textlen": """
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   TRUE AS lo_rank_ok, TRUE AS hi_rank_ok,
+                   TRUE AS kept_frac_ok, TRUE AS filter_consistent
+            FROM documents
         """,
         "events_sliding": """
             WITH fan AS (SELECT 0 AS k UNION ALL SELECT 1)

@@ -34,11 +34,12 @@ from .text import (
     quality_score,
     redact_pii,
     repetition_signals,
+    tfidf_top_terms,
     token_count,
     word_count,
 )
 from .asof import asof_join, asof_join_bucketed, range_join
-from .sampling import hash_sample, sample_mask
+from .sampling import hash_sample, quantile_band_filter, sample_mask
 from .windows import (
     session_windows,
     sliding_aggregate,

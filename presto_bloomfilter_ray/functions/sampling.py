@@ -69,3 +69,39 @@ def hash_sample(ds, id_col: str, fraction: Optional[float] = None, *,
         return b.filter(pa.array(sample_mask(ids, f)))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+def quantile_band_filter(ds, col: str, lo_q: float = 0.05,
+                         hi_q: float = 0.95, k: int = 512,
+                         sketch=None):
+    """Sketch-driven quantile-band filter — the 'drop outlier-length
+    documents' stage of a training-data pipeline, two passes:
+
+    1. one streaming pass builds a mergeable KLL sketch of ``col``
+       (map-side partials + bounded merge tree, never a global sort);
+    2. the [q(lo_q), q(hi_q)] cutoffs — two scalars — are captured in
+       the filter closure (broadcast, not re-shipped per batch) and a
+       pure map pass keeps rows inside the band.
+
+    At 100 TB this replaces the exact alternative (a full sort or an
+    exact-percentile shuffle) with one map pass + a vocabulary-free
+    merge of ~k-sized sketches; the cost is a rank error of at most
+    the sketch's ``rank_error_bound()`` per cutoff, so the kept
+    fraction is (hi_q - lo_q) ± 2·bound.
+
+    Returns ``(filtered_ds, lo_cut, hi_cut, sketch)``. Pass
+    ``sketch=`` to reuse a pre-built digest (e.g. from a previous
+    snapshot) and skip pass 1.
+    """
+    from ..engine.agg import build_sketch
+    from ..sketches.kll import KLL
+
+    if sketch is None:
+        sketch = build_sketch(ds, col, lambda: KLL(k))
+    lo_cut = float(sketch.quantile(lo_q))
+    hi_cut = float(sketch.quantile(hi_q))
+
+    def in_band(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column(col), dtype=np.float64)
+        return b.filter(pa.array((v >= lo_cut) & (v <= hi_cut)))
+
+    return ds.map_batches(in_band, batch_format="pyarrow"), lo_cut, hi_cut, sketch

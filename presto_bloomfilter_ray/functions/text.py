@@ -484,3 +484,85 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
                          pc.count_substring_regex(txt, pat).cast(pa.int64()))
         txt = pc.replace_substring_regex(txt, pat, tag)
     return set_column(out, out_col, txt)
+
+
+def tfidf_top_terms(ds, text_col: str = "text", lang_col: str = "lang",
+                    top_k: int = 5, round_digits: int = 6):
+    """Per-language TF-IDF top terms — the keyword/term-weighting stage
+    of a corpus-analysis pipeline.
+
+    Definitions (each input row is one document):
+
+    * ``tf(lang, term)``  — total occurrences of ``term`` across the
+      language's documents (whitespace tokens, :data:`TOKEN_RE`);
+    * ``df(lang, term)``  — number of the language's documents that
+      contain ``term`` at least once;
+    * ``score`` — ``tf · ln(n_docs(lang) / df)`` rounded to
+      ``round_digits`` (rounded BEFORE ranking so the ordering is
+      reproducible across engines; ties break on ``term`` ascending).
+
+    Scale shape: tokenization is one Arrow regex kernel per batch; a
+    polars group-by combines (lang, term) → (tf, df) WITHIN the batch,
+    so the exchange carries per-batch distinct terms, never
+    per-occurrence token rows (Zipf-hot terms are absorbed map-side —
+    the ``word_count`` combiner pattern, here with a doc-frequency
+    column alongside). A ``groupby([lang, term]).sum`` finalizes over
+    vocabulary-sized data; per-language doc totals are a tiny separate
+    groupby broadcast into the scoring stage; a map-side local top-k
+    bounds the final driver sort to ≤ top_k × n_blocks rows per
+    language instead of the vocabulary.
+
+    SQL mirror: ``unnest(regexp_extract_all(text, '\\S+'))`` +
+    ``count(*)`` / ``count(DISTINCT doc)`` + ``ln()`` (see
+    ``oracle_sql()['tfidf_top_terms']``).
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def batch_tf_df(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column(text_col), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep)
+        parents = pc.filter(parents, keep)
+        lang = pc.take(batch.column(lang_col), parents)
+        t = pl.DataFrame({
+            "lang": pl.from_arrow(lang),
+            "term": pl.from_arrow(flat),
+            "doc": pl.from_arrow(parents),
+        })
+        agg = (t.group_by(["lang", "term"])
+                .agg(tf=pl.len().cast(pl.Int64),
+                     df=pl.col("doc").n_unique().cast(pl.Int64)))
+        return agg.to_arrow()
+
+    stats = (ds.map_batches(batch_tf_df, batch_format="pyarrow")
+               .groupby(["lang", "term"])
+               .aggregate(Sum("tf", alias_name="tf"),
+                          Sum("df", alias_name="df")))
+
+    # Per-language document totals: tiny (n_langs rows) — collect and
+    # broadcast into the scoring stage.
+    n_docs = {r[lang_col]: r["count()"]
+              for r in ds.groupby(lang_col).count().take_all()}
+
+    def score_local_topk(batch: pa.Table) -> pa.Table:
+        tf = np.asarray(batch.column("tf"), dtype=np.float64)
+        df = np.asarray(batch.column("df"), dtype=np.float64)
+        nd = np.asarray([n_docs[v] for v in batch.column("lang").to_pylist()],
+                        dtype=np.float64)
+        score = np.round(tf * np.log(nd / df), round_digits)
+        t = batch.append_column("score", pa.array(score, type=pa.float64()))
+        # local top-k per lang: vocabulary never reaches the driver
+        tp = pl.from_arrow(t)
+        tp = (tp.sort(["score", "term"], descending=[True, False])
+                .group_by("lang", maintain_order=True).head(top_k))
+        return tp.to_arrow()
+
+    local = stats.map_batches(score_local_topk, batch_format="pyarrow")
+    out = pl.from_arrow(pa.Table.from_pylist(local.take_all()))
+    out = (out.sort(["score", "term"], descending=[True, False])
+              .group_by("lang", maintain_order=True).head(top_k)
+              .sort(["lang", "score", "term"], descending=[False, True, False]))
+    return out.select(["lang", "term", "tf", "df", "score"]).to_pandas()

@@ -510,3 +510,55 @@ def test_hash_sample_deterministic_and_stratified(ray_session, duck):
         hash_sample(ds, "doc_id")
     with pytest.raises(ValueError):
         hash_sample(ds, "doc_id", fractions={"en": 0.5})
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import tfidf_top_terms
+
+    docs = duck.sql(
+        "select doc_id, lang, text from documents limit 400").df()
+    ds = rd.from_pandas(docs[["text", "lang"]]).repartition(4)
+    mine = tfidf_top_terms(ds, top_k=3).reset_index(drop=True)
+
+    duck.sql("CREATE OR REPLACE TABLE tdocs AS SELECT * FROM docs")
+    want = duck.sql(r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(text, '\S+')) AS term
+            FROM tdocs
+        ), stats AS (
+            SELECT lang, term, count(*) AS tf,
+                   count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY 1, 2
+        ), nd AS (SELECT lang, count(*) AS n_docs FROM tdocs GROUP BY 1)
+        SELECT lang, term, tf, df,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        FROM stats JOIN nd USING (lang)
+        QUALIFY row_number() OVER (
+            PARTITION BY lang ORDER BY score DESC, term) <= 3
+        ORDER BY lang, score DESC, term
+    """).df()
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_quantile_band_filter_bounds(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import quantile_band_filter
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(5.0, 1.0, 20_000)
+    ds = rd.from_arrow(pa.table({"n_chars": vals})).repartition(8)
+    filtered, lo, hi, sk = quantile_band_filter(ds, "n_chars", 0.1, 0.9)
+    assert lo < hi
+    eps = sk.rank_error_bound()
+    # empirical rank of each cutoff within the sketch's error bound
+    assert abs((vals < lo).mean() - 0.1) <= 3 * eps
+    assert abs((vals <= hi).mean() - 0.9) <= 3 * eps
+    kept = filtered.count()
+    assert abs(kept / len(vals) - 0.8) <= 6 * eps
+    # reuse path: passing the sketch back skips pass 1, same cutoffs
+    _, lo2, hi2, _ = quantile_band_filter(ds, "n_chars", 0.1, 0.9, sketch=sk)
+    assert (lo2, hi2) == (lo, hi)
