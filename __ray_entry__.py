@@ -487,6 +487,84 @@ def _minhash_dedup_documents(sf_dir: str):
     })
 
 
+def _minhash_index_incremental(sf_dir: str):
+    """Incremental near-dup ingestion: build a persistent MinHash-LSH
+    index over 3/4 of the corpus, probe the held-out quarter against it
+    (never re-signing the corpus), then APPEND the increment and
+    re-probe — the reference's Bloom build → persist → load → probe
+    loop at signature level. Deterministic checks: the increment
+    partitions into novel + matched; every match pairs a held-out doc
+    with an indexed doc; each match's MinHash estimate sits within the
+    binomial bound of the exact byte-5-gram Jaccard; after the append,
+    every re-probed doc self-matches at est 1."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_dedup,
+        minhash_index_probe,
+        ngram_jaccard,
+    )
+
+    thr = 0.9
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def held_out(keep: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = np.asarray(b.column("doc_id")) % 4 == 0
+            return b.filter(pa.array(m if keep else ~m))
+        return f
+
+    corpus = docs.map_batches(held_out(False), batch_format="pyarrow")
+    new = docs.map_batches(held_out(True), batch_format="pyarrow")
+    idx_dir = tempfile.mkdtemp(prefix="mhidx-query-")
+    try:
+        minhash_index_build(corpus, idx_dir)
+        novel, matches = minhash_index_dedup(new, idx_dir, threshold=thr)
+        mdf = matches.to_pandas()
+        n_new, n_novel = new.count(), novel.count()
+        matched_ids = set(mdf["doc_id"].astype(int))
+        partition_ok = n_novel + len(matched_ids) == n_new
+        in_index_ok = bool((mdf["match_id"].astype(int) % 4 != 0).all()
+                           and (mdf["doc_id"].astype(int) % 4 == 0).all())
+        # precision: texts fetched for MATCHED ids only (bounded by true
+        # near-duplication); exact Jaccard in byte space, like
+        # _ngram_jaccard_check
+        ids = sorted({*mdf["doc_id"].astype(int), *mdf["match_id"].astype(int)})
+        texts = dict(duckdb.sql(
+            f"select doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) "
+            f"from '{sf_dir}/documents.parquet' "
+            f"where doc_id in ({','.join(map(str, ids)) or 'NULL'})"
+        ).fetchall())
+        prec_ok = True
+        for a, b, est in zip(mdf["doc_id"].astype(int),
+                             mdf["match_id"].astype(int),
+                             mdf["est_jaccard"]):
+            exact = ngram_jaccard(texts[a].encode(), texts[b].encode(), 5)
+            sigma = max(0.02, (exact * (1 - exact) / 128) ** 0.5)
+            prec_ok &= abs(est - exact) <= 4 * sigma + 0.05
+        # append commit + self-probe
+        minhash_index_append(new, idx_dir)
+        sample = new.limit(50)
+        re_m = minhash_index_probe(sample, idx_dir, threshold=thr).to_pandas()
+        self_hits = set(re_m.loc[re_m["doc_id"] == re_m["match_id"],
+                                 "doc_id"].astype(int))
+        self_ok = {int(r["doc_id"]) for r in sample.take_all()} <= self_hits
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return pd.DataFrame({
+        "n_new": pd.array([n_new], dtype="int64"),
+        "partition_ok": [bool(partition_ok)],
+        "matches_in_index_ok": [in_index_ok],
+        "precision_ok": [bool(prec_ok)],
+        "append_selfmatch_ok": [bool(self_ok)],
+    })
+
+
 def _exact_dedup_sharded(sf_dir: str):
     """exact_dedup with the sharded anti-join removal path FORCED
     (broadcast_limit=0): the keep-map never touches the driver — it is
@@ -1721,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _exact_dedup_documents,
         "exact_dedup_sharded": _exact_dedup_sharded,
         "minhash_dedup_documents": _minhash_dedup_documents,
+        "minhash_index_incremental": _minhash_index_incremental,
         "minhash_dedup_dataset_cc": _minhash_dedup_dataset_cc,
         "simhash_candidates_documents": _simhash_candidates_documents,
         "ngram_jaccard_check": _ngram_jaccard_check,
@@ -2263,6 +2342,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs, TRUE AS partition_ok,
                    TRUE AS exact_dups_collapsed
             FROM documents
+        """,
+        "minhash_index_incremental": """
+            SELECT count(*) AS n_new, TRUE AS partition_ok,
+                   TRUE AS matches_in_index_ok, TRUE AS precision_ok,
+                   TRUE AS append_selfmatch_ok
+            FROM documents WHERE doc_id % 4 = 0
         """,
         "simhash_candidates_documents": """
             SELECT TRUE AS exact_dup_pairs_found,

@@ -39,6 +39,13 @@ from .text import (
     word_count,
 )
 from .asof import asof_join, asof_join_bucketed, range_join
+from .dedup_index import (
+    minhash_index_append,
+    minhash_index_build,
+    minhash_index_dedup,
+    minhash_index_probe,
+    repair_index,
+)
 from .sampling import hash_sample, quantile_band_filter, sample_mask
 from .windows import (
     session_windows,
