@@ -1119,6 +1119,21 @@ def _tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, top_k=5)
 
 
+def _bm25_search_documents(sf_dir: str):
+    """BM25 top-10 retrieval for a 3-term query — text tokenized once
+    into a narrow (doc_id, dl, tf[Q]) dataset, O(Q) stats fold,
+    broadcast-idf vectorized scoring with per-batch local top-k.
+    Oracle = `bm25_sql_mirror`, generated from the SAME patterns,
+    operation order, rounding, and tie-break."""
+    from presto_bloomfilter_ray.functions import bm25_search
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_search(docs, _BM25_TERMS, top_k=10)
+
+
+_BM25_TERMS = ["hash", "join", "filter"]
+
+
 def _events_sliding(sf_dir: str):
     """Sliding 1h windows stepping 30min over events (count + sum)."""
     from presto_bloomfilter_ray.functions import sliding_aggregate
@@ -1806,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
         "tfidf_top_terms": _tfidf_top_terms,
+        "bm25_search_documents": _bm25_search_documents,
         "quantile_band_textlen": _quantile_band_textlen,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
@@ -1841,6 +1857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from presto_bloomfilter_ray.functions.search import bm25_sql_mirror
+
     return {
         "bloom_semijoin_nation": """
             SELECT n_nationkey, n_name FROM nation
@@ -2186,6 +2204,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
         """,
+        # generated from the SAME patterns/op-order/rounding as the
+        # Ray implementation — the two cannot drift independently
+        "bm25_search_documents": bm25_sql_mirror(_BM25_TERMS),
         "tfidf_top_terms": """
             WITH toks AS (
                 SELECT doc_id, lang,
