@@ -1134,6 +1134,30 @@ def _bm25_search_documents(sf_dir: str):
 _BM25_TERMS = ["hash", "join", "filter"]
 
 
+def _pack_sequences_documents(sf_dir: str):
+    """Token-budget sequence packing plan over documents (budget 64,
+    16 hash partitions): over-budget docs split into budget-sized
+    pieces, per-partition deterministic next-fit-decreasing. Exact
+    columns (n_pieces, total_tokens) are SQL-computable from the same
+    \\S+ token count; the bin-packing invariants (every pack ≤ budget,
+    ceil(total/budget) ≤ n_packs ≤ 2·total/budget + n_parts) are
+    emitted as bound booleans."""
+    from presto_bloomfilter_ray.functions import pack_sequences, pack_stats
+
+    budget, n_parts = 64, 16
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    plan = pack_sequences(docs, budget=budget, n_parts=n_parts)
+    s = pack_stats(plan, budget=budget)
+    total, n_packs = s["total_tokens"], s["n_packs"]
+    return pd.DataFrame({
+        "n_pieces": pd.array([s["n_pieces"]], dtype="int64"),
+        "total_tokens": pd.array([total], dtype="int64"),
+        "all_packs_within_budget": [s["max_pack_tokens"] <= budget],
+        "pack_count_lower_ok": [n_packs >= -(-total // budget)],
+        "pack_count_upper_ok": [n_packs <= 2 * total / budget + n_parts],
+    })
+
+
 def _events_sliding(sf_dir: str):
     """Sliding 1h windows stepping 30min over events (count + sum)."""
     from presto_bloomfilter_ray.functions import sliding_aggregate
@@ -1822,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_top20": _word_count_top20,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
+        "pack_sequences_documents": _pack_sequences_documents,
         "quantile_band_textlen": _quantile_band_textlen,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
@@ -2207,6 +2232,18 @@ def oracle_sql() -> dict[str, str]:
         # generated from the SAME patterns/op-order/rounding as the
         # Ray implementation — the two cannot drift independently
         "bm25_search_documents": bm25_sql_mirror(_BM25_TERMS),
+        "pack_sequences_documents": """
+            WITH n AS (SELECT len(regexp_extract_all(text, '\\S+')) AS n
+                       FROM documents)
+            SELECT CAST(sum(CASE WHEN n > 0
+                                 THEN CAST(ceil(n / 64.0) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS n_pieces,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   TRUE AS all_packs_within_budget,
+                   TRUE AS pack_count_lower_ok,
+                   TRUE AS pack_count_upper_ok
+            FROM n
+        """,
         "tfidf_top_terms": """
             WITH toks AS (
                 SELECT doc_id, lang,

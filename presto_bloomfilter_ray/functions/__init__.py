@@ -47,6 +47,7 @@ from .dedup_index import (
     repair_index,
 )
 from .sampling import hash_sample, quantile_band_filter, sample_mask
+from .packing import pack_sequences, pack_stats
 from .search import bm25_search, bm25_sql_mirror
 from .windows import (
     session_windows,
