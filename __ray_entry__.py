@@ -790,6 +790,24 @@ def _stratified_sample_by_lang(sf_dir: str):
     )
 
 
+def _mixture_sample_by_lang(sf_dir: str):
+    """Temperature-mixture resampling (alpha=0.5): per-language counts
+    → (c/total)^0.5 shares → capped per-stratum hash_sample fractions
+    rounded to 6 digits — the rounding makes the data-driven
+    fractions, and hence the exact selected row set, recomputable in
+    SQL (counts → pow → round → floor-threshold)."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import mixture_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    sampled, _fracs = mixture_sample(docs, "doc_id", "lang", alpha=0.5)
+    return sampled.groupby("lang").aggregate(
+        Count(alias_name="n_kept"),
+        Sum("doc_id", alias_name="sum_kept_ids"),
+    )
+
+
 def _bloom_decontaminate(sf_dir: str):
     """Benchmark decontamination with the project's own Bloom sketch —
     the canonical LLM-training use of ``bloom_filter`` +
@@ -1847,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
         "pack_sequences_documents": _pack_sequences_documents,
+        "mixture_sample_by_lang": _mixture_sample_by_lang,
         "quantile_band_textlen": _quantile_band_textlen,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
@@ -2232,6 +2251,28 @@ def oracle_sql() -> dict[str, str]:
         # generated from the SAME patterns/op-order/rounding as the
         # Ray implementation — the two cannot drift independently
         "bm25_search_documents": bm25_sql_mirror(_BM25_TERMS),
+        # recomputes the temperature mix exactly: counts -> pow ->
+        # round(6) -> floor threshold, mirroring temperature_fractions
+        # + sample_mask operation-for-operation
+        "mixture_sample_by_lang": """
+            WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+                 s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+                 w AS (SELECT lang, cnt,
+                              pow(cnt / (SELECT total FROM s), 0.5) AS wt
+                       FROM c),
+                 f AS (SELECT lang, cnt,
+                              round(least(1.0,
+                                    wt / (SELECT sum(wt) FROM w)
+                                       * (SELECT total FROM s) / cnt),
+                                    6) AS frac
+                       FROM w)
+            SELECT d.lang, count(*) AS n_kept,
+                   CAST(sum(d.doc_id) AS BIGINT) AS sum_kept_ids
+            FROM documents d JOIN f ON d.lang = f.lang
+            WHERE (d.doc_id * 2654435761) % 4294967296 <
+                  CAST(floor(f.frac * 4294967296) AS BIGINT)
+            GROUP BY d.lang
+        """,
         "pack_sequences_documents": """
             WITH n AS (SELECT len(regexp_extract_all(text, '\\S+')) AS n
                        FROM documents)

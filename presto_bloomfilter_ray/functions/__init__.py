@@ -46,7 +46,13 @@ from .dedup_index import (
     minhash_index_probe,
     repair_index,
 )
-from .sampling import hash_sample, quantile_band_filter, sample_mask
+from .sampling import (
+    hash_sample,
+    mixture_sample,
+    quantile_band_filter,
+    sample_mask,
+    temperature_fractions,
+)
 from .packing import pack_sequences, pack_stats
 from .search import bm25_search, bm25_sql_mirror
 from .windows import (

@@ -70,6 +70,47 @@ def hash_sample(ds, id_col: str, fraction: Optional[float] = None, *,
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
+def temperature_fractions(counts: Dict, alpha: float,
+                          target_total: Optional[int] = None,
+                          round_digits: int = 6) -> Dict:
+    """Temperature-reweighted sampling fractions (the multilingual
+    training-mix rule: sample stratum ``i`` ∝ ``(c_i/total)^alpha``,
+    ``alpha < 1`` upweights low-resource strata). Returns
+    ``{key: fraction}`` with expected kept total ≈ ``target_total``
+    (default: the corpus size), each fraction capped at 1 and rounded
+    to ``round_digits`` BEFORE use — the rounding is what lets a SQL
+    engine recompute the identical threshold despite ``pow`` being
+    non-correctly-rounded libm on either side."""
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    total = sum(counts.values())
+    tt = total if target_total is None else target_total
+    w = {k: (c / total) ** alpha for k, c in counts.items()}
+    sw = sum(w[k] for k in sorted(w, key=repr))
+    return {k: round(min(1.0, (w[k] / sw) * tt / counts[k]), round_digits)
+            for k in counts}
+
+
+def mixture_sample(ds, id_col: str, key_col: str, *, alpha: float = 0.5,
+                   target_total: Optional[int] = None,
+                   round_digits: int = 6):
+    """Deterministic temperature-mixture resampling: one tiny groupby
+    for per-stratum counts (n_strata rows to the driver — the mix
+    spec, not data), :func:`temperature_fractions` for the target mix,
+    then a pure map-side :func:`hash_sample`. Returns
+    ``(sampled_ds, fractions)``. Reruns at any parallelism select the
+    identical row set, and a SQL engine can recompute it exactly
+    (counts → fractions → threshold, see the driver's
+    ``mixture_sample_by_lang`` oracle)."""
+    counts = {r[key_col]: r["count()"]
+              for r in ds.groupby(key_col).count().take_all()}
+    fracs = temperature_fractions(counts, alpha, target_total, round_digits)
+    return (hash_sample(ds, id_col, key_col=key_col, fractions=fracs,
+                        default_fraction=1.0), fracs)
+
+
 def quantile_band_filter(ds, col: str, lo_q: float = 0.05,
                          hi_q: float = 0.95, k: int = 512,
                          sketch=None):
