@@ -1090,6 +1090,37 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _nb_langid_confusion(sf_dir: str):
+    """Distributed multinomial Naive Bayes classifier (the fastText-
+    style quality/domain-filter stage of a training-data pipeline):
+    train on the doc_id%5!=0 split with `lang` labels (two vocabulary-
+    sized exchanges, map-side (label,term) combine), broadcast the
+    (V×L) log-prob matrix, score the held-out split in a pure map
+    stage (searchsorted + np.add.at scatter). Output is the integer
+    confusion matrix; the oracle recomputes the identical model and
+    argmax in SQL (same \\S+ tokens, add-1 smoothing, round(score,6)
+    before argmax, label-asc tie-break)."""
+    from presto_bloomfilter_ray.functions import nb_predict, nb_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def split(keep_test: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (np.asarray(b.column("doc_id")) % 5) == 0
+            return b.filter(pa.array(m if keep_test else ~m))
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    test = docs.map_batches(split(True), batch_format="pyarrow")
+    model = nb_train(train, "text", "lang", alpha=1.0)
+    pred = nb_predict(test, model, "text", out_col="pred_lang")
+    out = (pred.groupby(["lang", "pred_lang"]).count().to_pandas()
+           .rename(columns={"lang": "true_lang", "count()": "n_docs"})
+           .sort_values(["true_lang", "pred_lang"]).reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["true_lang", "pred_lang", "n_docs"]]
+
+
 def _quantile_band_textlen(sf_dir: str):
     """Two-pass sketch-driven outlier-length filter: KLL quantile
     cutoffs (one streaming pass, broadcast scalars) then a pure map
@@ -1867,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": _pack_sequences_documents,
         "mixture_sample_by_lang": _mixture_sample_by_lang,
         "quantile_band_textlen": _quantile_band_textlen,
+        "nb_langid_confusion": _nb_langid_confusion,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
@@ -2247,6 +2279,50 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        # recomputes the NB model and argmax exactly: same \S+ tokens,
+        # add-1 smoothing over the training vocabulary, prior + token
+        # log-prob sum rounded to 6 before the argmax, label-asc ties;
+        # OOV test tokens drop out via the inner join, docs with no
+        # in-vocab tokens fall back to the prior argmax via LEFT JOIN
+        "nb_langid_confusion": r"""
+            WITH train AS (SELECT doc_id, lang, text FROM documents
+                           WHERE doc_id % 5 <> 0),
+                 test  AS (SELECT doc_id, lang, text FROM documents
+                           WHERE doc_id % 5 = 0),
+                 tt AS (SELECT lang AS label,
+                               unnest(regexp_extract_all(text, '\S+')) AS term
+                        FROM train),
+                 ct AS (SELECT label, term, count(*) AS c FROM tt GROUP BY 1, 2),
+                 vocab AS (SELECT DISTINCT term FROM tt),
+                 vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+                 lt AS (SELECT label, CAST(sum(c) AS DOUBLE) AS tot
+                        FROM ct GROUP BY 1),
+                 prior AS (SELECT lang AS label,
+                                  ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                                 FROM train)) AS lp
+                           FROM train GROUP BY 1),
+                 lp AS (SELECT l.label, v.term,
+                               ln((coalesce(ct.c, 0) + 1.0)
+                                  / (l.tot + (SELECT v FROM vs))) AS w
+                        FROM vocab v CROSS JOIN lt l
+                        LEFT JOIN ct ON ct.label = l.label AND ct.term = v.term),
+                 tk AS (SELECT doc_id,
+                               unnest(regexp_extract_all(text, '\S+')) AS term
+                        FROM test),
+                 sc AS (SELECT tk.doc_id, lp.label, sum(lp.w) AS s
+                        FROM tk JOIN lp ON tk.term = lp.term GROUP BY 1, 2),
+                 full_sc AS (SELECT te.doc_id, te.lang AS true_lang, p.label,
+                                    round(p.lp + coalesce(sc.s, 0.0), 6) AS score
+                             FROM test te CROSS JOIN prior p
+                             LEFT JOIN sc ON sc.doc_id = te.doc_id
+                                         AND sc.label = p.label),
+                 pred AS (SELECT doc_id, true_lang, label AS pred_lang,
+                                 row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, label ASC) AS rn
+                          FROM full_sc)
+            SELECT true_lang, pred_lang, count(*) AS n_docs
+            FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # generated from the SAME patterns/op-order/rounding as the
         # Ray implementation — the two cannot drift independently

@@ -39,6 +39,7 @@ from .text import (
     word_count,
 )
 from .asof import asof_join, asof_join_bucketed, range_join
+from .classify import NBModel, nb_predict, nb_train
 from .dedup_index import (
     minhash_index_append,
     minhash_index_build,
