@@ -1090,6 +1090,49 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _substring_scrub_stats(sf_dir: str):
+    """Corpus-level repeated-substring scrub (window-hash analog of
+    Lee et al. 2021 ExactSubstr dedup): 20-char windows occurring in
+    ≥2 distinct documents are cut everywhere. One vectorized rolling-
+    hash pass per batch; the shuffle carries (window_hash, n_docs)
+    pairs; the hot set broadcasts (or shards above the limit); the
+    scrub is a pure map stage. All four output counts are exact
+    integers the oracle recomputes by exploding REAL substrings — so
+    the hash-level pipeline is checked against character-level truth
+    (collision contract P ≈ n²/2⁶⁵)."""
+    from ray.data.aggregate import Sum
+
+    from presto_bloomfilter_ray.functions import (
+        hot_windows, scrub_repeated_substrings)
+
+    W = 20
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hot = hot_windows(docs, "text", window=W, min_docs=2)
+    scrubbed = scrub_repeated_substrings(
+        docs, hot, window=W, text_col="text", out_col="text_clean",
+        removed_col="n_removed", hot_starts_col="n_hot_starts")
+
+    def agg(b: pa.Table) -> pa.Table:
+        rem = np.asarray(b.column("n_removed"))
+        hs = np.asarray(b.column("n_hot_starts"))
+        return pa.table({
+            "removed": pa.array([int(rem.sum())], pa.int64()),
+            "hot_starts": pa.array([int(hs.sum())], pa.int64()),
+            "affected": pa.array([int((rem > 0).sum())], pa.int64()),
+        })
+
+    a = (scrubbed.map_batches(agg, batch_format="pyarrow")
+         .aggregate(Sum("removed", alias_name="removed"),
+                    Sum("hot_starts", alias_name="hot_starts"),
+                    Sum("affected", alias_name="affected")))
+    return pd.DataFrame({
+        "n_hot_windows": pd.array([hot["n_hot"]], dtype="int64"),
+        "n_hot_positions": pd.array([a["hot_starts"]], dtype="int64"),
+        "n_docs_affected": pd.array([a["affected"]], dtype="int64"),
+        "total_removed_chars": pd.array([a["removed"]], dtype="int64"),
+    })
+
+
 def _nb_langid_confusion(sf_dir: str):
     """Distributed multinomial Naive Bayes classifier (the fastText-
     style quality/domain-filter stage of a training-data pipeline):
@@ -1899,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_by_lang": _mixture_sample_by_lang,
         "quantile_band_textlen": _quantile_band_textlen,
         "nb_langid_confusion": _nb_langid_confusion,
+        "substring_scrub_stats": _substring_scrub_stats,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
@@ -2279,6 +2323,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        # recomputes hot windows and coverage from REAL substrings
+        # (substr/len are codepoint-based like the Ray side's utf-32
+        # window hashing): grams → count(DISTINCT doc_id) ≥ 2 → hot
+        # start positions → distinct covered (doc, position) pairs
+        "substring_scrub_stats": """
+            WITH pos AS (SELECT doc_id,
+                                unnest(generate_series(1, len(text) - 19)) AS i,
+                                text
+                         FROM documents),
+                 grams AS (SELECT doc_id, i, substr(text, i, 20) AS g FROM pos),
+                 hot AS (SELECT g FROM grams GROUP BY g
+                         HAVING count(DISTINCT doc_id) >= 2),
+                 hp AS (SELECT gr.doc_id, gr.i
+                        FROM grams gr JOIN hot h ON gr.g = h.g),
+                 cov AS (SELECT DISTINCT hp.doc_id, hp.i + s.o AS p
+                         FROM hp CROSS JOIN
+                              (SELECT unnest(generate_series(0, 19)) AS o) s)
+            SELECT (SELECT count(*) FROM hot) AS n_hot_windows,
+                   (SELECT count(*) FROM hp) AS n_hot_positions,
+                   (SELECT count(DISTINCT doc_id) FROM hp) AS n_docs_affected,
+                   (SELECT count(*) FROM cov) AS total_removed_chars
         """,
         # recomputes the NB model and argmax exactly: same \S+ tokens,
         # add-1 smoothing over the training vocabulary, prior + token
