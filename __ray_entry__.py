@@ -1090,6 +1090,33 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _dsir_select_by_lang(sf_dir: str):
+    """DSIR-style importance resampling (Xie et al. 2023): select 100
+    documents whose unigram distribution is closest to the src0 target
+    slice, via smoothed log-ratio weights + deterministic Gumbel
+    top-k. Two vocabulary-sized count exchanges fit the model; scoring
+    broadcasts the log-ratio table and keeps a local top-k per batch.
+    The oracle recomputes weights, Gumbel keys (same multiplicative-
+    hash uniform), rounding, and tie-break — the selected SET is
+    hash-checked, not just its size."""
+    from presto_bloomfilter_ray.functions import dsir_select
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "text", "source"])
+
+    def only_src0(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("source"), "src0"))
+
+    target = docs.map_batches(only_src0, batch_format="pyarrow")
+    sel = dsir_select(docs, target, 100, "text", "doc_id").to_pandas()
+    out = (sel.groupby("lang", as_index=False)
+           .agg(n_sel=("doc_id", "size"), sum_ids=("doc_id", "sum"))
+           .sort_values("lang").reset_index(drop=True))
+    out["n_sel"] = out["n_sel"].astype("int64")
+    out["sum_ids"] = out["sum_ids"].astype("int64")
+    return out
+
+
 def _substring_scrub_stats(sf_dir: str):
     """Corpus-level repeated-substring scrub (window-hash analog of
     Lee et al. 2021 ExactSubstr dedup): 20-char windows occurring in
@@ -1943,6 +1970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_band_textlen": _quantile_band_textlen,
         "nb_langid_confusion": _nb_langid_confusion,
         "substring_scrub_stats": _substring_scrub_stats,
+        "dsir_select_by_lang": _dsir_select_by_lang,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
@@ -2323,6 +2351,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        # recomputes the DSIR model and selection exactly: raw-vocab
+        # add-1 smoothing for both unigram LMs, per-doc log-ratio sum,
+        # Gumbel key from the same multiplicative-hash uniform,
+        # round(key, 6), ORDER BY key DESC, doc_id ASC LIMIT 100
+        "dsir_select_by_lang": r"""
+            WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+                 rt AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                        FROM documents),
+                 rc AS (SELECT term, count(*) AS c FROM rt GROUP BY 1),
+                 vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM rc),
+                 rtot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM rc),
+                 tt AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                        FROM tgt),
+                 tc0 AS (SELECT term, count(*) AS c FROM tt GROUP BY 1),
+                 tc AS (SELECT rc.term, coalesce(tc0.c, 0) AS c
+                        FROM rc LEFT JOIN tc0 USING (term)),
+                 ttot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM tc),
+                 lr AS (SELECT rc.term,
+                               ln((tc.c + 1.0) / ((SELECT t FROM ttot)
+                                                  + (SELECT v FROM vs)))
+                             - ln((rc.c + 1.0) / ((SELECT t FROM rtot)
+                                                  + (SELECT v FROM vs))) AS w
+                        FROM rc JOIN tc USING (term)),
+                 dt AS (SELECT doc_id,
+                               unnest(regexp_extract_all(text, '\S+')) AS term
+                        FROM documents),
+                 dw AS (SELECT dt.doc_id, sum(lr.w) AS wsum
+                        FROM dt JOIN lr USING (term) GROUP BY 1),
+                 keyed AS (SELECT d.doc_id, d.lang,
+                                  round(coalesce(dw.wsum, 0.0)
+                                        - ln(-ln((((d.doc_id * 2654435761)
+                                                   % 4294967296) + 0.5)
+                                                 / 4294967296)), 6) AS key
+                           FROM documents d
+                           LEFT JOIN dw ON dw.doc_id = d.doc_id),
+                 sel AS (SELECT * FROM keyed
+                         ORDER BY key DESC, doc_id ASC LIMIT 100)
+            SELECT lang, count(*) AS n_sel,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM sel GROUP BY lang ORDER BY lang
         """,
         # recomputes hot windows and coverage from REAL substrings
         # (substr/len are codepoint-based like the Ray side's utf-32
