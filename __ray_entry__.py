@@ -1090,6 +1090,46 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _perplexity_filter_by_lang(sf_dir: str):
+    """CCNet-style LM quality filter: a conditional character-trigram
+    model is trained distributed (three bounded hash-count exchanges,
+    model size ≈ alphabet³ so it broadcasts at any corpus size), then
+    every document is scored with a vectorized mean-NLL map stage and
+    bucketed at a fixed fluency threshold. The oracle recomputes the
+    identical model and per-doc scores from REAL substr n-grams."""
+    from presto_bloomfilter_ray.functions import (
+        score_perplexity, train_char_lm)
+
+    THRESH = 0.78
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    lm = train_char_lm(docs, "text", alpha=0.5)
+    scored = score_perplexity(docs, lm, "text", out_col="nll")
+
+    def bucket(b: pa.Table) -> pa.Table:
+        nll = np.asarray(b.column("nll"), dtype=np.float64)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        valid = ~np.isnan(nll)
+        fluent = valid & (nll <= THRESH)
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_scored": pa.array(valid.astype(np.int64)),
+            "n_fluent": pa.array(fluent.astype(np.int64)),
+            "sum_fluent_ids": pa.array(np.where(fluent, ids, 0)),
+        })
+
+    out = (scored.map_batches(bucket, batch_format="pyarrow")
+           .groupby("lang")
+           .sum(["n_scored", "n_fluent", "sum_fluent_ids"])
+           .to_pandas()
+           .rename(columns={"sum(n_scored)": "n_scored",
+                            "sum(n_fluent)": "n_fluent",
+                            "sum(sum_fluent_ids)": "sum_fluent_ids"})
+           .sort_values("lang").reset_index(drop=True))
+    for c in ["n_scored", "n_fluent", "sum_fluent_ids"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _dsir_select_by_lang(sf_dir: str):
     """DSIR-style importance resampling (Xie et al. 2023): select 100
     documents whose unigram distribution is closest to the src0 target
@@ -1971,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid_confusion": _nb_langid_confusion,
         "substring_scrub_stats": _substring_scrub_stats,
         "dsir_select_by_lang": _dsir_select_by_lang,
+        "perplexity_filter_by_lang": _perplexity_filter_by_lang,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
@@ -2351,6 +2392,41 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        # recomputes the char-trigram LM and per-doc mean NLL exactly
+        # from real substr n-grams: p(c3|c1c2) = (c_tri+0.5)/(c_bi+0.5A),
+        # A = distinct corpus chars, round(-avg ln p, 6), fixed 0.78
+        # fluency threshold; docs under 3 chars have no positions
+        "perplexity_filter_by_lang": """
+            WITH tri AS (SELECT doc_id, lang, substr(text, i, 3) AS g3,
+                                substr(text, i, 2) AS g2
+                         FROM (SELECT doc_id, lang,
+                                      unnest(generate_series(1, len(text) - 2))
+                                          AS i, text
+                               FROM documents)),
+                 tc AS (SELECT g3 AS g, count(*) AS c FROM tri GROUP BY 1),
+                 bc AS (SELECT substr(text, i, 2) AS g, count(*) AS c
+                        FROM (SELECT unnest(generate_series(1, len(text) - 1))
+                                  AS i, text
+                              FROM documents) GROUP BY 1),
+                 al AS (SELECT CAST(count(DISTINCT substr(text, i, 1))
+                                    AS DOUBLE) AS a
+                        FROM (SELECT unnest(generate_series(1, len(text)))
+                                  AS i, text
+                              FROM documents)),
+                 scored AS (SELECT t.doc_id, any_value(t.lang) AS lang,
+                                   round(-avg(ln((tc.c + 0.5)
+                                       / (bc.c + 0.5 * (SELECT a FROM al)))), 6)
+                                       AS nll
+                            FROM tri t JOIN tc ON t.g3 = tc.g
+                                       JOIN bc ON t.g2 = bc.g
+                            GROUP BY t.doc_id)
+            SELECT lang, count(*) AS n_scored,
+                   CAST(sum(CASE WHEN nll <= 0.78 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fluent,
+                   CAST(sum(CASE WHEN nll <= 0.78 THEN doc_id ELSE 0 END)
+                        AS BIGINT) AS sum_fluent_ids
+            FROM scored GROUP BY lang ORDER BY lang
         """,
         # recomputes the DSIR model and selection exactly: raw-vocab
         # add-1 smoothing for both unigram LMs, per-doc log-ratio sum,
