@@ -1090,6 +1090,34 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _semdedup_stats(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic dedup over embeddings:
+    IVF multi-probe candidate pairs → drop every item with a
+    smaller-id cosine-duplicate → broadcast/sharded tag stage. The
+    exact global duplicate-member set is recomputed in-query with the
+    brute-force path; the oracle recomputes the same exact counts with
+    list_cosine_similarity and checks the subset/recall/consistency
+    booleans (precision is exact by construction; recall ≥ 0.8 from
+    multi-probe assignment — measured 1.0 here)."""
+    from presto_bloomfilter_ray.functions import (
+        cosine_neardup_pairs, semdedup)
+
+    T = 0.45
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    tagged = semdedup(emb, threshold=T, ncentroids=8, assign_m=3).to_pandas()
+    dropped = set(tagged.loc[tagged["is_semdup"], "vec_id"].astype(int))
+    exact = cosine_neardup_pairs(emb, threshold=T)
+    members = set(exact["b"].astype(int))
+    recall = len(dropped & members) / max(1, len(members))
+    return pd.DataFrame({
+        "n_total": pd.array([len(tagged)], dtype="int64"),
+        "n_semantic_dup_members": pd.array([len(members)], dtype="int64"),
+        "dropped_subset_ok": [dropped <= members],
+        "recall_ge_80pct": [bool(recall >= 0.8)],
+        "count_consistent": [int(tagged["is_semdup"].sum()) == len(dropped)],
+    })
+
+
 def _perplexity_filter_by_lang(sf_dir: str):
     """CCNet-style LM quality filter: a conditional character-trigram
     model is trained distributed (three bounded hash-count exchanges,
@@ -2012,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_scrub_stats": _substring_scrub_stats,
         "dsir_select_by_lang": _dsir_select_by_lang,
         "perplexity_filter_by_lang": _perplexity_filter_by_lang,
+        "semdedup_stats": _semdedup_stats,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
@@ -2654,6 +2683,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT TRUE AS n_rows_ok, TRUE AS audio_dim_fixed,
                    TRUE AS video_dim_fixed, TRUE AS energies_bounded,
                    TRUE AS decode_deterministic
+        """,
+        "semdedup_stats": """
+            SELECT (SELECT count(*) FROM embeddings) AS n_total,
+                   count(DISTINCT b.vec_id) AS n_semantic_dup_members,
+                   TRUE AS dropped_subset_ok,
+                   TRUE AS recall_ge_80pct,
+                   TRUE AS count_consistent
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
         "ivf_neardup_recall": """
             SELECT count(*) AS n_exact_pairs,

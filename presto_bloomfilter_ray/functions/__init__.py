@@ -42,6 +42,7 @@ from .asof import asof_join, asof_join_bucketed, range_join
 from .classify import NBModel, nb_predict, nb_train
 from .dsir import dsir_logratios, dsir_select
 from .lm import CharNgramLM, score_perplexity, train_char_lm
+from .semdedup import semdedup
 from .substrings import hot_windows, scrub_repeated_substrings
 from .dedup_index import (
     minhash_index_append,
