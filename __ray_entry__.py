@@ -1090,6 +1090,54 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _bpe_train_stats(sf_dir: str):
+    """Distributed BPE tokenizer training: merges are learned from the
+    word HISTOGRAM (one vocabulary-sized word_count exchange; the
+    driver loop is corpus-size-independent), encoding is a map stage
+    over per-batch distinct words. Checks: the distributed-histogram
+    merges equal merges from a DuckDB-computed histogram (exchange
+    exactness); the distributed encode total equals the serial
+    histogram encode total (map-stage exactness); token totals respect
+    the per-word [1, chars+1] bounds. Exact ints (n_word_types,
+    total_ws_tokens) are SQL-recomputed by the oracle."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import (
+        bpe_encode_counts, bpe_encode_word, bpe_merges_from_histogram,
+        bpe_train)
+    from ray.data.aggregate import Sum
+
+    N_MERGES = 40
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = bpe_train(docs, "text", n_merges=N_MERGES)
+
+    hist = duckdb.sql(f"""
+        SELECT w, count(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM '{sf_dir}/documents.parquet')
+        GROUP BY w ORDER BY n DESC, w ASC
+    """).df()
+    ref_merges = bpe_merges_from_histogram(hist["w"].tolist(),
+                                           hist["n"].tolist(), N_MERGES)
+
+    encoded = bpe_encode_counts(docs, model, "text", out_col="n_bpe")
+    total_bpe = encoded.aggregate(Sum("n_bpe", alias_name="s"))["s"]
+    ranks = model.ranks
+    serial_total = int(sum(len(bpe_encode_word(w, ranks)) * int(c)
+                           for w, c in zip(hist["w"], hist["n"])))
+    total_ws = int(hist["n"].sum())
+    total_chars = int(hist["w"].str.len().mul(hist["n"]).sum())
+    return pd.DataFrame({
+        "n_word_types": pd.array([len(hist)], dtype="int64"),
+        "total_ws_tokens": pd.array([total_ws], dtype="int64"),
+        "n_merges_learned": pd.array([len(model.merges)], dtype="int64"),
+        "merges_match_histogram_oracle": [model.merges == ref_merges],
+        "encode_total_matches_serial": [int(total_bpe) == serial_total],
+        "token_total_bounds_ok": [
+            total_ws <= int(total_bpe) <= total_chars + total_ws],
+    })
+
+
 def _semdedup_stats(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) semantic dedup over embeddings:
     IVF multi-probe candidate pairs → drop every item with a
@@ -2041,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_by_lang": _dsir_select_by_lang,
         "perplexity_filter_by_lang": _perplexity_filter_by_lang,
         "semdedup_stats": _semdedup_stats,
+        "bpe_train_stats": _bpe_train_stats,
         "bpe_token_stats_by_lang": _bpe_token_stats_by_lang,
         "quality_stats_by_lang": _quality_stats_by_lang,
         "clean_text_stats": _clean_text_stats,
@@ -2683,6 +2732,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT TRUE AS n_rows_ok, TRUE AS audio_dim_fixed,
                    TRUE AS video_dim_fixed, TRUE AS energies_bounded,
                    TRUE AS decode_deterministic
+        """,
+        "bpe_train_stats": """
+            SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_word_types,
+                   CAST(count(*) AS BIGINT) AS total_ws_tokens,
+                   CAST(40 AS BIGINT) AS n_merges_learned,
+                   TRUE AS merges_match_histogram_oracle,
+                   TRUE AS encode_total_matches_serial,
+                   TRUE AS token_total_bounds_ok
+            FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+                  FROM documents)
         """,
         "semdedup_stats": """
             SELECT (SELECT count(*) FROM embeddings) AS n_total,

@@ -39,6 +39,13 @@ from .text import (
     word_count,
 )
 from .asof import asof_join, asof_join_bucketed, range_join
+from .bpe import (
+    BPEModel,
+    bpe_encode_counts,
+    bpe_encode_word,
+    bpe_merges_from_histogram,
+    bpe_train,
+)
 from .classify import NBModel, nb_predict, nb_train
 from .dsir import dsir_logratios, dsir_select
 from .lm import CharNgramLM, score_perplexity, train_char_lm
