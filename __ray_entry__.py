@@ -240,6 +240,40 @@ def _events_hourly(sf_dir: str):
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
+def _json_props_stats(sf_dir: str):
+    """Vectorized JSON extraction (functions/jsonops.py): pull a typed
+    field and a missing path out of the ``events.props`` JSON column in
+    one polars kernel pass inside ``map_batches``, then aggregate per
+    event type. The missing-path column must be all-NULL (the operator's
+    lenient semantics), which the oracle checks via the count delta."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from presto_bloomfilter_ray.functions import json_extract_fields
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        b = json_extract_fields(b, "props", {
+            "k": ("$.k", pa.int64()),
+            "missing": ("$.not_there", None),
+        })
+        return b.append_column(
+            "miss_null", pc.is_null(b["missing"]).cast(pa.int64()))
+
+    agg = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+            Sum("miss_null", alias_name="n_missing_null"),
+        )
+    )
+    return agg
+
+
 def _topk_orders_per_status(sf_dir: str):
     """Top-3 orders by totalprice per status — sort-within-group via
     ``groupby().map_groups`` (deterministic ties by orderkey)."""
@@ -2061,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_bloom_membership": _grouped_bloom_membership,
         "q1_lineitem": _q1_lineitem,
         "events_hourly": _events_hourly,
+        "json_props_stats": _json_props_stats,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
@@ -2175,6 +2210,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   CAST(count(*) - count(json_extract_string(props, '$.not_there')) AS BIGINT)
+                       AS n_missing_null
+            FROM events GROUP BY event_type
         """,
         "topk_orders_per_status": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
