@@ -1124,6 +1124,17 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _vocab_stats_by_lang(sf_dir: str):
+    """Per-language vocabulary statistics (functions/text.py
+    vocab_stats): tokens, types, hapax legomena, type-token ratio —
+    map-side (lang, term) combine, vocabulary-sized exchange, partial
+    per-batch fold. SQL-exact."""
+    from presto_bloomfilter_ray.functions import vocab_stats
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+    return vocab_stats(docs, text_col="text", key_col="lang")
+
+
 def _bpe_train_stats(sf_dir: str):
     """Distributed BPE tokenizer training: merges are learned from the
     word HISTOGRAM (one vocabulary-sized word_count exchange; the
@@ -2114,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_check": _ngram_jaccard_check,
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
+        "vocab_stats_by_lang": _vocab_stats_by_lang,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
         "pack_sequences_documents": _pack_sequences_documents,
@@ -2515,6 +2527,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "vocab_stats_by_lang": """
+            WITH tok AS (
+                SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents
+            ), tc AS (
+                SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term
+            )
+            SELECT lang,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+                   round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS ttr
+            FROM tc GROUP BY lang ORDER BY lang
         """,
         # recomputes the char-trigram LM and per-doc mean NLL exactly
         # from real substr n-grams: p(c3|c1c2) = (c_tri+0.5)/(c_bi+0.5A),

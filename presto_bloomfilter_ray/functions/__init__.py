@@ -36,6 +36,7 @@ from .text import (
     repetition_signals,
     tfidf_top_terms,
     token_count,
+    vocab_stats,
     word_count,
 )
 from .asof import asof_join, asof_join_bucketed, range_join

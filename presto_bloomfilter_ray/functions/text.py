@@ -486,6 +486,64 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
     return set_column(out, out_col, txt)
 
 
+def vocab_stats(ds, text_col: str = "text", key_col: str = "lang"):
+    """Per-key vocabulary statistics: total tokens, distinct terms
+    (types), hapax legomena (terms occurring exactly once corpus-wide
+    within the key), and type-token ratio — the vocabulary-growth /
+    lexical-diversity signals a corpus-analysis pass reports per
+    language or per source.
+
+    Scale shape (two vocabulary-sized stages, no row shuffle):
+
+    1. per-batch Arrow-regex tokenization + polars (key, term) count
+       combine — the exchange carries per-batch distinct terms, never
+       token occurrences (Zipf-hot terms absorbed map-side);
+    2. ``groupby([key, term]).sum`` finalizes term counts, then a
+       per-batch PARTIAL fold of (n_types, n_hapax, n_tokens) — all
+       associative — collapses the vocabulary into ≤ n_blocks × n_keys
+       tiny rows before the final ``groupby(key).sum``.
+
+    ``ttr`` is rounded to 6 digits for cross-engine determinism. SQL
+    mirror: ``unnest(regexp_extract_all(text, '\\S+'))`` — whitespace
+    tokenization shared with :func:`word_count` / `tfidf_top_terms`.
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def batch_term_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column(text_col), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        key = pc.take(batch.column(key_col), pc.filter(parents, keep))
+        t = pl.DataFrame({"key": pl.from_arrow(key),
+                          "term": pl.from_arrow(pc.filter(flat, keep))})
+        return (t.group_by(["key", "term"])
+                 .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    term_counts = (ds.map_batches(batch_term_counts, batch_format="pyarrow")
+                     .groupby(["key", "term"])
+                     .aggregate(Sum("n", alias_name="n")))
+
+    def partial_fold(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch)
+        return (t.group_by("key")
+                 .agg(n_tokens=pl.col("n").sum(),
+                      n_types=pl.len().cast(pl.Int64),
+                      n_hapax=(pl.col("n") == 1).sum().cast(pl.Int64))
+                 .to_arrow())
+
+    folded = (term_counts.map_batches(partial_fold, batch_format="pyarrow")
+              .groupby("key")
+              .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                         Sum("n_types", alias_name="n_types"),
+                         Sum("n_hapax", alias_name="n_hapax")))
+
+    df = folded.to_pandas().rename(columns={"key": key_col})
+    df["ttr"] = (df["n_types"] / df["n_tokens"]).round(6)
+    return df.sort_values(key_col).reset_index(drop=True)
+
+
 def tfidf_top_terms(ds, text_col: str = "text", lang_col: str = "lang",
                     top_k: int = 5, round_digits: int = 6):
     """Per-language TF-IDF top terms — the keyword/term-weighting stage

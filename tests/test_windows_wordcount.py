@@ -81,6 +81,32 @@ def test_word_count_matches_sql(ray_session, sf_dir, duck):
     assert mine["n"].astype(int).tolist() == theirs["n"].astype(int).tolist()
 
 
+def test_vocab_stats_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import vocab_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"])
+    mine = vocab_stats(docs, key_col="lang")
+    theirs = duck.sql("""
+        WITH tok AS (
+            SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS term
+            FROM documents
+        ), tc AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2)
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+               CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+               round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS ttr
+        FROM tc GROUP BY lang ORDER BY lang
+    """).df()
+    for col in ["n_tokens", "n_types", "n_hapax"]:
+        assert mine[col].astype(int).tolist() == theirs[col].astype(int).tolist(), col
+    assert mine["ttr"].tolist() == theirs["ttr"].tolist()
+    # hapax can never exceed types; types never exceed tokens
+    assert (mine["n_hapax"] <= mine["n_types"]).all()
+    assert (mine["n_types"] <= mine["n_tokens"]).all()
+
+
 def test_cosine_neardup_pairs_exact(ray_session, sf_dir, duck):
     import ray.data as rd
 
