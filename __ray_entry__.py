@@ -1124,6 +1124,18 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _textlen_histogram(sf_dir: str):
+    """Fixed-bin histogram of document lengths (functions/histogram.py):
+    per-batch bincount partials (≤ n_bins+2 rows each), tiny groupby
+    fold — no sort, no row shuffle. Bin arithmetic is the identical
+    IEEE-double expression on both engines, underflow/overflow
+    clamped to -1 / n_bins."""
+    from presto_bloomfilter_ray.functions import histogram
+
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+    return histogram(docs, "n_chars", lo=50.0, hi=450.0, n_bins=8)
+
+
 def _vocab_stats_by_lang(sf_dir: str):
     """Per-language vocabulary statistics (functions/text.py
     vocab_stats): tokens, types, hapax legomena, type-token ratio —
@@ -2126,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
         "vocab_stats_by_lang": _vocab_stats_by_lang,
+        "textlen_histogram": _textlen_histogram,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
         "pack_sequences_documents": _pack_sequences_documents,
@@ -2527,6 +2540,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "textlen_histogram": """
+            SELECT CAST(least(greatest(
+                       floor((n_chars - 50.0) / ((450.0 - 50.0) / 8)),
+                       -1), 8) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY bin ORDER BY bin
         """,
         "vocab_stats_by_lang": """
             WITH tok AS (

@@ -67,6 +67,7 @@ from .sampling import (
     temperature_fractions,
 )
 from .packing import pack_sequences, pack_stats
+from .histogram import histogram
 from .jsonops import json_extract, json_extract_fields
 from .search import bm25_search, bm25_sql_mirror
 from .windows import (
