@@ -1124,6 +1124,33 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _entropy_stats_by_lang(sf_dir: str):
+    """Per-language byte-entropy quality screen (functions/text.py
+    byte_entropy): zero-copy per-doc Shannon entropy in a map stage,
+    then a per-lang fold. Per-doc entropies are rounded to 6 digits and
+    summed as scaled int64 (the _add_cents trick) so the distributed
+    sum is associative-exact against SQL."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from presto_bloomfilter_ray.functions import byte_entropy
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def ent(b: pa.Table) -> pa.Table:
+        b = byte_entropy(b, "text")
+        micro = pc.round(pc.multiply(b["entropy"], pa.scalar(1e6))).cast(
+            pa.int64())
+        return b.append_column("ent_micro", micro).drop_columns(["text"])
+
+    agg = (docs.map_batches(ent, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("ent_micro", alias_name="ent_micro_sum"),
+                      Min("entropy", alias_name="min_entropy"),
+                      Max("entropy", alias_name="max_entropy")))
+    return agg
+
+
 def _textlen_histogram(sf_dir: str):
     """Fixed-bin histogram of document lengths (functions/histogram.py):
     per-batch bincount partials (≤ n_bins+2 rows each), tiny groupby
@@ -2139,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_top20": _word_count_top20,
         "vocab_stats_by_lang": _vocab_stats_by_lang,
         "textlen_histogram": _textlen_histogram,
+        "entropy_stats_by_lang": _entropy_stats_by_lang,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
         "pack_sequences_documents": _pack_sequences_documents,
@@ -2540,6 +2568,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        # per-doc char entropy == the operator's byte entropy (corpus is
+        # pure ASCII); rounded per-doc then summed as scaled int so the
+        # comparison is associative-exact
+        "entropy_stats_by_lang": """
+            WITH ch AS (
+                SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+                FROM documents WHERE n_chars > 0
+            ), cnt AS (
+                SELECT doc_id, lang, c, count(*) AS n
+                FROM ch GROUP BY doc_id, lang, c
+            ), ent AS (
+                SELECT doc_id, lang,
+                       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS h
+                FROM cnt GROUP BY doc_id, lang
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CAST(round(h * 1e6) AS BIGINT)) AS BIGINT)
+                       AS ent_micro_sum,
+                   min(h) AS min_entropy, max(h) AS max_entropy
+            FROM ent GROUP BY lang
         """,
         "textlen_histogram": """
             SELECT CAST(least(greatest(

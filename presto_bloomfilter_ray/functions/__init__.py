@@ -27,6 +27,7 @@ from .similarity import (
 from .text import (
     LangId,
     boilerplate_lines,
+    byte_entropy,
     remove_boilerplate_lines,
     bpe_token_count,
     add_text_stats,

@@ -486,6 +486,62 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
     return set_column(out, out_col, txt)
 
 
+def byte_entropy(batch: pa.Table, text_col: str = "text",
+                 out_col: str = "entropy", round_digits: int = 6,
+                 _chunk: int = 2048) -> pa.Table:
+    """Per-document Shannon entropy in bits/byte over the UTF-8
+    encoding — the classic cheap quality screen: near-zero entropy
+    flags degenerate/repetitive documents, abnormally high entropy
+    flags binary junk pasted into text fields.
+
+    Vectorized zero-copy: the Arrow string buffer is viewed as one
+    uint8 array; per-doc byte histograms come from a single
+    ``np.bincount`` over ``doc_index * 256 + byte`` composite keys
+    (chunked at ``_chunk`` docs so the transient count matrix stays
+    ~33 MB regardless of block size); entropy is
+    ``log2(L) - Σ c·log2(c) / L`` rounded to ``round_digits``.
+    NULL or empty text yields NULL. For ASCII text this equals
+    character entropy — the SQL mirror's ``string_split(text, '')``
+    formulation (the synthetic corpus is pure ASCII; on non-ASCII data
+    the operator is byte-level by design: it measures the encoded
+    stream).
+    """
+    col = batch.column(text_col)
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(col, "").cast(pa.large_binary())
+    arr = filled.combine_chunks() if isinstance(filled, pa.ChunkedArray) else filled
+    n = len(arr)
+    if n == 0:
+        return batch.append_column(out_col, pa.array([], type=pa.float64()))
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    out = np.full(n, np.nan, dtype=np.float64)
+    for s in range(0, n, _chunk):
+        e = min(s + _chunk, n)
+        m = e - s
+        span = data[offs[s] : offs[e]].astype(np.int64)
+        doc_of = np.repeat(np.arange(m, dtype=np.int64), lens[s:e])
+        counts = np.bincount(doc_of * 256 + span,
+                             minlength=m * 256).reshape(m, 256)
+        c = counts.astype(np.float64)
+        clogc = np.zeros_like(c)
+        nz = c > 0
+        clogc[nz] = c[nz] * np.log2(c[nz])
+        L = lens[s:e].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[s:e] = np.where(L > 0, np.log2(L) - clogc.sum(axis=1) / L,
+                                np.nan)
+    out = np.round(out, round_digits)
+    invalid = null_mask | (lens == 0)
+    vals = pa.array(np.where(invalid, np.nan, out), type=pa.float64(),
+                    mask=invalid)
+    return batch.append_column(out_col, vals)
+
+
 def vocab_stats(ds, text_col: str = "text", key_col: str = "lang"):
     """Per-key vocabulary statistics: total tokens, distinct terms
     (types), hapax legomena (terms occurring exactly once corpus-wide
