@@ -1646,6 +1646,36 @@ def _ivf_neardup_recall(sf_dir: str):
     })
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means (functions/similarity.py
+    kmeans_fit): Lloyd iterations as map_batches passes — the exchange
+    is k partial rows per batch (count + coordinate sum + inertia),
+    never vectors; driver state is the (k, d) centroid matrix.
+    Deterministic checks: every vector assigned (counts sum to
+    count(*)), inertia non-increasing across iterations, and the
+    distributed assignment equals a serial numpy recompute with the
+    same centroids (exchange exactness)."""
+    from presto_bloomfilter_ray.functions import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 8
+    cents, info = kmeans_fit(emb, k=k, iters=4, batch_size=256)
+    asn = kmeans_assign(emb, cents).select_columns(
+        ["vec_id", "cluster", "embedding"]).to_pandas()
+    m = np.stack(asn["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    serial = np.argmax(m @ cents.T.astype(np.float64), axis=1)
+    inertia = info["inertia"]
+    return pd.DataFrame({
+        "n_vecs": [int(info["counts"].sum())],
+        "n_clusters": [k],
+        "all_assigned": [bool(len(asn) == int(info["counts"].sum()))],
+        "inertia_monotone": [bool(all(
+            b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])))],
+        "matches_serial": [bool((serial == asn["cluster"].to_numpy()).all())],
+    })
+
+
 def _ivf_ann_topk(sf_dir: str):
     """IVFIndex build → bucketed parquet → nprobe search, checked
     against exact brute-force top-k (recall ≥ 8/10 probing 6 of 8
@@ -2195,6 +2225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_av_pipeline": _multimodal_av_pipeline,
         "ivf_neardup_recall": _ivf_neardup_recall,
         "ivf_ann_topk": _ivf_ann_topk,
+        "kmeans_embeddings": _kmeans_embeddings,
         "theta_custkey_overlap": _theta_custkey_overlap,
         "hll_distinct_custkey": _hll_distinct,
         "hll_hosts_by_lang": _hll_hosts_by_lang,
@@ -2902,6 +2933,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_ann_topk": """
             SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ge_8_of_10
+        """,
+        "kmeans_embeddings": """
+            SELECT count(*) AS n_vecs, CAST(8 AS BIGINT) AS n_clusters,
+                   TRUE AS all_assigned, TRUE AS inertia_monotone,
+                   TRUE AS matches_serial
+            FROM embeddings
         """,
         "theta_custkey_overlap": """
             SELECT

@@ -22,6 +22,8 @@ from .similarity import (
     IVFIndex,
     cosine_neardup_pairs,
     cosine_neardup_pairs_ivf,
+    kmeans_assign,
+    kmeans_fit,
     topk_cosine,
 )
 from .text import (
