@@ -1124,6 +1124,61 @@ def _word_count_top20(sf_dir: str):
     return word_count(docs, top_k=20)
 
 
+def _url_canonicalize_stats(sf_dir: str):
+    """URL hygiene stage (functions/urls.py): two URLs per document —
+    one messy (tracking params, fragment, default port, cased
+    scheme/host; variant by doc_id % 3) and one already-clean — must
+    collapse to ONE canonical form (n_distinct == n_docs, n_urls ==
+    2·n_docs). The SQL oracle applies `canonicalize_sql`, GENERATED
+    from the operator's own ordered pattern list, to the identically
+    constructed strings — full string-value comparison per source."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from presto_bloomfilter_ray.functions import canonicalize_url
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def make_urls(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        ds_ = did.cast(pa.string())
+        src = b.column("source")
+        v = np.asarray(did) % 3
+        u0 = pc.binary_join_element_wise(
+            pa.scalar("https://"), pc.utf8_upper(src),
+            pa.scalar(".Example.com:443/d/"), ds_,
+            pa.scalar("?utm_source=feed&id="), ds_, pa.scalar("#top"), "")
+        u1 = pc.binary_join_element_wise(
+            pa.scalar("https://"), src, pa.scalar(".example.com/d/"), ds_,
+            pa.scalar("?id="), ds_, pa.scalar("&utm_campaign=x"), "")
+        u2 = pc.binary_join_element_wise(
+            pa.scalar("http://"), src, pa.scalar(".example.com:80/d/"), ds_,
+            pa.scalar("?id="), ds_, "")
+        messy = pc.if_else(pa.array(v == 0), u0,
+                           pc.if_else(pa.array(v == 1), u1, u2))
+        scheme = pc.if_else(pa.array(v == 2), pa.scalar("http://"),
+                            pa.scalar("https://"))
+        clean = pc.binary_join_element_wise(
+            scheme, src, pa.scalar(".example.com/d/"), ds_,
+            pa.scalar("?id="), ds_, "")
+        one = pa.table({"source": src, "url": messy})
+        two = pa.table({"source": src, "url": clean})
+        return pa.concat_tables([one, two])
+
+    urls = docs.map_batches(make_urls, batch_format="pyarrow")
+    canon = urls.map_batches(canonicalize_url, batch_format="pyarrow")
+    per_url = (canon.groupby(["source", "canonical_url"])
+               .aggregate(Count(alias_name="n")))
+    agg = (per_url.groupby("source")
+           .aggregate(Count(alias_name="n_distinct"),
+                      Min("canonical_url", alias_name="min_url"),
+                      Max("canonical_url", alias_name="max_url")))
+    df = agg.to_pandas()
+    n_urls = canon.groupby("source").count().to_pandas().rename(
+        columns={"count()": "n_urls"})
+    df = df.merge(n_urls, on="source")
+    return df[["source", "n_urls", "n_distinct", "min_url", "max_url"]]
+
+
 def _entropy_stats_by_lang(sf_dir: str):
     """Per-language byte-entropy quality screen (functions/text.py
     byte_entropy): zero-copy per-doc Shannon entropy in a map stage,
@@ -2197,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats_by_lang": _vocab_stats_by_lang,
         "textlen_histogram": _textlen_histogram,
         "entropy_stats_by_lang": _entropy_stats_by_lang,
+        "url_canonicalize_stats": _url_canonicalize_stats,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
         "pack_sequences_documents": _pack_sequences_documents,
@@ -2244,6 +2300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from presto_bloomfilter_ray.functions.search import bm25_sql_mirror
+    from presto_bloomfilter_ray.functions.urls import canonicalize_sql
 
     return {
         "bloom_semijoin_nation": """
@@ -2599,6 +2656,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        # the canonicalization expression is GENERATED from the
+        # operator's own pattern list (functions/urls.py _CANON_STEPS)
+        "url_canonicalize_stats": f"""
+            WITH u AS (
+                SELECT source, CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'https://' || upper(source) ||
+                       '.Example.com:443/d/' || doc_id ||
+                       '?utm_source=feed&id=' || doc_id || '#top'
+                  WHEN 1 THEN 'https://' || source || '.example.com/d/' ||
+                       doc_id || '?id=' || doc_id || '&utm_campaign=x'
+                  ELSE 'http://' || source || '.example.com:80/d/' ||
+                       doc_id || '?id=' || doc_id END AS url
+                FROM documents
+                UNION ALL
+                SELECT source,
+                       CASE WHEN doc_id % 3 = 2 THEN 'http://' ELSE 'https://' END
+                       || source || '.example.com/d/' || doc_id ||
+                       '?id=' || doc_id AS url
+                FROM documents
+            ), c AS (
+                SELECT source, {canonicalize_sql('url')} AS canon FROM u
+            )
+            SELECT source, count(*) AS n_urls,
+                   count(DISTINCT canon) AS n_distinct,
+                   min(canon) AS min_url, max(canon) AS max_url
+            FROM c GROUP BY source ORDER BY source
         """,
         # per-doc char entropy == the operator's byte entropy (corpus is
         # pure ASCII); rounded per-doc then summed as scaled int so the

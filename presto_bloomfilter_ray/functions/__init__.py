@@ -71,6 +71,7 @@ from .sampling import (
 )
 from .packing import pack_sequences, pack_stats
 from .histogram import histogram
+from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .jsonops import json_extract, json_extract_fields
 from .search import bm25_search, bm25_sql_mirror
 from .windows import (
