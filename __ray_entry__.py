@@ -240,6 +240,60 @@ def _events_hourly(sf_dir: str):
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
+def _format_ingest_stats(sf_dir: str):
+    """Format-adapting ingestion (sources/textio.py): the documents
+    table round-trips through partitioned JSONL AND CSV sinks, is read
+    back by the native distributed readers, normalized to the
+    canonical schema, and aggregated — both format paths must agree
+    with each other and with the parquet oracle exactly."""
+    import shutil
+    import uuid
+
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.sources import (
+        read_documents,
+        write_documents_csv,
+        write_documents_jsonl,
+    )
+
+    base = f"/tmp/textio-{uuid.uuid4().hex[:8]}"
+
+    def agg(ds):
+        return (ds.groupby("lang")
+                .aggregate(Count(alias_name="n_docs"),
+                           Sum("n_chars", alias_name="sum_chars"))
+                .to_pandas().sort_values("lang").reset_index(drop=True))
+
+    try:
+        docs = read_documents(f"{sf_dir}/documents.parquet")
+        write_documents_jsonl(docs, f"{base}/jsonl")
+        write_documents_csv(docs, f"{base}/csv")
+        via_jsonl = agg(read_documents(f"{base}/jsonl", fmt="jsonl"))
+        via_csv = agg(read_documents(f"{base}/csv", fmt="csv"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = via_jsonl.copy()
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    out["formats_agree"] = bool(
+        via_jsonl.equals(via_csv.astype(via_jsonl.dtypes.to_dict())))
+    return out[["lang", "n_docs", "sum_chars", "formats_agree"]]
+
+
+def _funnel_signup_click_purchase(sf_dir: str):
+    """Strict ordered funnel (functions/windows.py funnel_counts):
+    signup → click-after-first-signup → purchase-after-that-click, one
+    distributed pass per stage (filter → key-partitioned join against
+    the previous first-reach table → min fold). SQL mirror chains the
+    same min-aggregation joins."""
+    from presto_bloomfilter_ray.functions import funnel_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, ts_col="ts", key_col="user_id",
+                         stage_col="event_type",
+                         stages=["signup", "click", "purchase"])
+
+
 def _json_props_stats(sf_dir: str):
     """Vectorized JSON extraction (functions/jsonops.py): pull a typed
     field and a missing path out of the ``events.props`` JSON column in
@@ -2231,6 +2285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": _q1_lineitem,
         "events_hourly": _events_hourly,
         "json_props_stats": _json_props_stats,
+        "funnel_signup_click_purchase": _funnel_signup_click_purchase,
+        "format_ingest_stats": _format_ingest_stats,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
@@ -2351,6 +2407,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "format_ingest_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   TRUE AS formats_agree
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "funnel_signup_click_purchase": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts >= s1.t
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                        GROUP BY e.user_id)
+            SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+                   (SELECT count(*) FROM s1) AS n_keys
+            UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+            UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)
         """,
         "json_props_stats": """
             SELECT event_type,

@@ -95,6 +95,57 @@ def sliding_aggregate(ds, ts_col: str, key_cols: List[str], size_s: int,
     return keyed.groupby([*key_cols, "window_start"]).aggregate(*aggs)
 
 
+def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
+                  stages: List[str], num_partitions: int = 16):
+    """Strict ordered funnel over an event log: how many keys (users)
+    reach stage 1, then stage 2 at-or-after their FIRST stage-1 event,
+    then stage 3 at-or-after that first qualifying stage-2 event, …
+
+    Fully distributed — no per-key Python: pass ``i`` filters to stage
+    ``i``'s events, hash-joins them against the previous stage's
+    first-reach table (``Dataset.join``, key-partitioned), keeps
+    events at-or-after the previous first-reach time, and min-folds
+    per key. Each pass's state table is one (key, first_ts) row per
+    surviving key; the event set never re-shuffles as a whole. k
+    stages = k cheap passes — the standard funnel shape at log scale.
+
+    Returns a pandas DataFrame (stage, stage_idx, n_keys), stage_idx
+    1-based, n_keys non-increasing.
+    """
+    from ray.data.aggregate import Min
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": b.column(key_col),
+            "_s": b.column(stage_col),
+            "_ts": pa.array(_ts_us(b.column(ts_col))),
+        })
+
+    ev = ds.map_batches(to_us, batch_format="pyarrow")
+    prev = None
+    rows = []
+    for i, stage in enumerate(stages):
+        evs = ev.filter(expr=f"_s == '{stage}'")
+        if i == 0:
+            cand = evs
+        else:
+            joined = evs.join(prev, "inner", num_partitions,
+                              on=("_k",), right_on=("_pk",))
+            cand = joined.filter(expr="_ts >= _first")
+        reached = (cand.groupby("_k")
+                   .aggregate(Min("_ts", alias_name="_first")))
+        n = reached.count()
+        rows.append({"stage": stage, "stage_idx": i + 1, "n_keys": n})
+        if n == 0:
+            rows += [{"stage": s, "stage_idx": j + i + 2, "n_keys": 0}
+                     for j, s in enumerate(stages[i + 1:])]
+            break
+        prev = reached.map_batches(
+            lambda b: b.rename_columns(["_pk", "_first"]),
+            batch_format="pyarrow")
+    return pd.DataFrame(rows, columns=["stage", "stage_idx", "n_keys"])
+
+
 def session_windows(ds, ts_col: str, key_col: str, gap_s: int,
                     order_cols: Optional[List[str]] = None):
     """Gap-based sessionization per key.

@@ -39,6 +39,63 @@ def test_sliding_covers_each_event_fan_times(ray_session, sf_dir):
     assert total == 2 * n  # fan-out = size/step = 2
 
 
+def test_funnel_ordering_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import funnel_counts
+
+    def t(s):
+        return pd.Timestamp(s)
+
+    rows = [
+        # u1 completes the funnel in order
+        ("u1", "signup", t("2024-01-01 10:00")),
+        ("u1", "click", t("2024-01-01 11:00")),
+        ("u1", "purchase", t("2024-01-01 12:00")),
+        # u2 clicks BEFORE signing up: click must not count; no purchase
+        ("u2", "click", t("2024-01-02 08:00")),
+        ("u2", "signup", t("2024-01-02 09:00")),
+        # u3 signup only
+        ("u3", "signup", t("2024-01-03 10:00")),
+        # u4 purchase before click: purchase must not count
+        ("u4", "signup", t("2024-01-04 10:00")),
+        ("u4", "purchase", t("2024-01-04 10:30")),
+        ("u4", "click", t("2024-01-04 11:00")),
+        # u5 never signs up
+        ("u5", "click", t("2024-01-05 10:00")),
+        ("u5", "purchase", t("2024-01-05 11:00")),
+        # u6 same-timestamp progression counts (>= semantics)
+        ("u6", "signup", t("2024-01-06 10:00")),
+        ("u6", "click", t("2024-01-06 10:00")),
+        ("u6", "purchase", t("2024-01-06 10:00")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    ds = rd.from_pandas(df).repartition(3)
+    out = funnel_counts(ds, "ts", "user_id", "event_type",
+                        ["signup", "click", "purchase"], num_partitions=2)
+    assert out["stage"].tolist() == ["signup", "click", "purchase"]
+    # signup: u1 u2 u3 u4 u6; click-after-signup: u1 u4 u6;
+    # purchase-after-that-click: u1 u6
+    assert out["n_keys"].tolist() == [5, 3, 2]
+
+
+def test_funnel_empty_stage_short_circuits(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import funnel_counts
+
+    df = pd.DataFrame({
+        "user_id": ["a", "b"],
+        "event_type": ["view", "view"],
+        "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")],
+    })
+    out = funnel_counts(rd.from_pandas(df), "ts", "user_id", "event_type",
+                        ["signup", "click"], num_partitions=2)
+    assert out["n_keys"].tolist() == [0, 0]
+
+
 def test_session_windows_matches_sql(ray_session, sf_dir, duck):
     import ray.data as rd
 
