@@ -240,6 +240,26 @@ def _events_hourly(sf_dir: str):
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
+def _cumulative_user_spend(sf_dir: str):
+    """Per-user running purchase count/total in event-time order
+    (functions/windows.py cumulative_aggregate) — the SQL
+    window-function shape, one output row per purchase. Money
+    accumulates as scaled int64 cents so the running sum matches the
+    SQL mirror exactly at every row."""
+    from presto_bloomfilter_ray.functions import cumulative_aggregate
+
+    ev = (_read(sf_dir, "events",
+                columns=["event_id", "user_id", "event_type", "ts", "value"])
+          .filter(expr="event_type == 'purchase'")
+          .map_batches(_add_cents("value"), batch_format="pyarrow"))
+    cum = cumulative_aggregate(ev, "ts", "user_id", "_cents",
+                               order_cols=["event_id"])
+    df = cum.to_pandas()
+    df["running_spend"] = (df["running_sum"] / 100.0).round(2)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df[["user_id", "event_id", "ts", "running_n", "running_spend"]]
+
+
 def _format_ingest_stats(sf_dir: str):
     """Format-adapting ingestion (sources/textio.py): the documents
     table round-trips through partitioned JSONL AND CSV sinks, is read
@@ -2287,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": _json_props_stats,
         "funnel_signup_click_purchase": _funnel_signup_click_purchase,
         "format_ingest_stats": _format_ingest_stats,
+        "cumulative_user_spend": _cumulative_user_spend,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
@@ -2407,6 +2428,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "cumulative_user_spend": """
+            SELECT user_id, event_id, ts,
+                   CAST(row_number() OVER w AS BIGINT) AS running_n,
+                   round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                         / 100.0, 2) AS running_spend
+            FROM events WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "format_ingest_stats": """
             SELECT lang, count(*) AS n_docs,

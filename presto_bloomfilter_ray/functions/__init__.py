@@ -75,6 +75,7 @@ from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .jsonops import json_extract, json_extract_fields
 from .search import bm25_search, bm25_sql_mirror
 from .windows import (
+    cumulative_aggregate,
     funnel_counts,
     session_windows,
     sliding_aggregate,

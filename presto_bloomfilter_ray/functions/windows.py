@@ -95,6 +95,32 @@ def sliding_aggregate(ds, ts_col: str, key_cols: List[str], size_s: int,
     return keyed.groupby([*key_cols, "window_start"]).aggregate(*aggs)
 
 
+def cumulative_aggregate(ds, ts_col: str, key_col: str, value_col: str,
+                         order_cols: Optional[List[str]] = None):
+    """Per-key running count and running sum in event-time order — the
+    SQL window-function shape ``sum(v) OVER (PARTITION BY key ORDER BY
+    ts [, order_cols] ROWS UNBOUNDED PRECEDING)``, emitted as one row
+    per input event.
+
+    ``groupby(key).map_groups``: each group sorts by (ts, order_cols)
+    and takes one vectorized ``cumsum`` — the accumulation order is
+    exactly the frame order, so an integer value column matches the
+    SQL mirror bit-for-bit (pre-scale money to cents for exactness,
+    the `_add_cents` pattern). Partitioning assumption (as
+    `session_windows`): one key's events fit one group.
+    """
+    sort_cols = [ts_col, *(order_cols or [])]
+
+    def accumulate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        return g.assign(
+            running_n=np.arange(1, len(g) + 1, dtype=np.int64),
+            running_sum=g[value_col].to_numpy().cumsum(),
+        )
+
+    return ds.groupby(key_col).map_groups(accumulate, batch_format="pandas")
+
+
 def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
                   stages: List[str], num_partitions: int = 16):
     """Strict ordered funnel over an event log: how many keys (users)

@@ -39,6 +39,28 @@ def test_sliding_covers_each_event_fan_times(ray_session, sf_dir):
     assert total == 2 * n  # fan-out = size/step = 2
 
 
+def test_cumulative_aggregate_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import cumulative_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    cum = cumulative_aggregate(ev, "ts", "user_id", "value",
+                               order_cols=["event_id"])
+    mine = (cum.to_pandas().sort_values("event_id").reset_index(drop=True))
+    theirs = duck.sql("""
+        SELECT event_id, CAST(row_number() OVER w AS BIGINT) AS running_n,
+               sum(value) OVER w AS running_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id
+    """).df()
+    assert mine["running_n"].tolist() == theirs["running_n"].tolist()
+    assert np.allclose(mine["running_sum"], theirs["running_sum"])
+
+
 def test_funnel_ordering_semantics(ray_session):
     import pandas as pd
     import ray.data as rd
