@@ -1580,6 +1580,34 @@ def _bm25_search_documents(sf_dir: str):
 
 
 _BM25_TERMS = ["hash", "join", "filter"]
+_BM25_IDX_TERMS = ["spark", "window", "merge", "sort"]
+
+
+def _bm25_index_search_documents(sf_dir: str):
+    """Persisted BM25 inverted index (functions/search_index.py): build
+    term-sharded postings + doc-stats parquet once, then search by
+    reading ONLY the query terms' shards (term-level predicate
+    pushdown) and joining postings against the doc-stats table
+    (key-partitioned, never broadcast). Scores are bit-identical to
+    `bm25_search` / the generated SQL mirror: same tf/dl definitions,
+    per-term accumulator columns (one nonzero row per doc per column,
+    so distributed Sum order cannot perturb them), fixed term-order
+    cross add."""
+    import shutil
+    import uuid
+
+    from presto_bloomfilter_ray.functions import (
+        bm25_index_build,
+        bm25_index_search,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    root = f"/tmp/bm25-index-{uuid.uuid4().hex[:8]}"
+    try:
+        bm25_index_build(docs, root, n_shards=8)
+        return bm25_index_search(root, _BM25_IDX_TERMS, top_k=10)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _pack_sequences_documents(sf_dir: str):
@@ -2332,6 +2360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize_stats": _url_canonicalize_stats,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
+        "bm25_index_search_documents": _bm25_index_search_documents,
         "pack_sequences_documents": _pack_sequences_documents,
         "mixture_sample_by_lang": _mixture_sample_by_lang,
         "quantile_band_textlen": _quantile_band_textlen,
@@ -2980,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         # generated from the SAME patterns/op-order/rounding as the
         # Ray implementation — the two cannot drift independently
         "bm25_search_documents": bm25_sql_mirror(_BM25_TERMS),
+        "bm25_index_search_documents": bm25_sql_mirror(_BM25_IDX_TERMS),
         # recomputes the temperature mix exactly: counts -> pow ->
         # round(6) -> floor threshold, mirroring temperature_fractions
         # + sample_mask operation-for-operation

@@ -74,6 +74,7 @@ from .histogram import histogram
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .jsonops import json_extract, json_extract_fields
 from .search import bm25_search, bm25_sql_mirror
+from .search_index import bm25_index_build, bm25_index_search
 from .windows import (
     cumulative_aggregate,
     funnel_counts,

@@ -1,0 +1,205 @@
+"""Persisted BM25 inverted index: build once, search many — the
+retrieval analog of the reference's Bloom build → persist → load →
+probe loop (`run_tests.sh:124-125`), at postings level.
+
+:func:`bm25_search` re-reads and re-tokenizes the corpus per query;
+fine for one-off analytics, wrong for a retrieval service. The index
+splits the cost:
+
+* **build** (once): one tokenization pass → per-batch polars
+  (term, doc, tf) combine → postings hash-sharded BY TERM into sorted
+  parquet shards (so a query term's postings live in exactly one
+  shard), plus a (doc_id, dl) doc-stats table and a meta.json holding
+  (N, Σdl, shard count). The shuffle carries (term_hash, doc, tf)
+  triples — never text.
+* **search** (per query): reads ONLY the ≤ Q shards the query terms
+  hash to, with a term-level parquet row filter (predicate pushdown),
+  joins the query-term postings against the doc-stats table
+  (key-partitioned hash join — the doc table is corpus-sized and never
+  broadcast), and scores vectorized. Query cost scales with the query
+  terms' posting lists, not the corpus.
+
+Score parity is BIT-EXACT with :func:`bm25_search` /
+`bm25_sql_mirror`: identical tf/dl definitions (an alnum query term's
+``(?i)\\b t \\b`` occurrence count equals its count among lowercased
+``[A-Za-z0-9]+`` words — what the postings store), identical idf and
+denominator expressions, and an exact summation plan — each query term
+contributes to its OWN accumulator column (one nonzero row per doc per
+column, so distributed Sum order cannot perturb it) and the final
+cross-term add runs in fixed term order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .search import _terms_of
+from .text import TOKEN_RE
+
+__all__ = ["bm25_index_build", "bm25_index_search"]
+
+
+def _term_shard(terms, n_shards: int) -> np.ndarray:
+    from ..sketches.hashing import hash64
+
+    if not isinstance(terms, (pa.Array, pa.ChunkedArray)):
+        terms = pa.array([str(t) for t in terms], type=pa.large_string())
+    return (hash64(terms.cast(pa.large_string()), 0xB25)
+            % np.uint64(n_shards)).astype(np.int64)
+
+
+def bm25_index_build(ds, root: str, *, text_col: str = "text",
+                     id_col: str = "doc_id", n_shards: int = 16) -> str:
+    """Build the index under ``root`` (fresh directory). Returns root."""
+    import polars as pl
+
+    n_shards = 1 << max(0, n_shards - 1).bit_length()  # pow2, mask-safe
+    os.makedirs(os.path.join(root, "postings"), exist_ok=True)
+    os.makedirs(os.path.join(root, "docs"), exist_ok=True)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(batch.column(text_col))
+        # lowercased \w-runs: a run equals an (alnum-only) query term
+        # exactly when the query-side case-insensitive \b-delimited
+        # pattern matches there — RE2's \b counts '_' as a word char,
+        # so runs split on [^a-z0-9_] (runs containing '_' can never
+        # equal a query term and are kept only for honesty)
+        parts = pc.split_pattern_regex(pc.fill_null(txt, ""), "[^a-z0-9_]+")
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts)
+        keep = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep)
+        ids = pc.take(batch.column(id_col).cast(pa.int64()), parent)
+        t = pl.DataFrame({"term": pl.from_arrow(flat),
+                          "doc": pl.from_arrow(ids)})
+        agg = (t.group_by(["term", "doc"])
+               .agg(tf=pl.len().cast(pl.Int64))).to_arrow()
+        shard = _term_shard(agg["term"].combine_chunks().cast(pa.string()),
+                            n_shards)
+        return agg.append_column("shard", pa.array(shard))
+
+    def doc_stats(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        return pa.table({
+            "doc": batch.column(id_col).cast(pa.int64()),
+            "dl": pc.fill_null(pc.count_substring_regex(txt, TOKEN_RE),
+                               0).cast(pa.int64()),
+        })
+
+    post = ds.map_batches(postings, batch_format="pyarrow")
+    post.write_parquet(os.path.join(root, "postings"),
+                       partition_cols=["shard"])
+    docs = ds.map_batches(doc_stats, batch_format="pyarrow")
+    docs.write_parquet(os.path.join(root, "docs"))
+    sum_dl = docs.sum("dl") or 0
+    n = docs.count()
+    meta = {"n_docs": int(n), "sum_dl": int(sum_dl), "n_shards": n_shards,
+            "version": 1}
+    tmp = os.path.join(root, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "meta.json"))
+    return root
+
+
+def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
+                      k1: float = 1.2, b: float = 0.75, top_k: int = 10,
+                      round_digits: int = 6, num_partitions: int = 8):
+    """Search a built index: → pandas ``(doc_id, score)`` top-k,
+    bit-identical to ``bm25_search`` over the same corpus/query."""
+    import pandas as pd
+    import ray.data as rd
+
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    terms = _terms_of(query)
+    Q = len(terms)
+    shards = _term_shard(terms, meta["n_shards"])
+
+    # only the query terms' shards are opened; the row filter prunes
+    # further at the parquet scan
+    shard_dirs = sorted({os.path.join(root, "postings", f"shard={s}")
+                         for s in shards.tolist()})
+    paths = [os.path.join(d, f) for d in shard_dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    import pyarrow.dataset as pads
+
+    post = rd.read_parquet(paths, columns=["term", "doc", "tf"],
+                           filter=pads.field("term").isin(terms))
+
+    term_set = pa.array(terms, type=pa.string())
+
+    def tag_q(batch: pa.Table) -> pa.Table:
+        qs = pc.index_in(batch.column("term").cast(pa.string()),
+                         value_set=term_set).cast(pa.int64())
+        return pa.table({"doc": batch.column("doc"),
+                         "q": qs, "tf": batch.column("tf")})
+
+    post = post.map_batches(tag_q, batch_format="pyarrow")
+
+    # df per term: a tiny per-batch fold (≤ Q rows per batch)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c = np.bincount(np.asarray(batch.column("q")), minlength=Q)
+        return pa.table({f"df_{i}": pa.array([int(c[i])], pa.int64())
+                         for i in range(Q)})
+
+    dfs = post.map_batches(df_partial, batch_format="pyarrow").sum(
+        [f"df_{i}" for i in range(Q)])
+    if dfs is None:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    if not isinstance(dfs, dict):  # single-column sum returns a scalar
+        dfs = {"sum(df_0)": dfs}
+    df = np.array([(dfs[f"sum(df_{i})"] or 0) for i in range(Q)],
+                  dtype=np.float64)
+    N = meta["n_docs"]
+    avgdl = meta["sum_dl"] / N  # same expression as bm25_search
+    idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+    docs = rd.read_parquet(os.path.join(root, "docs"))
+    joined = post.join(docs, "inner", num_partitions,
+                       on=("doc",), right_on=("doc",))
+
+    def contrib_cols(batch: pa.Table) -> pa.Table:
+        dl = np.asarray(batch.column("dl"), dtype=np.float64)
+        tf = np.asarray(batch.column("tf"), dtype=np.float64)
+        q = np.asarray(batch.column("q"))
+        denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
+        c = idf[q] * (tf * (k1 + 1.0)) / (tf + denom_base)
+        cols = {"doc": batch.column("doc")}
+        for i in range(Q):
+            cols[f"c_{i}"] = pa.array(np.where(q == i, c, 0.0),
+                                      type=pa.float64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    per_doc = (joined.map_batches(contrib_cols, batch_format="pyarrow")
+               .groupby("doc")
+               .aggregate(*[Sum(f"c_{i}", alias_name=f"c_{i}")
+                            for i in range(Q)]))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # fixed q-order cross-term add — the oracle's operation order
+        acc = np.zeros(batch.num_rows, dtype=np.float64)
+        for i in range(Q):
+            acc = acc + np.asarray(batch.column(f"c_{i}"), dtype=np.float64)
+        score = np.round(acc, round_digits)
+        ids = np.asarray(batch.column("doc"))
+        order = np.lexsort((ids, -score))[:top_k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score": pa.array(score[order], pa.float64())})
+
+    cands = per_doc.map_batches(local_topk, batch_format="pyarrow").take_all()
+    out = pd.DataFrame(cands) if cands else pd.DataFrame(
+        {"doc_id": [], "score": []})
+    out = (out.sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(top_k).reset_index(drop=True))
+    return out.astype({"doc_id": "int64", "score": "float64"})
