@@ -240,6 +240,87 @@ def _events_hourly(sf_dir: str):
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
+def _zscore_totalprice_by_status(sf_dir: str):
+    """Group-wise standardization (functions/features.py
+    standardize_by_key): per-status moments fold as exact scaled-int
+    sums, z derived in one fixed expression order — the SQL mirror
+    recomputes the identical expression from the identical int sums,
+    so per-row z values match bit-for-bit. Folded per status with
+    z·1e6 int sums (associative-exact)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from presto_bloomfilter_ray.functions import standardize_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    zd = standardize_by_key(orders, "o_orderstatus", "o_totalprice")
+
+    def fold_cols(b: pa.Table) -> pa.Table:
+        zmicro = pc.round(pc.multiply(b["z"], pa.scalar(1e6))).cast(pa.int64())
+        outlier = pc.cast(pc.greater(pc.abs(b["z"]), pa.scalar(2.0)),
+                          pa.int64())
+        return pa.table({"o_orderstatus": b["o_orderstatus"],
+                         "z": b["z"], "z_micro": zmicro,
+                         "outlier": outlier})
+
+    agg = (zd.map_batches(fold_cols, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Count(alias_name="n"),
+                      Sum("z_micro", alias_name="z_micro_sum"),
+                      Min("z", alias_name="min_z"),
+                      Max("z", alias_name="max_z"),
+                      Sum("outlier", alias_name="n_outliers")))
+    return agg
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_pivot_hourly(sf_dir: str):
+    """Categorical pivot (functions/features.py pivot_counts): hourly ×
+    event-type count matrix — one-hot map-side, one groupby(hour).sum.
+    SQL mirror is explicit CASE sums over the same fixed category
+    list."""
+    from presto_bloomfilter_ray.functions import pivot_counts
+    from presto_bloomfilter_ray.functions.windows import add_tumbling_window
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    ev = ev.map_batches(
+        lambda b: add_tumbling_window(b, "ts", 3600, out_col="hour"),
+        batch_format="pyarrow")
+    out = pivot_counts(ev, "hour", "event_type", _EVENT_TYPES).to_pandas()
+    out["hour"] = out["hour"].astype("datetime64[us]")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def _interarrival_stats(sf_dir: str):
+    """Per-user inter-event gaps (functions/windows.py lag_deltas — the
+    lag()-OVER window shape), folded per the later event's type. Gaps
+    are summed as exact µs int64 (recovered from the seconds float by
+    round(x·1e6): the µs integer survives the /1e6 round-trip)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from presto_bloomfilter_ray.functions import lag_deltas
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    d = lag_deltas(ev, "ts", "user_id", order_cols=["event_id"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        gap_us = pc.round(pc.multiply(b["delta_s"], pa.scalar(1e6))).cast(
+            pa.int64())
+        valid = pc.is_valid(gap_us).cast(pa.int64())
+        return pa.table({"event_type": b["event_type"],
+                         "gap_us": gap_us, "valid": valid})
+
+    agg = (d.map_batches(to_us, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("valid", alias_name="n_gaps"),
+                      Sum("gap_us", alias_name="sum_gap_us"),
+                      Min("gap_us", alias_name="min_gap_us"),
+                      Max("gap_us", alias_name="max_gap_us")))
+    return agg
+
+
 def _cumulative_user_spend(sf_dir: str):
     """Per-user running purchase count/total in event-time order
     (functions/windows.py cumulative_aggregate) — the SQL
@@ -2336,6 +2417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_signup_click_purchase": _funnel_signup_click_purchase,
         "format_ingest_stats": _format_ingest_stats,
         "cumulative_user_spend": _cumulative_user_spend,
+        "interarrival_stats": _interarrival_stats,
+        "zscore_totalprice_by_status": _zscore_totalprice_by_status,
+        "events_pivot_hourly": _events_pivot_hourly,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
@@ -2457,6 +2541,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # identical fixed expression order as standardize_by_key:
+        # mu=(s1/100.0)/n, var=(s2/10000.0)/n-mu*mu, z=round((v-mu)/sd,6)
+        "zscore_totalprice_by_status": """
+            WITH m AS (
+                SELECT o_orderstatus, count(*) AS n,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                           * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+                FROM orders GROUP BY o_orderstatus
+            ), z AS (
+                SELECT o.o_orderstatus,
+                       round((o.o_totalprice - (s1 / 100.0) / n)
+                             / sqrt((s2 / 10000.0) / n
+                                    - ((s1 / 100.0) / n) * ((s1 / 100.0) / n)),
+                             6) AS z
+                FROM orders o JOIN m USING (o_orderstatus)
+            )
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS BIGINT)
+                       AS z_micro_sum,
+                   min(z) AS min_z, max(z) AS max_z,
+                   CAST(count(*) FILTER (WHERE abs(z) > 2.0) AS BIGINT)
+                       AS n_outliers
+            FROM z GROUP BY o_orderstatus
+        """,
+        "events_pivot_hourly": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY hour ORDER BY hour
+        """,
+        "interarrival_stats": """
+            WITH d AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   min(gap_us) AS min_gap_us,
+                   max(gap_us) AS max_gap_us
+            FROM d GROUP BY event_type
         """,
         "cumulative_user_spend": """
             SELECT user_id, event_id, ts,

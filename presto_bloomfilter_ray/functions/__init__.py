@@ -70,6 +70,7 @@ from .sampling import (
     temperature_fractions,
 )
 from .packing import pack_sequences, pack_stats
+from .features import pivot_counts, standardize_by_key
 from .histogram import histogram
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .jsonops import json_extract, json_extract_fields
@@ -78,6 +79,7 @@ from .search_index import bm25_index_build, bm25_index_search
 from .windows import (
     cumulative_aggregate,
     funnel_counts,
+    lag_deltas,
     session_windows,
     sliding_aggregate,
     tumbling_aggregate,

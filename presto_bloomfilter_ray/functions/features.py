@@ -1,0 +1,114 @@
+"""Feature-engineering operators: group-wise standardization and
+categorical pivot — the tabular prep stages of a training pipeline.
+
+Both follow the repo's exactness discipline so their SQL oracles
+compare full values, not tolerances:
+
+* `standardize_by_key` folds per-key moments as EXACT scaled-int sums
+  (the `_add_cents` trick, squared sums included), then derives
+  mean/std/z in one fixed expression order shared with the SQL mirror
+  — distributed accumulation order cannot move the result.
+* `pivot_counts` one-hot-encodes the category column inside
+  ``map_batches`` (one int column per requested category) and lets a
+  single ``groupby(row).sum`` finalize — fully distributed, no
+  driver-side pivot of intermediate data.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["standardize_by_key", "pivot_counts"]
+
+
+def standardize_by_key(ds, key_col: str, value_col: str, *,
+                       scale: int = 100, round_digits: int = 6,
+                       out_col: str = "z"):
+    """Append per-key z-scores of ``value_col`` (population std).
+
+    Two passes: (1) per-batch polars combine of per-key
+    ``(n, Σv·scale, Σ(v·scale)²)`` int64 partials → tiny
+    ``groupby(key).sum`` (the moment table is n_keys rows — broadcast
+    to pass 2 by closure); (2) a map stage computing
+    ``z = round((v - μ)/σ, d)`` with
+    ``μ = (s1/scale)/n``, ``σ = sqrt((s2/scale²)/n - μ·μ)`` — the
+    exact expression the SQL mirror uses. Keys with σ = 0 yield NULL.
+
+    ``scale`` must make ``v·scale`` integral (100 for 2-dp money);
+    Σ(v·scale)² must fit int64 — fine for 2-dp values < 10⁶ over
+    ≤ 10⁸ rows per key.
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column(value_col),
+                                     pa.scalar(float(scale)))).cast(pa.int64())
+        t = pl.DataFrame({"key": pl.from_arrow(b.column(key_col)),
+                          "c": pl.from_arrow(cents)})
+        return (t.group_by("key")
+                .agg(n=pl.len().cast(pl.Int64),
+                     s1=pl.col("c").sum(),
+                     s2=(pl.col("c") * pl.col("c")).sum())
+                .to_arrow())
+
+    stats = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby("key")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s1", alias_name="s1"),
+                        Sum("s2", alias_name="s2"))
+             .take_all())
+    key_list = sorted(r["key"] for r in stats)
+    pos = {k: i for i, k in enumerate(key_list)}
+    mu_arr = np.zeros(len(key_list))
+    sig_arr = np.zeros(len(key_list))
+    for r in stats:
+        n, s1, s2 = r["n"], r["s1"], r["s2"]
+        m = (s1 / scale) / n
+        mu_arr[pos[r["key"]]] = m
+        sig_arr[pos[r["key"]]] = np.sqrt(
+            (s2 / (scale * scale)) / n - m * m)
+    key_set = pa.array(key_list)
+
+    def z(b: pa.Table) -> pa.Table:
+        idx = np.asarray(
+            pc.index_in(b.column(key_col), value_set=key_set).cast(
+                pa.int64()))
+        m = mu_arr[idx]
+        s = sig_arr[idx]
+        v = np.asarray(b.column(value_col), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.round((v - m) / s, round_digits)
+        bad = ~(s > 0)
+        arr = pa.array(np.where(bad, np.nan, out), type=pa.float64(),
+                       mask=bad)
+        return b.append_column(out_col, arr)
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_key: str, col_key: str,
+                 categories: List[str], prefix: str = "n_"):
+    """Wide count pivot: one row per ``row_key`` value, one int64
+    ``{prefix}{category}`` column per requested category (others are
+    ignored — mirror with explicit CASE sums in SQL). One-hot encode
+    map-side, one ``groupby(row).sum`` — no row shuffle beyond it."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+
+    def onehot(b: pa.Table) -> pa.Table:
+        col = b.column(col_key)
+        cols = {row_key: b.column(row_key)}
+        for c in cats:
+            cols[prefix + c] = pc.cast(pc.equal(col, c), pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(onehot, batch_format="pyarrow")
+            .groupby(row_key)
+            .aggregate(*[Sum(prefix + c, alias_name=prefix + c)
+                         for c in cats]))

@@ -95,6 +95,31 @@ def sliding_aggregate(ds, ts_col: str, key_cols: List[str], size_s: int,
     return keyed.groupby([*key_cols, "window_start"]).aggregate(*aggs)
 
 
+def lag_deltas(ds, ts_col: str, key_col: str,
+               order_cols: Optional[List[str]] = None,
+               out_col: str = "delta_s"):
+    """Per-key inter-event gaps in seconds — the ``epoch(ts) -
+    epoch(lag(ts) OVER (PARTITION BY key ORDER BY ts[, order_cols]))``
+    window shape; each key's first event gets NULL.
+
+    Same execution shape (and partitioning assumption) as
+    `session_windows` / `cumulative_aggregate`: one ``map_groups`` per
+    key, a vectorized sort + diff inside. Gap arithmetic runs on µs
+    int64 and divides by 1e6 exactly like the SQL mirror.
+    """
+    sort_cols = [ts_col, *(order_cols or [])]
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        delta = np.full(len(g), np.nan)
+        if len(us) > 1:
+            delta[1:] = np.diff(us) / 1e6
+        return g.assign(**{out_col: delta})
+
+    return ds.groupby(key_col).map_groups(gaps, batch_format="pandas")
+
+
 def cumulative_aggregate(ds, ts_col: str, key_col: str, value_col: str,
                          order_cols: Optional[List[str]] = None):
     """Per-key running count and running sum in event-time order — the

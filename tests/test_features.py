@@ -1,0 +1,81 @@
+"""Feature-engineering ops (functions/features.py) and lag_deltas
+(functions/windows.py): SQL parity, zero-variance nulls, pivot
+category handling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from presto_bloomfilter_ray.functions import (
+    lag_deltas,
+    pivot_counts,
+    standardize_by_key,
+)
+
+
+def test_standardize_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus",
+                                      "o_totalprice"])
+    zd = standardize_by_key(orders, "o_orderstatus", "o_totalprice")
+    mine = (zd.to_pandas().sort_values("o_orderkey")
+            .reset_index(drop=True))
+    theirs = duck.sql("""
+        WITH m AS (
+            SELECT o_orderstatus, count(*) AS n,
+                   sum(CAST(round(o_totalprice*100) AS BIGINT)) AS s1,
+                   sum(CAST(round(o_totalprice*100) AS BIGINT)
+                       * CAST(round(o_totalprice*100) AS BIGINT)) AS s2
+            FROM orders GROUP BY 1)
+        SELECT o_orderkey,
+               round((o_totalprice - (s1/100.0)/n)
+                     / sqrt((s2/10000.0)/n - ((s1/100.0)/n)*((s1/100.0)/n)),
+                     6) AS z
+        FROM orders JOIN m USING (o_orderstatus) ORDER BY o_orderkey
+    """).df()
+    assert mine["z"].tolist() == theirs["z"].tolist()
+
+
+def test_standardize_zero_variance_is_null(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": ["a", "a", "b", "b"],
+                  "v": [5.0, 5.0, 1.0, 3.0]})
+    out = (standardize_by_key(rd.from_arrow(t), "k", "v")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert out.loc[out["k"] == "a", "z"].isna().all()   # σ = 0
+    assert out.loc[out["k"] == "b", "z"].tolist() == [-1.0, 1.0]
+
+
+def test_pivot_counts(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"row": [1, 1, 2, 2, 2],
+                  "cat": ["x", "y", "x", "x", "zzz"]})
+    out = (pivot_counts(rd.from_arrow(t), "row", "cat", ["x", "y"])
+           .to_pandas().sort_values("row").reset_index(drop=True))
+    assert out["n_x"].tolist() == [1, 2]
+    assert out["n_y"].tolist() == [1, 0]
+    assert "n_zzz" not in out.columns  # unlisted categories ignored
+
+
+def test_lag_deltas_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    d = lag_deltas(ev, "ts", "user_id", order_cols=["event_id"])
+    mine = (d.to_pandas().sort_values("event_id").reset_index(drop=True))
+    theirs = duck.sql("""
+        SELECT event_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) / 1e6
+                   AS delta_s
+        FROM events ORDER BY event_id
+    """).df()
+    a, b = mine["delta_s"], theirs["delta_s"]
+    assert (a.isna() == b.isna()).all()
+    assert np.allclose(a.dropna(), b.dropna())
