@@ -272,6 +272,32 @@ def _zscore_totalprice_by_status(sf_dir: str):
     return agg
 
 
+def _ntile_quartiles_by_status(sf_dir: str):
+    """Exact NTILE(4) bucketing per status (functions/features.py
+    ntile_by_key — SQL NTILE size semantics, ties made deterministic
+    by orderkey), folded to per-(status, quartile) count + cents-exact
+    sum. The oracle is DuckDB's own NTILE over the same ordering."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from presto_bloomfilter_ray.functions import ntile_by_key
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    tiled = ntile_by_key(orders, "o_orderstatus", "o_totalprice", 4,
+                         order_cols=["o_orderkey"])
+    agg = (tiled.map_batches(_add_cents("o_totalprice"),
+                             batch_format="pyarrow")
+           .groupby(["o_orderstatus", "tile"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("_cents", alias_name="_tp"),
+                      Min("o_totalprice", alias_name="min_price"),
+                      Max("o_totalprice", alias_name="max_price")))
+    df = agg.to_pandas()
+    df["total_price"] = (df["_tp"] / 100.0).round(2)
+    return df[["o_orderstatus", "tile", "n", "total_price",
+               "min_price", "max_price"]]
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2420,6 +2446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": _interarrival_stats,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
+        "ntile_quartiles_by_status": _ntile_quartiles_by_status,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
@@ -2566,6 +2593,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE abs(z) > 2.0) AS BIGINT)
                        AS n_outliers
             FROM z GROUP BY o_orderstatus
+        """,
+        "ntile_quartiles_by_status": """
+            WITH t AS (
+                SELECT o_orderstatus, o_totalprice,
+                       CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                           AS tile
+                FROM orders
+            )
+            SELECT o_orderstatus, tile, count(*) AS n,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         / 100.0, 2) AS total_price,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM t GROUP BY o_orderstatus, tile
         """,
         "events_pivot_hourly": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -70,7 +70,7 @@ from .sampling import (
     temperature_fractions,
 )
 from .packing import pack_sequences, pack_stats
-from .features import pivot_counts, standardize_by_key
+from .features import ntile_by_key, pivot_counts, standardize_by_key
 from .histogram import histogram
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .jsonops import json_extract, json_extract_fields

@@ -91,6 +91,34 @@ def standardize_by_key(ds, key_col: str, value_col: str, *,
     return ds.map_batches(z, batch_format="pyarrow")
 
 
+def ntile_by_key(ds, key_col: str, value_col: str, n: int,
+                 order_cols: Optional[List[str]] = None,
+                 out_col: str = "tile"):
+    """Append the SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY
+    value[, order_cols])`` bucket (1-based) — exact NTILE semantics:
+    with ``cnt = q·n + rem``, the first ``rem`` buckets get ``q+1``
+    rows. Ties are made deterministic by ``order_cols`` (pass a unique
+    id). Same per-key ``map_groups`` shape (and partitioning
+    assumption) as `~.windows.session_windows`."""
+    import pandas as pd
+
+    sort_cols = [value_col, *(order_cols or [])]
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        cnt = len(g)
+        q, rem = divmod(cnt, n)
+        r = np.arange(cnt, dtype=np.int64)
+        big = rem * (q + 1)  # rows covered by the size-(q+1) buckets
+        bucket = np.where(
+            r < big,
+            r // max(q + 1, 1),
+            rem + (r - big) // max(q, 1) if q else rem)
+        return g.assign(**{out_col: bucket.astype(np.int64) + 1})
+
+    return ds.groupby(key_col).map_groups(tile, batch_format="pandas")
+
+
 def pivot_counts(ds, row_key: str, col_key: str,
                  categories: List[str], prefix: str = "n_"):
     """Wide count pivot: one row per ``row_key`` value, one int64

@@ -62,6 +62,38 @@ def test_pivot_counts(ray_session):
     assert "n_zzz" not in out.columns  # unlisted categories ignored
 
 
+def test_ntile_matches_sql_per_row(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import ntile_by_key
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus",
+                                      "o_totalprice"])
+    mine = (ntile_by_key(orders, "o_orderstatus", "o_totalprice", 4,
+                         order_cols=["o_orderkey"])
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    theirs = duck.sql("""
+        SELECT o_orderkey, ntile(4) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS tile
+        FROM orders ORDER BY o_orderkey
+    """).df()
+    assert mine["tile"].tolist() == theirs["tile"].astype(int).tolist()
+
+
+def test_ntile_fewer_rows_than_buckets(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import ntile_by_key
+
+    t = pa.table({"k": ["a", "a", "a"], "v": [3.0, 1.0, 2.0],
+                  "id": [0, 1, 2]})
+    out = (ntile_by_key(rd.from_arrow(t), "k", "v", 5, order_cols=["id"])
+           .to_pandas().sort_values("v"))
+    # NTILE(5) over 3 rows: each row its own bucket 1..3 in value order
+    assert out["tile"].tolist() == [1, 2, 3]
+
+
 def test_lag_deltas_matches_sql(ray_session, sf_dir, duck):
     import ray.data as rd
 
