@@ -318,6 +318,20 @@ def _events_pivot_hourly(sf_dir: str):
     return out.sort_values("hour").reset_index(drop=True)
 
 
+def _event_transition_counts(sf_dir: str):
+    """Per-user event-type transition matrix (functions/windows.py
+    transition_counts — the lead()-OVER shape): per-key vectorized
+    pairing emits ≤ states² rows per user, so the exchange is
+    transition-matrix-sized."""
+    from presto_bloomfilter_ray.functions import transition_counts
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    agg = transition_counts(ev, "ts", "user_id", "event_type",
+                            order_cols=["event_id"])
+    return agg
+
+
 def _interarrival_stats(sf_dir: str):
     """Per-user inter-event gaps (functions/windows.py lag_deltas — the
     lag()-OVER window shape), folded per the later event's type. Gaps
@@ -1399,6 +1413,18 @@ def _textlen_histogram(sf_dir: str):
     return histogram(docs, "n_chars", lo=50.0, hi=450.0, n_bins=8)
 
 
+def _pmi_bigrams_top20(sf_dir: str):
+    """Collocation extraction by PMI (functions/text.py pmi_bigrams):
+    one tokenization pass emits combined unigram+bigram counts; the
+    vocabulary attaches to the pruned bigram table via key-partitioned
+    joins (never broadcast); PMI evaluates in the oracle's exact
+    operation order."""
+    from presto_bloomfilter_ray.functions import pmi_bigrams
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return pmi_bigrams(docs, top_k=20, min_count=5)
+
+
 def _vocab_stats_by_lang(sf_dir: str):
     """Per-language vocabulary statistics (functions/text.py
     vocab_stats): tokens, types, hapax legomena, type-token ratio —
@@ -2444,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "format_ingest_stats": _format_ingest_stats,
         "cumulative_user_spend": _cumulative_user_spend,
         "interarrival_stats": _interarrival_stats,
+        "event_transition_counts": _event_transition_counts,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
@@ -2466,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_by_lang": _text_stats_by_lang,
         "word_count_top20": _word_count_top20,
         "vocab_stats_by_lang": _vocab_stats_by_lang,
+        "pmi_bigrams_top20": _pmi_bigrams_top20,
         "textlen_histogram": _textlen_histogram,
         "entropy_stats_by_lang": _entropy_stats_by_lang,
         "url_canonicalize_stats": _url_canonicalize_stats,
@@ -2568,6 +2596,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "event_transition_counts": """
+            WITH s AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS to_state
+                FROM events
+            )
+            SELECT from_state, to_state, count(*) AS n
+            FROM s WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state
         """,
         # identical fixed expression order as standardize_by_key:
         # mu=(s1/100.0)/n, var=(s2/10000.0)/n-mu*mu, z=round((v-mu)/sd,6)
@@ -3024,6 +3063,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM documents WHERE n_chars IS NOT NULL
             GROUP BY bin ORDER BY bin
+        """,
+        "pmi_bigrams_top20": """
+            WITH tok AS (
+                SELECT regexp_extract_all(text, '\\S+') AS l FROM documents
+            ), uc AS (
+                SELECT w1, count(*) AS c FROM (
+                    SELECT unnest(l) AS w1 FROM tok) GROUP BY w1
+            ), bc AS (
+                SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12 FROM (
+                    SELECT unnest(list_filter(list_zip(l, l[2:]),
+                                  x -> x[2] IS NOT NULL)) AS p FROM tok)
+                GROUP BY 1, 2
+            ), tots AS (
+                SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS T,
+                       (SELECT CAST(sum(c12) AS DOUBLE) FROM bc) AS B
+            )
+            SELECT bc.w1, bc.w2, c12,
+                   round(ln((c12 / B) / ((u1.c / T) * (u2.c / T))), 6) AS pmi
+            FROM bc, tots
+            JOIN uc u1 ON bc.w1 = u1.w1
+            JOIN uc u2 ON bc.w2 = u2.w1
+            WHERE c12 >= 5
+            ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20
         """,
         "vocab_stats_by_lang": """
             WITH tok AS (

@@ -34,6 +34,7 @@ from .text import (
     bpe_token_count,
     add_text_stats,
     fingerprint64,
+    pmi_bigrams,
     quality_score,
     redact_pii,
     repetition_signals,
@@ -82,5 +83,6 @@ from .windows import (
     lag_deltas,
     session_windows,
     sliding_aggregate,
+    transition_counts,
     tumbling_aggregate,
 )

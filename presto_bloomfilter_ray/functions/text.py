@@ -600,6 +600,125 @@ def vocab_stats(ds, text_col: str = "text", key_col: str = "lang"):
     return df.sort_values(key_col).reset_index(drop=True)
 
 
+def pmi_bigrams(ds, text_col: str = "text", top_k: int = 20,
+                min_count: int = 5, round_digits: int = 6,
+                num_partitions: int = 8, broadcast_limit: int = 2_000_000):
+    """Top collocations by pointwise mutual information:
+    ``PMI(w1,w2) = ln((c12/B) / ((c1/T)·(c2/T)))`` over adjacent
+    whitespace-token pairs within documents (B = total bigrams,
+    T = total tokens), keeping pairs with ``c12 ≥ min_count``; ties
+    break on (w1, w2) ascending. The corpus-analysis collocation pass.
+
+    Scale shape: ONE tokenization pass emits per-batch-combined unigram
+    AND bigram counts into a single tagged table (the word_count
+    combiner pattern — the exchange carries per-batch distinct grams,
+    never token occurrences); one ``groupby`` finalizes counts;
+    unigram counts attach to the (min_count-pruned) bigram table by
+    the tiered dedup-removal pattern — vectorized broadcast lookup
+    below ``broadcast_limit`` vocabulary rows, two key-partitioned
+    ``Dataset.join``s above it; scoring is a map stage with a local
+    top-k. The PMI
+    expression is evaluated in one fixed operation order shared with
+    the SQL mirror.
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def gram_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column(text_col), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        w = pl.from_arrow(pc.filter(flat, keep))
+        d = pl.from_arrow(pc.filter(parents, keep))
+        t = pl.DataFrame({"w": w, "doc": d})
+        uni = (t.group_by("w").agg(n=pl.len().cast(pl.Int64))
+               .rename({"w": "w1"})
+               .with_columns(w2=pl.lit(""), kind=pl.lit("u")))
+        # adjacent pairs within a doc: shift within doc groups
+        t = t.with_columns(w2=pl.col("w").shift(-1),
+                           d2=pl.col("doc").shift(-1))
+        bi = (t.filter(pl.col("doc") == pl.col("d2"))
+              .group_by(["w", "w2"]).agg(n=pl.len().cast(pl.Int64))
+              .rename({"w": "w1"})
+              .with_columns(kind=pl.lit("b")))
+        cols = ["kind", "w1", "w2", "n"]
+        return pl.concat([uni.select(cols), bi.select(cols)]).to_arrow()
+
+    counts = (ds.map_batches(gram_counts, batch_format="pyarrow")
+              .groupby(["kind", "w1", "w2"])
+              .aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    uni = counts.filter(expr="kind == 'u'").select_columns(["w1", "n"])
+    bi = counts.filter(expr="kind == 'b'").select_columns(["w1", "w2", "n"])
+    T = float(uni.sum("n") or 0)
+    B = float(bi.sum("n") or 0)
+    if not T or not B:
+        import pandas as pd
+        return pd.DataFrame({"w1": [], "w2": [], "c12": [], "pmi": []})
+    bi = bi.filter(expr=f"n >= {int(min_count)}")
+    # tiered unigram attach (the dedup-removal pattern): broadcast the
+    # vocabulary below the limit, key-partitioned joins above it
+    n_vocab = uni.count()
+    if n_vocab <= broadcast_limit:
+        vt = pa.concat_tables(
+            [pa.table(b) for b in
+             uni.iter_batches(batch_format="pyarrow", batch_size=None)])
+        vocab_words = vt.column("w1").combine_chunks()
+        vocab_counts = np.asarray(vt.column("n"), dtype=np.int64)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            i1 = np.asarray(pc.index_in(batch.column("w1"),
+                                        value_set=vocab_words).cast(
+                pa.int64()))
+            i2 = np.asarray(pc.index_in(batch.column("w2"),
+                                        value_set=vocab_words).cast(
+                pa.int64()))
+            return (batch
+                    .append_column("c1", pa.array(vocab_counts[i1]))
+                    .append_column("c2", pa.array(vocab_counts[i2])))
+
+        j = bi.map_batches(attach, batch_format="pyarrow")
+    else:
+        u1 = uni.map_batches(lambda b: b.rename_columns(["u1", "c1"]),
+                             batch_format="pyarrow")
+        u2 = uni.map_batches(lambda b: b.rename_columns(["u2", "c2"]),
+                             batch_format="pyarrow")
+        j = (bi.join(u1, "inner", num_partitions,
+                     on=("w1",), right_on=("u1",))
+             .join(u2, "inner", num_partitions,
+                   on=("w2",), right_on=("u2",)))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        c12 = np.asarray(batch.column("n"), dtype=np.float64)
+        c1 = np.asarray(batch.column("c1"), dtype=np.float64)
+        c2 = np.asarray(batch.column("c2"), dtype=np.float64)
+        # the oracle's operation order
+        pmi = np.round(np.log((c12 / B) / ((c1 / T) * (c2 / T))),
+                       round_digits)
+        t = pl.DataFrame({
+            "w1": pl.from_arrow(batch.column("w1").combine_chunks()
+                                if isinstance(batch.column("w1"),
+                                              pa.ChunkedArray)
+                                else batch.column("w1")),
+            "w2": pl.from_arrow(batch.column("w2").combine_chunks()
+                                if isinstance(batch.column("w2"),
+                                              pa.ChunkedArray)
+                                else batch.column("w2")),
+            "c12": c12.astype(np.int64), "pmi": pmi})
+        return (t.sort(["pmi", "w1", "w2"], descending=[True, False, False])
+                .head(top_k).to_arrow())
+
+    import pandas as pd
+    cands = j.map_batches(score_topk, batch_format="pyarrow").take_all()
+    out = pd.DataFrame(cands) if cands else pd.DataFrame(
+        {"w1": [], "w2": [], "c12": [], "pmi": []})
+    out = (out.sort_values(["pmi", "w1", "w2"],
+                           ascending=[False, True, True])
+           .head(top_k).reset_index(drop=True))
+    return out.astype({"c12": "int64", "pmi": "float64"})
+
+
 def tfidf_top_terms(ds, text_col: str = "text", lang_col: str = "lang",
                     top_k: int = 5, round_digits: int = 6):
     """Per-language TF-IDF top terms — the keyword/term-weighting stage

@@ -120,6 +120,41 @@ def lag_deltas(ds, ts_col: str, key_col: str,
     return ds.groupby(key_col).map_groups(gaps, batch_format="pandas")
 
 
+def transition_counts(ds, ts_col: str, key_col: str, state_col: str,
+                      order_cols: Optional[List[str]] = None):
+    """Per-key state-transition (Markov) counts: for each key's events
+    in time order, count (state → next state) pairs — the
+    ``lead() OVER (PARTITION BY key ORDER BY ts)`` shape, folded to a
+    global (from_state, to_state, n) table.
+
+    Per-key ``map_groups`` pairs consecutive states vectorized and
+    emits the group's OWN transition counts (≤ states² rows per key),
+    so the final ``groupby([from, to]).sum`` is transition-matrix-sized
+    — never event-sized. Same partitioning assumption as
+    `session_windows`.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    sort_cols = [ts_col, *(order_cols or [])]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        st = g[state_col].to_numpy()
+        if len(st) < 2:
+            return pd.DataFrame({"from_state": [], "to_state": [],
+                                 "n": pd.array([], dtype="int64")})
+        t = pd.DataFrame({"from_state": st[:-1], "to_state": st[1:]})
+        out = (t.groupby(["from_state", "to_state"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.groupby(key_col).map_groups(pairs, batch_format="pandas")
+            .groupby(["from_state", "to_state"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def cumulative_aggregate(ds, ts_col: str, key_col: str, value_col: str,
                          order_cols: Optional[List[str]] = None):
     """Per-key running count and running sum in event-time order — the

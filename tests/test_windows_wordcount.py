@@ -160,6 +160,53 @@ def test_word_count_matches_sql(ray_session, sf_dir, duck):
     assert mine["n"].astype(int).tolist() == theirs["n"].astype(int).tolist()
 
 
+def test_pmi_bigrams_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import pmi_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    mine = pmi_bigrams(docs, top_k=10, min_count=2)
+    theirs = duck.sql("""
+        WITH tok AS (SELECT regexp_extract_all(text, '\\S+') AS l
+                     FROM documents),
+        uc AS (SELECT w1, count(*) AS c FROM (
+                   SELECT unnest(l) AS w1 FROM tok) GROUP BY w1),
+        bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12 FROM (
+                   SELECT unnest(list_filter(list_zip(l, l[2:]),
+                                 x -> x[2] IS NOT NULL)) AS p FROM tok)
+               GROUP BY 1, 2),
+        tots AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS T,
+                        (SELECT CAST(sum(c12) AS DOUBLE) FROM bc) AS B)
+        SELECT bc.w1, bc.w2, c12,
+               round(ln((c12 / B) / ((u1.c / T) * (u2.c / T))), 6) AS pmi
+        FROM bc, tots JOIN uc u1 ON bc.w1 = u1.w1
+                      JOIN uc u2 ON bc.w2 = u2.w1
+        WHERE c12 >= 2 ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 10
+    """).df()
+    assert mine["w1"].tolist() == theirs["w1"].tolist()
+    assert mine["w2"].tolist() == theirs["w2"].tolist()
+    assert mine["pmi"].tolist() == theirs["pmi"].tolist()
+    # the distributed-join scale path must agree with the broadcast path
+    joined = pmi_bigrams(docs, top_k=10, min_count=2, broadcast_limit=0,
+                         num_partitions=2)
+    assert joined["w1"].tolist() == theirs["w1"].tolist()
+    assert joined["pmi"].tolist() == theirs["pmi"].tolist()
+
+
+def test_pmi_bigrams_no_cross_doc_pairs(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import pmi_bigrams
+
+    # 'b a' would be a bigram only if doc boundaries leaked
+    t = pa.table({"text": ["a b", "a b", "a b"]})
+    out = pmi_bigrams(rd.from_arrow(t).repartition(1), top_k=10,
+                      min_count=1)
+    assert out[["w1", "w2"]].values.tolist() == [["a", "b"]]
+    assert out["c12"].tolist() == [3]
+
+
 def test_vocab_stats_matches_sql(ray_session, sf_dir, duck):
     import ray.data as rd
 
