@@ -1780,6 +1780,84 @@ def _events_sliding(sf_dir: str):
     return df[["event_type", "window_start", "n_events", "sum_value"]]
 
 
+def _sliding_hll_users(sf_dir: str):
+    """Sketch × window composition: per sliding 2h/1h window, HLL
+    distinct users through the grouped native aggregate, each window's
+    estimate checked against the exact in-query DuckDB distinct count
+    within the published 3·1.04/√m bound (small windows get the ±2
+    absolute slack, as hll_per_host). Emits only deterministic
+    columns."""
+    import duckdb
+
+    from presto_bloomfilter_ray import HyperLogLog
+    from presto_bloomfilter_ray.engine import SketchAgg
+    from presto_bloomfilter_ray.functions.windows import (
+        explode_sliding_windows,
+    )
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+    fanned = ev.map_batches(
+        lambda b: explode_sliding_windows(b, "ts", size_s=7200, step_s=3600),
+        batch_format="pyarrow")
+    est = (fanned.groupby("window_start")
+           .aggregate(SketchAgg(lambda: HyperLogLog(12), on="user_id",
+                                alias_name="est", finalize_mode="estimate"))
+           .to_pandas())
+    exact = duckdb.sql(f"""
+        WITH e AS (SELECT ts, user_id FROM '{sf_dir}/events.parquet'),
+        fan AS (
+            SELECT user_id, unnest([
+                to_timestamp(floor(epoch(ts) / 3600) * 3600),
+                to_timestamp((floor(epoch(ts) / 3600) - 1) * 3600)
+            ]) AS window_start FROM e
+        )
+        SELECT window_start, count(DISTINCT user_id) AS n
+        FROM fan GROUP BY window_start
+    """).df()
+    exact["window_start"] = exact["window_start"].dt.tz_localize(None)
+    est["window_start"] = est["window_start"].astype("datetime64[us]")
+    merged = est.merge(exact, on="window_start", how="outer")
+    bound = 3 * HyperLogLog(12).relative_error_bound()
+    diff = (merged["est"] - merged["n"]).abs()
+    ok = (diff / merged["n"].clip(lower=1) <= bound) | (diff <= 2)
+    return pd.DataFrame({
+        "n_windows": [int(len(merged))],
+        "all_windows_covered": [bool(merged["est"].notna().all()
+                                     and merged["n"].notna().all())],
+        "all_within_bound": [bool(ok.all())],
+    })
+
+
+def _url_blocklist_filter(sf_dir: str):
+    """Bloom host-blocklist filtering over the generated webpages table
+    (functions/urls.py host_filter — build once over the blocklist,
+    broadcast, anti-probe hosts in a pure map stage). Kept/dropped
+    counts equal the exact in-query DuckDB NOT-IN counts (Bloom false
+    = definite negative; fpp 1e-9 on ~2k rows cannot flip a count)."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import host_filter
+    from presto_bloomfilter_ray.sources import ensure_webpages
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    path = ensure_webpages(max(2000, int(n_docs) * 4))
+    blocked = [f"host{i:05d}.example.com" for i in range(0, 40)]
+    pages = _rd().read_parquet(path, columns=["url"])
+    kept = host_filter(pages, blocked).count()
+    total = pages.count()
+    exact = duckdb.sql(f"""
+        SELECT count(*) FROM '{path}/*.parquet'
+        WHERE split_part(url, '/', 3) NOT IN (
+            {",".join("'" + h + "'" for h in blocked)})
+    """).fetchone()[0]
+    return pd.DataFrame({
+        "n_total": [int(total)],
+        "n_kept_matches_exact": [bool(kept == int(exact))],
+        "n_dropped_gt_0": [bool(total - kept > 0)],
+    })
+
+
 def _events_sessions(sf_dir: str):
     """Per-user 30-minute-gap sessionization, top-level stats."""
     from ray.data.aggregate import Count, Max, Sum
@@ -2519,6 +2597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction_stats": _pii_redaction_stats,
         "repetition_filter_stats": _repetition_filter_stats,
         "events_sliding": _events_sliding,
+        "sliding_hll_users": _sliding_hll_users,
+        "url_blocklist_filter": _url_blocklist_filter,
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
@@ -3310,6 +3390,23 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS lo_rank_ok, TRUE AS hi_rank_ok,
                    TRUE AS kept_frac_ok, TRUE AS filter_consistent
             FROM documents
+        """,
+        "sliding_hll_users": """
+            WITH fan AS (
+                SELECT user_id, unnest([
+                    to_timestamp(floor(epoch(ts) / 3600) * 3600),
+                    to_timestamp((floor(epoch(ts) / 3600) - 1) * 3600)
+                ]) AS window_start
+                FROM events
+            )
+            SELECT count(DISTINCT window_start) AS n_windows,
+                   TRUE AS all_windows_covered, TRUE AS all_within_bound
+            FROM fan
+        """,
+        "url_blocklist_filter": """
+            SELECT (SELECT CAST(greatest(2000, count(*) * 4) AS BIGINT)
+                    FROM documents) AS n_total,
+                   TRUE AS n_kept_matches_exact, TRUE AS n_dropped_gt_0
         """,
         "events_sliding": """
             WITH fan AS (SELECT 0 AS k UNION ALL SELECT 1)
