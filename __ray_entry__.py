@@ -794,6 +794,46 @@ def _minhash_index_incremental(sf_dir: str):
     })
 
 
+def _incremental_ingest_dedup(sf_dir: str):
+    """The reference's persist → load → probe loop in the incremental-
+    crawl dedup role: a Bloom filter built over yesterday's corpus is
+    PERSISTED (SketchStore), loaded back by the next ingest run, and
+    anti-probed by the new batch (second half of the corpus plus a
+    simulated re-crawl of some old docs) — re-ingested duplicates are
+    dropped in a pure map stage with no shuffle and no false
+    negatives. Kept rows equal the SQL NOT-IN exactly (fpp 1e-9)."""
+    import tempfile
+
+    from presto_bloomfilter_ray import BloomFilter
+    from presto_bloomfilter_ray.engine import (
+        SketchStore,
+        build_sketch,
+        semi_join,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    half = docs.count() // 2
+    old = docs.filter(expr=f"doc_id < {half}")
+
+    def recrawl_mask(b: pa.Table) -> pa.Table:
+        did = np.asarray(b.column("doc_id"))
+        return b.filter(pa.array((did % 97 == 0) & (did < half)))
+
+    reingest = docs.map_batches(recrawl_mask, batch_format="pyarrow")
+    new = docs.filter(expr=f"doc_id >= {half}").union(reingest)
+
+    bf = build_sketch(old, "text", lambda: BloomFilter(100_000, 1e-9))
+    with tempfile.TemporaryDirectory() as d:
+        store = SketchStore(d)
+        store.put("daily/text_bloom", bf.serialize())
+        loaded = store.load_and_merge(["daily/text_bloom"])
+        kept = semi_join(new, "text", loaded, anti=True)
+        df = (kept.select_columns(["doc_id"]).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    df["loaded_from_store"] = True
+    return df
+
+
 def _exact_dedup_sharded(sf_dir: str):
     """exact_dedup with the sharded anti-join removal path FORCED
     (broadcast_limit=0): the keep-map never touches the driver — it is
@@ -1399,6 +1439,15 @@ def _entropy_stats_by_lang(sf_dir: str):
                       Min("entropy", alias_name="min_entropy"),
                       Max("entropy", alias_name="max_entropy")))
     return agg
+
+
+def _profile_documents(sf_dir: str):
+    """Column profiling (functions/profile.py profile_table): per-column
+    row / null / exact-distinct counts in one pass — the exchange
+    carries per-batch distinct 64-bit hashes, never values."""
+    from presto_bloomfilter_ray.functions import profile_table
+
+    return profile_table(_read(sf_dir, "documents"))
 
 
 def _textlen_histogram(sf_dir: str):
@@ -2563,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources": _top_sources,
         "exact_dedup_documents": _exact_dedup_documents,
         "exact_dedup_sharded": _exact_dedup_sharded,
+        "incremental_ingest_dedup": _incremental_ingest_dedup,
         "minhash_dedup_documents": _minhash_dedup_documents,
         "minhash_index_incremental": _minhash_index_incremental,
         "minhash_dedup_dataset_cc": _minhash_dedup_dataset_cc,
@@ -2573,6 +2623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats_by_lang": _vocab_stats_by_lang,
         "pmi_bigrams_top20": _pmi_bigrams_top20,
         "textlen_histogram": _textlen_histogram,
+        "profile_documents": _profile_documents,
         "entropy_stats_by_lang": _entropy_stats_by_lang,
         "url_canonicalize_stats": _url_canonicalize_stats,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -3136,6 +3187,20 @@ def oracle_sql() -> dict[str, str]:
                    min(h) AS min_entropy, max(h) AS max_entropy
             FROM ent GROUP BY lang
         """,
+        "profile_documents": """
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct FROM documents
+            UNION ALL SELECT 'text', count(*), count(*) - count(text),
+                   count(DISTINCT text) FROM documents
+            UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang) FROM documents
+            UNION ALL SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source) FROM documents
+            UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars) FROM documents
+            ORDER BY "column"
+        """,
         "textlen_histogram": """
             SELECT CAST(least(greatest(
                        floor((n_chars - 50.0) / ((450.0 - 50.0) / 8)),
@@ -3143,6 +3208,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM documents WHERE n_chars IS NOT NULL
             GROUP BY bin ORDER BY bin
+        """,
+        "incremental_ingest_dedup": """
+            WITH old AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < (SELECT count(*) // 2 FROM documents)
+            ), new AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id >= (SELECT count(*) // 2 FROM documents)
+                UNION ALL
+                SELECT doc_id, text FROM old WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id, TRUE AS loaded_from_store FROM new
+            WHERE text NOT IN (SELECT text FROM old)
+            ORDER BY doc_id
         """,
         "pmi_bigrams_top20": """
             WITH tok AS (

@@ -73,6 +73,7 @@ from .sampling import (
 from .packing import pack_sequences, pack_stats
 from .features import ntile_by_key, pivot_counts, standardize_by_key
 from .histogram import histogram
+from .profile import profile_table
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .jsonops import json_extract, json_extract_fields
 from .search import bm25_search, bm25_sql_mirror
