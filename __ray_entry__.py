@@ -298,6 +298,17 @@ def _ntile_quartiles_by_status(sf_dir: str):
                "min_price", "max_price"]]
 
 
+def _rollup_lang_source(sf_dir: str):
+    """GROUP BY ROLLUP (functions/features.py rollup_counts): the
+    corpus aggregates once at (lang, source); every coarser level
+    re-aggregates the previous level's tiny result. Matches DuckDB's
+    native ROLLUP including the NULL fill."""
+    from presto_bloomfilter_ray.functions import rollup_counts
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return rollup_counts(docs, ["lang", "source"], sum_cols=["n_chars"])
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2601,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
+        "rollup_lang_source": _rollup_lang_source,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
@@ -2763,6 +2775,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE abs(z) > 2.0) AS BIGINT)
                        AS n_outliers
             FROM z GROUP BY o_orderstatus
+        """,
+        "rollup_lang_source": """
+            SELECT lang, source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "ntile_quartiles_by_status": """
             WITH t AS (

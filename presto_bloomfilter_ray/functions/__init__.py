@@ -71,7 +71,12 @@ from .sampling import (
     temperature_fractions,
 )
 from .packing import pack_sequences, pack_stats
-from .features import ntile_by_key, pivot_counts, standardize_by_key
+from .features import (
+    ntile_by_key,
+    pivot_counts,
+    rollup_counts,
+    standardize_by_key,
+)
 from .histogram import histogram
 from .profile import profile_table
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts

@@ -91,6 +91,40 @@ def standardize_by_key(ds, key_col: str, value_col: str, *,
     return ds.map_batches(z, batch_format="pyarrow")
 
 
+def rollup_counts(ds, keys: List[str], sum_cols: Optional[List[str]] = None):
+    """``GROUP BY ROLLUP(keys)`` for decomposable aggregates (count +
+    int sums): the input aggregates ONCE at the finest granularity;
+    every coarser level re-aggregates the (tiny) previous level's
+    RESULT — the corpus is read and shuffled exactly once regardless
+    of rollup depth. Rolled-up key columns are NULL, as in SQL.
+
+    Returns pandas with columns ``keys + ['n'] + sum_cols``, all
+    levels unioned (finest → grand total).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    scols = list(sum_cols or [])
+    aggs = [Count(alias_name="n")] + [Sum(c, alias_name=c) for c in scols]
+    finest = (ds.groupby(list(keys)).aggregate(*aggs).to_pandas())
+    levels = [finest]
+    cur = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = list(keys[:depth])
+        gb = (cur.groupby(kept, dropna=False)[["n"] + scols].sum()
+              .reset_index() if kept
+              else cur[["n"] + scols].sum().to_frame().T)
+        for k in keys[depth:]:
+            gb[k] = None
+        cur = gb
+        levels.append(gb[list(keys) + ["n"] + scols])
+    out = pd.concat([lv[list(keys) + ["n"] + scols] for lv in levels],
+                    ignore_index=True)
+    for c in ["n"] + scols:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def ntile_by_key(ds, key_col: str, value_col: str, n: int,
                  order_cols: Optional[List[str]] = None,
                  out_col: str = "tile"):

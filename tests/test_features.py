@@ -94,6 +94,36 @@ def test_ntile_fewer_rows_than_buckets(ray_session):
     assert out["tile"].tolist() == [1, 2, 3]
 
 
+def test_rollup_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import rollup_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    mine = rollup_counts(docs, ["lang", "source"], sum_cols=["n_chars"])
+    theirs = duck.sql("""
+        SELECT lang, source, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+    """).df()
+
+    def norm(df):
+        df = df.copy()
+        for c in ["lang", "source"]:
+            df[c] = df[c].fillna("␀")
+        return (df.sort_values(["lang", "source"])
+                .reset_index(drop=True))
+
+    a, b = norm(mine), norm(theirs)
+    assert a["n"].astype(int).tolist() == b["n"].astype(int).tolist()
+    assert a["n_chars"].astype(int).tolist() == b["n_chars"].astype(int).tolist()
+    assert a["lang"].tolist() == b["lang"].tolist()
+    # grand total present exactly once and equals the row count
+    gt = mine[mine["lang"].isna() & mine["source"].isna()]
+    assert len(gt) == 1 and int(gt["n"].iloc[0]) == docs.count()
+
+
 def test_lag_deltas_matches_sql(ray_session, sf_dir, duck):
     import ray.data as rd
 
