@@ -298,6 +298,44 @@ def _ntile_quartiles_by_status(sf_dir: str):
                "min_price", "max_price"]]
 
 
+def _embedding_dim_stats(sf_dir: str):
+    """List-column explode with ordinals (functions/features.py
+    explode_list — unnest WITH ORDINALITY) + per-dimension fold over
+    the embedding vectors: count, min, max, and an exact scaled-int
+    sum per dimension."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from presto_bloomfilter_ray.functions import explode_list
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    flat = explode_list(emb, "embedding", keep_cols=["vec_id"])
+
+    def add_micro(b: pa.Table) -> pa.Table:
+        return b.append_column("v_micro", pc.round(
+            pc.multiply(b["value"].cast(pa.float64()),
+                        pa.scalar(1e6))).cast(pa.int64()))
+
+    agg = (flat.map_batches(add_micro, batch_format="pyarrow")
+           .groupby("pos")
+           .aggregate(Count(alias_name="n"),
+                      Sum("v_micro", alias_name="v_micro_sum"),
+                      Min("v_micro", alias_name="v_micro_min"),
+                      Max("v_micro", alias_name="v_micro_max")))
+    return agg
+
+
+def _global_sort_orders(sf_dir: str):
+    """True global sort (the range-partitioned all-to-all ds.sort
+    operator, not a per-group sort): top-50 orders by totalprice with
+    a deterministic tie-break."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    top = (orders.sort(["o_totalprice", "o_orderkey"],
+                       descending=[True, False])
+           .limit(50))
+    return top.to_pandas()
+
+
 def _rollup_lang_source(sf_dir: str):
     """GROUP BY ROLLUP (functions/features.py rollup_counts): the
     corpus aggregates once at (lang, source); every coarser level
@@ -2613,6 +2651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
         "rollup_lang_source": _rollup_lang_source,
+        "embedding_dim_stats": _embedding_dim_stats,
+        "global_sort_orders": _global_sort_orders,
         "topk_orders_per_status": _topk_orders_per_status,
         "grouped_quantiles_totalprice": _grouped_quantiles_totalprice,
         "join_orders_customer_nation": _join_orders_customer_nation,
@@ -2775,6 +2815,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE abs(z) > 2.0) AS BIGINT)
                        AS n_outliers
             FROM z GROUP BY o_orderstatus
+        """,
+        "embedding_dim_stats": """
+            WITH f AS (
+                SELECT generate_subscripts(embedding, 1) AS pos,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                            AS BIGINT) AS v_micro
+                FROM embeddings
+            )
+            SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+                   CAST(sum(v_micro) AS BIGINT) AS v_micro_sum,
+                   min(v_micro) AS v_micro_min,
+                   max(v_micro) AS v_micro_max
+            FROM f GROUP BY pos ORDER BY pos
+        """,
+        "global_sort_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
         """,
         "rollup_lang_source": """
             SELECT lang, source, count(*) AS n,

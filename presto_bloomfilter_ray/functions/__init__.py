@@ -72,6 +72,7 @@ from .sampling import (
 )
 from .packing import pack_sequences, pack_stats
 from .features import (
+    explode_list,
     ntile_by_key,
     pivot_counts,
     rollup_counts,

@@ -153,6 +153,40 @@ def ntile_by_key(ds, key_col: str, value_col: str, n: int,
     return ds.groupby(key_col).map_groups(tile, batch_format="pandas")
 
 
+def explode_list(ds, list_col: str, *, pos_col: str = "pos",
+                 value_col: str = "value", keep_cols: Optional[List[str]]
+                 = None, ordinal_base: int = 1):
+    """Flatten a list column to one row per element with its 1-based
+    ordinal — SQL ``unnest(col) WITH ORDINALITY``
+    (DuckDB ``generate_subscripts``). Fully vectorized: Arrow
+    ``list_flatten`` + ``list_parent_indices`` + an arange-minus-starts
+    ordinal; carried columns gather with one ``take``. NULL/empty
+    lists contribute no rows."""
+
+    def flat(b: pa.Table) -> pa.Table:
+        col = b.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        p = np.asarray(parents)
+        starts = np.zeros(len(p), dtype=np.int64)
+        if len(p):
+            first = np.concatenate(([0], np.flatnonzero(np.diff(p)) + 1))
+            starts = np.repeat(first, np.diff(
+                np.concatenate((first, [len(p)]))))
+        ordinal = np.arange(len(p), dtype=np.int64) - starts + ordinal_base
+        cols = {}
+        for k in (keep_cols or [c for c in b.column_names
+                                if c != list_col]):
+            cols[k] = pc.take(b.column(k), parents)
+        cols[pos_col] = pa.array(ordinal)
+        cols[value_col] = vals
+        return pa.table(cols)
+
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
 def pivot_counts(ds, row_key: str, col_key: str,
                  categories: List[str], prefix: str = "n_"):
     """Wide count pivot: one row per ``row_key`` value, one int64

@@ -94,6 +94,42 @@ def test_ntile_fewer_rows_than_buckets(ray_session):
     assert out["tile"].tolist() == [1, 2, 3]
 
 
+def test_explode_list_ordinals(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import explode_list
+
+    t = pa.table({
+        "id": [0, 1, 2, 3],
+        "l": pa.array([[10, 20], [], None, [30]],
+                      type=pa.list_(pa.int64())),
+    })
+    out = (explode_list(rd.from_arrow(t), "l")
+           .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    assert out["id"].tolist() == [0, 0, 3]
+    assert out["pos"].tolist() == [1, 2, 1]
+    assert out["value"].tolist() == [10, 20, 30]
+
+
+def test_explode_list_matches_sql(ray_session, sf_dir, duck):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import explode_list
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    mine = (explode_list(emb, "embedding")
+            .to_pandas().sort_values(["vec_id", "pos"])
+            .reset_index(drop=True))
+    theirs = duck.sql("""
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS value
+        FROM embeddings ORDER BY vec_id, pos
+    """).df()
+    assert mine["pos"].tolist() == theirs["pos"].astype(int).tolist()
+    assert np.allclose(mine["value"], theirs["value"])
+
+
 def test_rollup_matches_sql(ray_session, sf_dir, duck):
     import ray.data as rd
 
