@@ -336,6 +336,18 @@ def _global_sort_orders(sf_dir: str):
     return top.to_pandas()
 
 
+def _custkey_set_ops(sf_dir: str):
+    """Exact distributed set algebra (functions/features.py
+    set_op_counts) over customer vs orders custkeys — the exact
+    complement of the Theta-sketch overlap query: map-side distinct +
+    provenance tags, one groupby(key).max, per-batch counter fold."""
+    from presto_bloomfilter_ray.functions import set_op_counts
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return set_op_counts(cust, "c_custkey", orders, "o_custkey")
+
+
 def _rollup_lang_source(sf_dir: str):
     """GROUP BY ROLLUP (functions/features.py rollup_counts): the
     corpus aggregates once at (lang, source); every coarser level
@@ -2651,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
         "rollup_lang_source": _rollup_lang_source,
+        "custkey_set_ops": _custkey_set_ops,
         "embedding_dim_stats": _embedding_dim_stats,
         "global_sort_orders": _global_sort_orders,
         "topk_orders_per_status": _topk_orders_per_status,
@@ -2832,6 +2845,22 @@ def oracle_sql() -> dict[str, str]:
         "global_sort_orders": """
             SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+        """,
+        "custkey_set_ops": """
+            WITH l AS (SELECT DISTINCT c_custkey AS k FROM customer
+                       WHERE c_custkey IS NOT NULL),
+                 r AS (SELECT DISTINCT o_custkey AS k FROM orders
+                       WHERE o_custkey IS NOT NULL)
+            SELECT (SELECT count(*) FROM l) AS n_left,
+                   (SELECT count(*) FROM r) AS n_right,
+                   (SELECT count(*) FROM (SELECT k FROM l UNION
+                                          SELECT k FROM r)) AS n_union,
+                   (SELECT count(*) FROM (SELECT k FROM l INTERSECT
+                                          SELECT k FROM r)) AS n_intersect,
+                   (SELECT count(*) FROM (SELECT k FROM l EXCEPT
+                                          SELECT k FROM r)) AS n_left_only,
+                   (SELECT count(*) FROM (SELECT k FROM r EXCEPT
+                                          SELECT k FROM l)) AS n_right_only
         """,
         "rollup_lang_source": """
             SELECT lang, source, count(*) AS n,

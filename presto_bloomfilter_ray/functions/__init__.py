@@ -76,6 +76,7 @@ from .features import (
     ntile_by_key,
     pivot_counts,
     rollup_counts,
+    set_op_counts,
     standardize_by_key,
 )
 from .histogram import histogram

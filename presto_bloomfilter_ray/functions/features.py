@@ -153,6 +153,64 @@ def ntile_by_key(ds, key_col: str, value_col: str, n: int,
     return ds.groupby(key_col).map_groups(tile, batch_format="pandas")
 
 
+def set_op_counts(left, left_col: str, right, right_col: str):
+    """Exact distributed set algebra over two key columns: distinct
+    counts of left, right, union, intersection, and both differences —
+    one co-shuffled pass (the exact complement of the Theta-sketch
+    estimates).
+
+    Map side dedups each batch's keys and tags provenance
+    ``(k, in_l, in_r)``; a single ``groupby(k).max`` resolves global
+    membership; a per-batch partial fold collapses the key table to
+    five counters before the final tiny sum. NULL keys are ignored
+    (SQL DISTINCT-set semantics).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    def tag(col_name, in_l):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(col_name)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            k = k.drop_null().unique()
+            one = np.ones(len(k), dtype=np.int64) * in_l
+            return pa.table({"k": k,
+                             "in_l": pa.array(one),
+                             "in_r": pa.array(1 - one)})
+        return f
+
+    tagged = (left.select_columns([left_col])
+              .map_batches(tag(left_col, 1), batch_format="pyarrow")
+              .union(right.select_columns([right_col])
+                     .map_batches(tag(right_col, 0),
+                                  batch_format="pyarrow")))
+    member = (tagged.groupby("k")
+              .aggregate(Max("in_l", alias_name="in_l"),
+                         Max("in_r", alias_name="in_r")))
+
+    def fold(b: pa.Table) -> pa.Table:
+        il = np.asarray(b.column("in_l"))
+        ir = np.asarray(b.column("in_r"))
+        return pa.table({
+            "n_union": pa.array([len(il)], pa.int64()),
+            "n_intersect": pa.array([int(np.sum(il & ir))], pa.int64()),
+            "n_left": pa.array([int(np.sum(il))], pa.int64()),
+            "n_right": pa.array([int(np.sum(ir))], pa.int64()),
+        })
+
+    tot = member.map_batches(fold, batch_format="pyarrow").sum(
+        ["n_union", "n_intersect", "n_left", "n_right"])
+    tot = tot or {}
+    g = lambda c: int(tot.get(f"sum({c})", 0) or 0)  # noqa: E731
+    return pd.DataFrame({
+        "n_left": [g("n_left")], "n_right": [g("n_right")],
+        "n_union": [g("n_union")], "n_intersect": [g("n_intersect")],
+        "n_left_only": [g("n_left") - g("n_intersect")],
+        "n_right_only": [g("n_right") - g("n_intersect")],
+    })
+
+
 def explode_list(ds, list_col: str, *, pos_col: str = "pos",
                  value_col: str = "value", keep_cols: Optional[List[str]]
                  = None, ordinal_base: int = 1):

@@ -94,6 +94,19 @@ def test_ntile_fewer_rows_than_buckets(ray_session):
     assert out["tile"].tolist() == [1, 2, 3]
 
 
+def test_set_op_counts(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import set_op_counts
+
+    l = rd.from_arrow(pa.table({"a": [1, 2, 2, 3, None]})).repartition(2)
+    r = rd.from_arrow(pa.table({"b": [3, 3, 4, None]})).repartition(2)
+    out = set_op_counts(l, "a", r, "b").iloc[0]
+    assert out["n_left"] == 3 and out["n_right"] == 2
+    assert out["n_union"] == 4 and out["n_intersect"] == 1
+    assert out["n_left_only"] == 2 and out["n_right_only"] == 1
+
+
 def test_explode_list_ordinals(ray_session):
     import ray.data as rd
 
