@@ -336,6 +336,54 @@ def _global_sort_orders(sf_dir: str):
     return top.to_pandas()
 
 
+def _left_join_order_counts(sf_dir: str):
+    """Native LEFT OUTER hash join (Dataset.join join_type
+    'left_outer'): per-customer order counts INCLUDING zero-order
+    customers, folded to a histogram of customers per order count."""
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    joined = cust.join(orders, "left_outer", 16,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def per_cust(b: pa.Table) -> pa.Table:
+        has = pc.is_valid(b.column("o_orderkey")).cast(pa.int64())
+        return pa.table({"c_custkey": b.column("c_custkey"), "has": has})
+
+    from ray.data.aggregate import Sum
+
+    per = (joined.map_batches(per_cust, batch_format="pyarrow")
+           .groupby("c_custkey").aggregate(Sum("has", alias_name="n_orders")))
+    hist = per.groupby("n_orders").aggregate(Count(alias_name="n_customers"))
+    return hist
+
+
+def _three_way_split(sf_dir: str):
+    """Deterministic train/val/test split via disjoint hash_sample
+    bands (the mixture/stratified machinery's threshold hash used as
+    a splitter): reproducible, repartition-stable, and SQL-exact —
+    the oracle recomputes the identical multiplicative-hash bands."""
+    from presto_bloomfilter_ray.functions.sampling import sample_mask
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.uint64)
+        in_train = sample_mask(ids, 0.8)
+        in_trainval = sample_mask(ids, 0.9)
+        part = np.where(in_train, "train",
+                        np.where(in_trainval, "val", "test"))
+        return pa.table({"lang": b.column("lang"),
+                         "part": pa.array(part.tolist(), type=pa.string())})
+
+    from ray.data.aggregate import Count
+
+    agg = (docs.map_batches(split, batch_format="pyarrow")
+           .groupby(["lang", "part"]).aggregate(Count(alias_name="n")))
+    return agg
+
+
 def _custkey_set_ops(sf_dir: str):
     """Exact distributed set algebra (functions/features.py
     set_op_counts) over customer vs orders custkeys — the exact
@@ -2664,6 +2712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
         "rollup_lang_source": _rollup_lang_source,
         "custkey_set_ops": _custkey_set_ops,
+        "left_join_order_counts": _left_join_order_counts,
+        "three_way_split": _three_way_split,
         "embedding_dim_stats": _embedding_dim_stats,
         "global_sort_orders": _global_sort_orders,
         "topk_orders_per_status": _topk_orders_per_status,
@@ -2845,6 +2895,28 @@ def oracle_sql() -> dict[str, str]:
         "global_sort_orders": """
             SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+        """,
+        "left_join_order_counts": """
+            WITH per AS (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT n_orders, count(*) AS n_customers
+            FROM per GROUP BY n_orders
+        """,
+        "three_way_split": """
+            WITH s AS (
+                SELECT lang,
+                       CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                                 CAST(0.8 * 4294967296 AS BIGINT)
+                            THEN 'train'
+                            WHEN (doc_id * 2654435761) % 4294967296 <
+                                 CAST(0.9 * 4294967296 AS BIGINT)
+                            THEN 'val' ELSE 'test' END AS part
+                FROM documents
+            )
+            SELECT lang, part, count(*) AS n FROM s GROUP BY lang, part
         """,
         "custkey_set_ops": """
             WITH l AS (SELECT DISTINCT c_custkey AS k FROM customer
