@@ -1529,7 +1529,7 @@ def _entropy_stats_by_lang(sf_dir: str):
     then a per-lang fold. Per-doc entropies are rounded to 6 digits and
     summed as scaled int64 (the _add_cents trick) so the distributed
     sum is associative-exact against SQL."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     from presto_bloomfilter_ray.functions import byte_entropy
 
@@ -1539,11 +1539,15 @@ def _entropy_stats_by_lang(sf_dir: str):
         b = byte_entropy(b, "text")
         micro = pc.round(pc.multiply(b["entropy"], pa.scalar(1e6))).cast(
             pa.int64())
-        return b.append_column("ent_micro", micro).drop_columns(["text"])
+        # count docs WITH an entropy (empty/null text → NULL), matching
+        # the oracle's n_chars > 0 restriction
+        valid = pc.is_valid(b["entropy"]).cast(pa.int64())
+        return (b.append_column("ent_micro", micro)
+                .append_column("has_ent", valid).drop_columns(["text"]))
 
     agg = (docs.map_batches(ent, batch_format="pyarrow")
            .groupby("lang")
-           .aggregate(Count(alias_name="n_docs"),
+           .aggregate(Sum("has_ent", alias_name="n_docs"),
                       Sum("ent_micro", alias_name="ent_micro_sum"),
                       Min("entropy", alias_name="min_entropy"),
                       Max("entropy", alias_name="max_entropy")))

@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["standardize_by_key", "pivot_counts"]
+__all__ = ["standardize_by_key", "pivot_counts", "rollup_counts",
+           "ntile_by_key", "set_op_counts", "explode_list"]
 
 
 def standardize_by_key(ds, key_col: str, value_col: str, *,
@@ -46,6 +47,7 @@ def standardize_by_key(ds, key_col: str, value_col: str, *,
     from ray.data.aggregate import Sum
 
     def moments(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(key_col)))  # SQL join-on-key
         cents = pc.round(pc.multiply(b.column(value_col),
                                      pa.scalar(float(scale)))).cast(pa.int64())
         t = pl.DataFrame({"key": pl.from_arrow(b.column(key_col)),
@@ -75,15 +77,15 @@ def standardize_by_key(ds, key_col: str, value_col: str, *,
     key_set = pa.array(key_list)
 
     def z(b: pa.Table) -> pa.Table:
-        idx = np.asarray(
-            pc.index_in(b.column(key_col), value_set=key_set).cast(
-                pa.int64()))
-        m = mu_arr[idx]
+        idx = np.asarray(pc.fill_null(
+            pc.index_in(b.column(key_col), value_set=key_set),
+            -1).cast(pa.int64()))
+        m = mu_arr[idx]  # NULL key → -1 → value irrelevant, masked below
         s = sig_arr[idx]
         v = np.asarray(b.column(value_col), dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.round((v - m) / s, round_digits)
-        bad = ~(s > 0)
+        bad = ~(s > 0) | (idx < 0)
         arr = pa.array(np.where(bad, np.nan, out), type=pa.float64(),
                        mask=bad)
         return b.append_column(out_col, arr)

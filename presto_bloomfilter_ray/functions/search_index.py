@@ -111,7 +111,8 @@ def bm25_index_build(ds, root: str, *, text_col: str = "text",
 
 def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
                       k1: float = 1.2, b: float = 0.75, top_k: int = 10,
-                      round_digits: int = 6, num_partitions: int = 8):
+                      round_digits: int = 6, num_partitions: int = 8,
+                      dl_broadcast_limit: int = 2_000_000):
     """Search a built index: → pandas ``(doc_id, score)`` top-k,
     bit-identical to ``bm25_search`` over the same corpus/query."""
     import pandas as pd
@@ -120,15 +121,32 @@ def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
     with open(os.path.join(root, "meta.json")) as f:
         meta = json.load(f)
     terms = _terms_of(query)
+    bad = [t for t in terms
+           if not all(c in "abcdefghijklmnopqrstuvwxyz0123456789_"
+                      for c in t)]
+    if bad:
+        # postings store [a-z0-9_]-run words, so any other term can
+        # never match one — reject instead of silently scoring 0
+        # (bm25_search accepts such terms via its regex path)
+        raise ValueError(
+            f"index search terms must be [a-z0-9_] words, got {bad!r}; "
+            "use bm25_search for free-form patterns")
     Q = len(terms)
     shards = _term_shard(terms, meta["n_shards"])
 
     # only the query terms' shards are opened; the row filter prunes
     # further at the parquet scan
+    # a shard dir that was never written just means no corpus word
+    # hashed there: zero postings for its terms (df=0, contribution 0 —
+    # exactly bm25_search's absent-term behavior)
     shard_dirs = sorted({os.path.join(root, "postings", f"shard={s}")
                          for s in shards.tolist()})
-    paths = [os.path.join(d, f) for d in shard_dirs
+    paths = [os.path.join(d, f) for d in shard_dirs if os.path.isdir(d)
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        import pandas as pd
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
     import pyarrow.dataset as pads
 
     post = rd.read_parquet(paths, columns=["term", "doc", "tf"],
@@ -163,9 +181,26 @@ def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
     avgdl = meta["sum_dl"] / N  # same expression as bm25_search
     idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
 
-    docs = rd.read_parquet(os.path.join(root, "docs"))
-    joined = post.join(docs, "inner", num_partitions,
-                       on=("doc",), right_on=("doc",))
+    # tiered dl attach (the dedup-removal pattern): broadcast the
+    # doc-stats table below the limit, key-partitioned join above it
+    if meta["n_docs"] <= dl_broadcast_limit:
+        import pyarrow.parquet as pq
+
+        dt = pq.read_table(os.path.join(root, "docs"))
+        ids = np.asarray(dt.column("doc"))
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        dls_sorted = np.asarray(dt.column("dl"))[order]
+
+        def attach_dl(batch: pa.Table) -> pa.Table:
+            i = np.searchsorted(ids_sorted, np.asarray(batch.column("doc")))
+            return batch.append_column("dl", pa.array(dls_sorted[i]))
+
+        joined = post.map_batches(attach_dl, batch_format="pyarrow")
+    else:
+        docs = rd.read_parquet(os.path.join(root, "docs"))
+        joined = post.join(docs, "inner", num_partitions,
+                           on=("doc",), right_on=("doc",))
 
     def contrib_cols(batch: pa.Table) -> pa.Table:
         dl = np.asarray(batch.column("dl"), dtype=np.float64)

@@ -43,7 +43,10 @@ _CANON_STEPS = [
     ("LOWER", ""),                                   # 2. scheme+host
     (r"^(http://[^/?#:]*):80([/?#]|$)", r"\1\2"),    # 3. default ports
     (r"^(https://[^/?#:]*):443([/?#]|$)", r"\1\2"),
-    (r"utm_[^&#]*&", ""),                            # 4. inner utm_*
+    # 4. tracking params — anchored to a param boundary so a param
+    # NAMED xutm_a or a VALUE containing 'utm_' is never touched;
+    # (…&)+ eats runs of consecutive utm params in one match
+    (r"([?&])(utm_[^&#]*&)+", r"\1"),                #    inner utm_* runs
     (r"[?&]utm_[^&#]*$", ""),                        #    trailing utm_*
     (r"[?&]$", ""),                                  # 5. dangling sep
 ]

@@ -218,8 +218,12 @@ def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
             joined = evs.join(prev, "inner", num_partitions,
                               on=("_k",), right_on=("_pk",))
             cand = joined.filter(expr="_ts >= _first")
+        # materialize the (small) first-reach table: it is consumed
+        # twice (count + next stage's join) and each stage would
+        # otherwise replay the whole upstream chain — O(k²) recompute
         reached = (cand.groupby("_k")
-                   .aggregate(Min("_ts", alias_name="_first")))
+                   .aggregate(Min("_ts", alias_name="_first"))
+                   .materialize())
         n = reached.count()
         rows.append({"stage": stage, "stage_idx": i + 1, "n_keys": n})
         if n == 0:

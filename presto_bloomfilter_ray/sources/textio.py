@@ -79,8 +79,13 @@ def read_documents(path: str, fmt: Optional[str] = None):
                     fmt = f2
                     break
     if fmt == "parquet":
-        ds = rd.read_parquet(path,
-                             columns=[f.name for f in DOCUMENTS_SCHEMA])
+        import pyarrow.dataset as pads
+
+        # prune to the canonical columns, but only those the file
+        # actually has — a missing n_chars is derived by normalize
+        have = set(pads.dataset(path).schema.names)
+        ds = rd.read_parquet(path, columns=[
+            f.name for f in DOCUMENTS_SCHEMA if f.name in have])
     elif fmt == "jsonl":
         ds = rd.read_json(path)
     elif fmt == "csv":

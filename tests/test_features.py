@@ -50,6 +50,19 @@ def test_standardize_zero_variance_is_null(ray_session):
     assert out.loc[out["k"] == "b", "z"].tolist() == [-1.0, 1.0]
 
 
+def test_standardize_null_keys_skipped(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array(["a", None, "a", "a"], type=pa.string()),
+                  "v": [1.0, 99.0, 2.0, 3.0]})
+    out = (standardize_by_key(rd.from_arrow(t), "k", "v")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    # NULL-key row gets NULL z and does not perturb the 'a' moments
+    assert out.loc[out["k"].isna(), "z"].isna().all()
+    a = out.loc[out["k"] == "a", "z"]
+    assert a.notna().all() and abs(a.sum()) < 1e-9
+
+
 def test_pivot_counts(ray_session):
     import ray.data as rd
 

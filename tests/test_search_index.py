@@ -72,6 +72,42 @@ def test_underscore_is_a_word_char(ray_session, index_root):
     assert via_idx["doc_id"].tolist() == [1]
 
 
+def test_unwritten_shard_means_zero_postings(ray_session, index_root):
+    import ray.data as rd
+
+    # tiny vocabulary: most of the 16 shards are never written; query
+    # terms hashing to them must score as absent (df=0), not crash
+    t = pa.table({"doc_id": [0, 1], "text": ["hash join", "hash"]})
+    docs = rd.from_arrow(t)
+    bm25_index_build(docs, index_root, n_shards=16)
+    for q in ["filter merge sort window", "hash zzz"]:
+        via_idx = bm25_index_search(index_root, q, top_k=5)
+        direct = bm25_search(docs, q, top_k=5)
+        pd.testing.assert_frame_equal(direct, via_idx)
+
+
+def test_non_alnum_sequence_term_rejected(ray_session, sf_dir, index_root):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bm25_index_build(docs, index_root, n_shards=4)
+    with pytest.raises(ValueError, match="a-z0-9_"):
+        bm25_index_search(index_root, ["foo-bar"])
+
+
+def test_join_scale_path_matches_broadcast(ray_session, sf_dir, index_root):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bm25_index_build(docs, index_root, n_shards=4)
+    fast = bm25_index_search(index_root, "table filter", top_k=5)
+    joined = bm25_index_search(index_root, "table filter", top_k=5,
+                               dl_broadcast_limit=0, num_partitions=2)
+    pd.testing.assert_frame_equal(fast, joined)
+
+
 def test_meta_written_atomically(ray_session, sf_dir, index_root):
     import json
 

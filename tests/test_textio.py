@@ -71,6 +71,21 @@ def test_missing_required_column_raises(ray_session):
         normalize_documents(rd.from_arrow(t)).materialize()
 
 
+def test_parquet_without_n_chars_derives_it(ray_session, tmpbase):
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmpbase)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["abc", "de"], "lang": ["en", "de"],
+        "source": ["s", "s"],
+    }), f"{tmpbase}/d.parquet")
+    df = _sorted_df(read_documents(f"{tmpbase}/d.parquet"))
+    assert df["n_chars"].tolist() == [3, 2]
+
+
 def test_unknown_format_raises(ray_session):
     with pytest.raises(ValueError, match="cannot infer"):
         read_documents("/tmp/definitely-not-there.xyz")

@@ -23,6 +23,9 @@ CASES = [
     "http://d.com:80?utm_x=1",                    # port + only-utm query
     "ftp://E.com/File",                           # other scheme: host lowered
     "https://x.com/CaseSensitive/Path",           # path case preserved
+    "https://a.com/p?xutm_a=1&id=2",              # param NAME contains utm_
+    "https://a.com/p?a=utm_x&id=2",               # VALUE contains utm_
+    "https://a.com/p?id=1&utm_a=2&utm_b=3",       # trailing utm run
     "not a url",
     "",
     None,
@@ -52,8 +55,13 @@ class TestCanonicalize:
         assert got[7] == "http://d.com"
         assert got[8] == "ftp://e.com/File"
         assert got[9] == "https://x.com/CaseSensitive/Path"
-        assert got[10] == "not a url"            # passthrough
-        assert got[12] is None
+        # utm_ anchored to a param boundary: names/values containing
+        # 'utm_' are untouched; real runs are removed
+        assert got[10] == "https://a.com/p?xutm_a=1&id=2"
+        assert got[11] == "https://a.com/p?a=utm_x&id=2"
+        assert got[12] == "https://a.com/p?id=1"
+        assert got[13] == "not a url"            # passthrough
+        assert got[15] is None
 
     def test_idempotent(self):
         b = pa.table({"url": pa.array(CASES, type=pa.string())})
