@@ -903,6 +903,33 @@ def _minhash_index_incremental(sf_dir: str):
     })
 
 
+def _line_dedup_keep_first(sf_dir: str):
+    """RefinedWeb-style line-level dedup keeping FIRST occurrence
+    (functions/dedup.py dedup_lines_keep_first) over a derived
+    multi-line corpus (groups of 4 documents newline-joined — the
+    synthetic docs have no newlines of their own). Full per-document
+    text comparison against the SQL mirror, which recomputes winners
+    with the same (id·2³¹ + idx) packing."""
+    from presto_bloomfilter_ray.functions import dedup_lines_keep_first
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_gid(b: pa.Table) -> pa.Table:
+        gid = np.asarray(b.column("doc_id")) // 4
+        return b.append_column("gid", pa.array(gid.astype(np.int64)))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return pd.DataFrame({"doc_id": [int(g["gid"].iloc[0])],
+                             "text": ["\n".join(g["text"].tolist())]})
+
+    corpus = (docs.map_batches(add_gid, batch_format="pyarrow")
+              .groupby("gid").map_groups(join_group, batch_format="pandas"))
+    out = dedup_lines_keep_first(corpus).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_lines", "n_kept", "text"]])
+
+
 def _incremental_ingest_dedup(sf_dir: str):
     """The reference's persist → load → probe loop in the incremental-
     crawl dedup role: a Bloom filter built over yesterday's corpus is
@@ -2732,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _exact_dedup_documents,
         "exact_dedup_sharded": _exact_dedup_sharded,
         "incremental_ingest_dedup": _incremental_ingest_dedup,
+        "line_dedup_keep_first": _line_dedup_keep_first,
         "minhash_dedup_documents": _minhash_dedup_documents,
         "minhash_index_incremental": _minhash_index_incremental,
         "minhash_dedup_dataset_cc": _minhash_dedup_dataset_cc,
@@ -3387,6 +3415,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM documents WHERE n_chars IS NOT NULL
             GROUP BY bin ORDER BY bin
+        """,
+        "line_dedup_keep_first": """
+            WITH c AS (
+                SELECT doc_id // 4 AS id,
+                       string_agg(text, chr(10) ORDER BY doc_id) AS text
+                FROM documents GROUP BY doc_id // 4
+            ), l AS (
+                SELECT id,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           - 1 AS idx,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM c
+            ), w AS (
+                SELECT line, min(id * 2147483648 + idx) AS win
+                FROM l GROUP BY line
+            ), k AS (
+                SELECT l.id, l.idx, l.line,
+                       (l.id * 2147483648 + l.idx) = w.win AS keep
+                FROM l JOIN w ON l.line = w.line
+            )
+            SELECT id AS doc_id, count(*) AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   coalesce(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text
+            FROM k GROUP BY id ORDER BY doc_id
         """,
         "incremental_ingest_dedup": """
             WITH old AS (

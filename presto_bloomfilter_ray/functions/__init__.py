@@ -10,6 +10,7 @@ from .dedup import (
     add_content_hash,
     cap_per_key,
     cleanup_shard_dirs,
+    dedup_lines_keep_first,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,

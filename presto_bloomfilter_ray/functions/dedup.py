@@ -306,6 +306,102 @@ def add_content_hash(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, pa.array(h.astype(np.int64)))
 
 
+def dedup_lines_keep_first(ds, text_col: str = "text",
+                           id_col: str = "doc_id", sep: str = "\n",
+                           broadcast_limit: int = 2_000_000,
+                           num_partitions: int = 8):
+    """Corpus-level line/paragraph dedup keeping the FIRST occurrence
+    (RefinedWeb-style repetition removal): a line is kept only in the
+    document with the smallest ``(id, position)`` that contains it;
+    every later copy anywhere in the corpus is dropped. Unlike
+    `remove_boilerplate_lines` (which drops ALL copies of hot lines),
+    the first occurrence always survives, so no content is lost.
+
+    Scale shape: one vectorized explode pass emits ``(line_hash,
+    packed_position)`` pairs pre-combined per batch (the shuffle
+    carries 16 B per distinct line per batch, never line text); a
+    ``groupby(hash).min`` picks global winners; the winner table
+    attaches back by the tiered broadcast/co-partition pattern; one
+    per-doc ``map_groups`` rebuilds kept text in position order.
+    Positions pack as ``id·2³¹ + idx`` — requires ``id < 2³²`` and
+    ``< 2³¹`` lines per doc (asserted).
+
+    Returns one row per document: ``(id, n_lines, n_kept, text)``.
+    """
+    from ray.data.aggregate import Min
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = b.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(pc.fill_null(col, ""), sep)
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts)
+        p = np.asarray(parents)
+        first = (np.concatenate(([0], np.flatnonzero(np.diff(p)) + 1))
+                 if len(p) else np.zeros(0, np.int64))
+        starts = np.repeat(first, np.diff(np.concatenate((first, [len(p)]))))
+        idx = np.arange(len(p), dtype=np.int64) - starts
+        ids = np.asarray(pc.take(b.column(id_col).cast(pa.int64()),
+                                 parents))
+        if len(ids) and (ids.max() >= (1 << 32) or idx.max() >= (1 << 31)):
+            raise ValueError("dedup_lines_keep_first position packing "
+                             "requires id < 2^32 and < 2^31 lines/doc")
+        h = hash64(flat, 0x11E5).astype(np.int64)
+        packed = ids * (1 << 31) + idx
+        return pa.table({
+            "h": pa.array(h), "packed": pa.array(packed),
+            "doc": pa.array(ids), "idx": pa.array(idx), "line": flat,
+        })
+
+    lines = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = pl.from_arrow(b.select(["h", "packed"]))
+        return t.group_by("h").agg(packed=pl.col("packed").min()).to_arrow()
+
+    winners = (lines.map_batches(min_partial, batch_format="pyarrow")
+               .groupby("h").aggregate(Min("packed", alias_name="win")))
+    n_distinct = winners.count()
+
+    if n_distinct <= broadcast_limit:
+        wt = pa.concat_tables(
+            [pa.table(b) for b in winners.iter_batches(
+                batch_format="pyarrow", batch_size=None)])
+        wh = np.asarray(wt.column("h"))
+        order = np.argsort(wh)
+        wh_sorted = wh[order]
+        win_sorted = np.asarray(wt.column("win"))[order]
+
+        def flag(b: pa.Table) -> pa.Table:
+            i = np.searchsorted(wh_sorted, np.asarray(b.column("h")))
+            keep = np.asarray(b.column("packed")) == win_sorted[i]
+            return b.append_column("keep", pa.array(keep))
+
+        flagged = lines.map_batches(flag, batch_format="pyarrow")
+    else:
+        flagged = lines.join(
+            winners, "inner", num_partitions, on=("h",), right_on=("h",))
+        flagged = flagged.map_batches(
+            lambda b: b.append_column(
+                "keep", pc.equal(b.column("packed"), b.column("win"))),
+            batch_format="pyarrow")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("idx", kind="stable")
+        kept = g.loc[g["keep"], "line"]
+        return pd.DataFrame({
+            id_col: [int(g["doc"].iloc[0])],
+            "n_lines": np.array([len(g)], dtype=np.int64),
+            "n_kept": np.array([int(g["keep"].sum())], dtype=np.int64),
+            text_col: [sep.join(kept.tolist())],
+        })
+
+    return flagged.groupby("doc").map_groups(rebuild, batch_format="pandas")
+
+
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
                 broadcast_limit: int = 2_000_000,
                 work_dir: Optional[str] = None,
