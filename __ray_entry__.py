@@ -1550,6 +1550,45 @@ def _url_canonicalize_stats(sf_dir: str):
     return df[["source", "n_urls", "n_distinct", "min_url", "max_url"]]
 
 
+def _quality_gate_pipeline(sf_dir: str):
+    """The end-to-end quality-gate chain of a training-data cleaning
+    pipeline in ONE map pass: quality score ≥ 0.5 → byte entropy in
+    [3.5, 6.0] → length band [100, 500] chars, applied sequentially;
+    per-lang survivor counts after each gate (monotone). Every gate's
+    definition is the SQL-exact one its standalone query uses, so the
+    whole chain oracle-checks."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import byte_entropy, quality_score
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "n_chars"])
+
+    def gates(b: pa.Table) -> pa.Table:
+        b = quality_score(b, "text")
+        b = byte_entropy(b, "text")
+        q = np.asarray(b.column("quality"), dtype=np.float64)
+        ent = np.asarray(
+            pc.fill_null(b.column("entropy"), -1.0), dtype=np.float64)
+        nc = np.asarray(b.column("n_chars"), dtype=np.int64)
+        p1 = q >= 0.5
+        p2 = p1 & (ent >= 3.5) & (ent <= 6.0)
+        p3 = p2 & (nc >= 100) & (nc <= 500)
+        return pa.table({
+            "lang": b.column("lang"),
+            "p1": pa.array(p1.astype(np.int64)),
+            "p2": pa.array(p2.astype(np.int64)),
+            "p3": pa.array(p3.astype(np.int64)),
+        })
+
+    agg = (docs.map_batches(gates, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("p1", alias_name="n_after_quality"),
+                      Sum("p2", alias_name="n_after_entropy"),
+                      Sum("p3", alias_name="n_after_length")))
+    return agg
+
+
 def _entropy_stats_by_lang(sf_dir: str):
     """Per-language byte-entropy quality screen (functions/text.py
     byte_entropy): zero-copy per-doc Shannon entropy in a map stage,
@@ -2772,6 +2811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textlen_histogram": _textlen_histogram,
         "profile_documents": _profile_documents,
         "entropy_stats_by_lang": _entropy_stats_by_lang,
+        "quality_gate_pipeline": _quality_gate_pipeline,
         "url_canonicalize_stats": _url_canonicalize_stats,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
@@ -3372,6 +3412,53 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canon) AS n_distinct,
                    min(canon) AS min_url, max(canon) AS max_url
             FROM c GROUP BY source ORDER BY source
+        """,
+        # gates reuse the standalone queries' SQL-exact definitions:
+        # quality (IEEE-order formula), per-doc char entropy (== byte
+        # entropy on this ASCII corpus) rounded to 6, n_chars band
+        "quality_gate_pipeline": """
+            WITH s AS (
+                SELECT doc_id AS rid, lang, n_chars,
+                       len(regexp_extract_all(text, '\\S+')) AS nt,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS np_,
+                       len(regexp_extract_all(text,
+                           '(?i)\\b(?:the|and|of|a|to|in|is|it|that|for)\\b')) AS ns,
+                       length(text) AS nc
+                FROM documents
+            ), q AS (
+                SELECT rid, lang, n_chars,
+                       0.5 * (least(greatest(nt / 50.0, 0), 1)
+                              * least(greatest((10000 - nt) / 10000.0, 0), 1))
+                       + 0.25 * least(greatest(1.0 - 4.0 * abs(
+                             CAST(np_ AS DOUBLE) / greatest(nc, 1) - 0.05), 0), 1)
+                       + 0.25 * least(greatest(
+                             CAST(ns AS DOUBLE) / greatest(nt, 1) * 5.0, 0), 1)
+                           AS quality
+                FROM s
+            ), ent AS (
+                SELECT rid, round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+                           AS h
+                FROM (
+                    SELECT doc_id AS rid, c, count(*) AS n FROM (
+                        SELECT doc_id, unnest(string_split(text, '')) AS c
+                        FROM documents WHERE n_chars > 0
+                    ) GROUP BY doc_id, c
+                ) GROUP BY rid
+            ), g AS (
+                SELECT q.lang,
+                       CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS p1,
+                       CASE WHEN q.quality >= 0.5 AND ent.h >= 3.5
+                                 AND ent.h <= 6.0 THEN 1 ELSE 0 END AS p2,
+                       CASE WHEN q.quality >= 0.5 AND ent.h >= 3.5
+                                 AND ent.h <= 6.0 AND q.n_chars >= 100
+                                 AND q.n_chars <= 500 THEN 1 ELSE 0 END AS p3
+                FROM q LEFT JOIN ent ON q.rid = ent.rid
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(p1) AS BIGINT) AS n_after_quality,
+                   CAST(sum(p2) AS BIGINT) AS n_after_entropy,
+                   CAST(sum(p3) AS BIGINT) AS n_after_length
+            FROM g GROUP BY lang
         """,
         # per-doc char entropy == the operator's byte entropy (corpus is
         # pure ASCII); rounded per-doc then summed as scaled int so the
