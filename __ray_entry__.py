@@ -272,6 +272,19 @@ def _zscore_totalprice_by_status(sf_dir: str):
     return agg
 
 
+def _mad_outliers_by_status(sf_dir: str):
+    """Robust per-status outlier counts via median absolute deviation
+    (functions/features.py mad_outliers_by_key): exact interpolated
+    medians — numpy and DuckDB median() compute the identical double —
+    and the |v-med| > 3·MAD rule evaluated unrounded on both engines."""
+    from presto_bloomfilter_ray.functions import mad_outliers_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    out = mad_outliers_by_key(orders, "o_orderstatus", "o_totalprice",
+                              k=3.0).to_pandas()
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def _ntile_quartiles_by_status(sf_dir: str):
     """Exact NTILE(4) bucketing per status (functions/features.py
     ntile_by_key — SQL NTILE size semantics, ties made deterministic
@@ -2780,6 +2793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
+        "mad_outliers_by_status": _mad_outliers_by_status,
         "rollup_lang_source": _rollup_lang_source,
         "custkey_set_ops": _custkey_set_ops,
         "left_join_order_counts": _left_join_order_counts,
@@ -3010,6 +3024,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "mad_outliers_by_status": """
+            WITH m AS (
+                SELECT o_orderstatus, median(o_totalprice) AS med
+                FROM orders GROUP BY o_orderstatus
+            ), d AS (
+                SELECT o.o_orderstatus, m.med,
+                       abs(o.o_totalprice - m.med) AS ad
+                FROM orders o JOIN m USING (o_orderstatus)
+            ), mm AS (
+                SELECT o_orderstatus, median(ad) AS mad
+                FROM d GROUP BY o_orderstatus
+            )
+            SELECT d.o_orderstatus, count(*) AS n,
+                   round(any_value(d.med), 6) AS median,
+                   round(any_value(mm.mad), 6) AS mad,
+                   CAST(sum(CASE WHEN d.ad > 3.0 * mm.mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM d JOIN mm USING (o_orderstatus)
+            GROUP BY d.o_orderstatus ORDER BY d.o_orderstatus
         """,
         "ntile_quartiles_by_status": """
             WITH t AS (

@@ -74,6 +74,7 @@ from .sampling import (
 from .packing import pack_sequences, pack_stats
 from .features import (
     explode_list,
+    mad_outliers_by_key,
     ntile_by_key,
     pivot_counts,
     rollup_counts,

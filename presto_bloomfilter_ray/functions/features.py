@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["standardize_by_key", "pivot_counts", "rollup_counts",
-           "ntile_by_key", "set_op_counts", "explode_list"]
+           "ntile_by_key", "set_op_counts", "explode_list",
+           "mad_outliers_by_key"]
 
 
 def standardize_by_key(ds, key_col: str, value_col: str, *,
@@ -125,6 +126,38 @@ def rollup_counts(ds, keys: List[str], sum_cols: Optional[List[str]] = None):
     for c in ["n"] + scols:
         out[c] = out[c].astype("int64")
     return out
+
+
+def mad_outliers_by_key(ds, key_col: str, value_col: str,
+                        k: float = 3.0, round_digits: int = 6):
+    """Robust per-key outlier detection: flag rows with
+    ``|v - median| > k · MAD`` (median absolute deviation) — the
+    robust-statistics alternative to z-scores (medians don't move when
+    the outliers themselves do).
+
+    Exact medians via per-key ``map_groups`` (same partitioning
+    assumption as `ntile_by_key`; for corpus-scale keys use the KLL
+    `~.sampling.quantile_band_filter` instead). Median/MAD use linear
+    interpolation — numpy and SQL ``median()`` compute the identical
+    double. Returns per-key ``(key, n, median, mad, n_outliers)`` with
+    median/mad rounded to ``round_digits``.
+    """
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        out = int(np.sum(np.abs(v - med) > k * mad))
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n": np.array([len(v)], dtype=np.int64),
+            "median": [round(float(med), round_digits)],
+            "mad": [round(float(mad), round_digits)],
+            "n_outliers": np.array([out], dtype=np.int64),
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
 def ntile_by_key(ds, key_col: str, value_col: str, n: int,

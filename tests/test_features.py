@@ -156,6 +156,21 @@ def test_explode_list_matches_sql(ray_session, sf_dir, duck):
     assert np.allclose(mine["value"], theirs["value"])
 
 
+def test_mad_outliers(ray_session):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import mad_outliers_by_key
+
+    # values 1..9 plus a wild outlier: med=5.5, MAD=2.5, |1000-5.5|>7.5
+    t = pa.table({"k": ["a"] * 10,
+                  "v": [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 1000.0]})
+    out = mad_outliers_by_key(rd.from_arrow(t), "k", "v", k=3.0).to_pandas()
+    assert out["n"].tolist() == [10]
+    assert out["median"].tolist() == [5.5]
+    assert out["mad"].tolist() == [2.5]
+    assert out["n_outliers"].tolist() == [1]
+
+
 def test_rollup_matches_sql(ray_session, sf_dir, duck):
     import ray.data as rd
 
