@@ -182,7 +182,8 @@ def cumulative_aggregate(ds, ts_col: str, key_col: str, value_col: str,
 
 
 def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
-                  stages: List[str], num_partitions: int = 16):
+                  stages: List[str], num_partitions: int = 16,
+                  broadcast_limit: int = 2_000_000):
     """Strict ordered funnel over an event log: how many keys (users)
     reach stage 1, then stage 2 at-or-after their FIRST stage-1 event,
     then stage 3 at-or-after that first qualifying stage-2 event, …
@@ -214,6 +215,27 @@ def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
         evs = ev.filter(expr=f"_s == '{stage}'")
         if i == 0:
             cand = evs
+        elif prev_n <= broadcast_limit:
+            # tiered attach: the first-reach table is small — broadcast
+            # it and filter in a pure map stage (also sidesteps Ray's
+            # empty-join-partition edge on tiny states)
+            pt = pa.concat_tables(
+                [pa.table(b) for b in prev.iter_batches(
+                    batch_format="pyarrow", batch_size=None)])
+            key_set = pt.column("_pk").combine_chunks()
+            first_arr = np.asarray(pt.column("_first"))
+
+            def flt(b: pa.Table, _ks=key_set, _fa=first_arr) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                idx = _pc.index_in(b.column("_k"), value_set=_ks)
+                hit = np.asarray(_pc.is_valid(idx))
+                pos = np.asarray(_pc.fill_null(idx, 0).cast(pa.int64()))
+                ts = np.asarray(b.column("_ts"))
+                keep = hit & (ts >= _fa[pos])
+                return b.filter(pa.array(keep))
+
+            cand = evs.map_batches(flt, batch_format="pyarrow")
         else:
             joined = evs.join(prev, "inner", num_partitions,
                               on=("_k",), right_on=("_pk",))
@@ -233,6 +255,7 @@ def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
         prev = reached.map_batches(
             lambda b: b.rename_columns(["_pk", "_first"]),
             batch_format="pyarrow")
+        prev_n = n
     return pd.DataFrame(rows, columns=["stage", "stage_idx", "n_keys"])
 
 
