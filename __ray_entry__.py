@@ -557,6 +557,19 @@ def _funnel_signup_click_purchase(sf_dir: str):
                          stages=["signup", "click", "purchase"])
 
 
+def _funnel_windowed_24h(sf_dir: str):
+    """Attribution-window funnel (functions/windows.py funnel_counts
+    max_delay_s): each step must convert within 24 h of the previous
+    first-reach — the standard marketing-funnel semantics."""
+    from presto_bloomfilter_ray.functions import funnel_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, ts_col="ts", key_col="user_id",
+                         stage_col="event_type",
+                         stages=["signup", "click", "purchase"],
+                         max_delay_s=24 * 3600)
+
+
 def _json_props_stats(sf_dir: str):
     """Vectorized JSON extraction (functions/jsonops.py): pull a typed
     field and a missing path out of the ``events.props`` JSON column in
@@ -2786,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "json_props_stats": _json_props_stats,
         "funnel_signup_click_purchase": _funnel_signup_click_purchase,
+        "funnel_windowed_24h": _funnel_windowed_24h,
         "format_ingest_stats": _format_ingest_stats,
         "cumulative_user_spend": _cumulative_user_spend,
         "interarrival_stats": _interarrival_stats,
@@ -3098,6 +3112,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    TRUE AS formats_agree
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "funnel_windowed_24h": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts >= s1.t
+                          AND e.ts <= s1.t + INTERVAL 24 HOUR
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                          AND e.ts <= s2.t + INTERVAL 24 HOUR
+                        GROUP BY e.user_id)
+            SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+                   (SELECT count(*) FROM s1) AS n_keys
+            UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+            UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)
         """,
         "funnel_signup_click_purchase": """
             WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

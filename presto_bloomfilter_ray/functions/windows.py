@@ -183,7 +183,8 @@ def cumulative_aggregate(ds, ts_col: str, key_col: str, value_col: str,
 
 def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
                   stages: List[str], num_partitions: int = 16,
-                  broadcast_limit: int = 2_000_000):
+                  broadcast_limit: int = 2_000_000,
+                  max_delay_s: Optional[float] = None):
     """Strict ordered funnel over an event log: how many keys (users)
     reach stage 1, then stage 2 at-or-after their FIRST stage-1 event,
     then stage 3 at-or-after that first qualifying stage-2 event, …
@@ -195,6 +196,10 @@ def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
     per key. Each pass's state table is one (key, first_ts) row per
     surviving key; the event set never re-shuffles as a whole. k
     stages = k cheap passes — the standard funnel shape at log scale.
+
+    ``max_delay_s`` bounds each step (an ATTRIBUTION WINDOW): stage
+    ``i+1`` must happen within that many seconds of the previous
+    stage's first-reach time — the standard conversion-window funnel.
 
     Returns a pandas DataFrame (stage, stage_idx, n_keys), stage_idx
     1-based, n_keys non-increasing.
@@ -233,6 +238,8 @@ def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
                 pos = np.asarray(_pc.fill_null(idx, 0).cast(pa.int64()))
                 ts = np.asarray(b.column("_ts"))
                 keep = hit & (ts >= _fa[pos])
+                if max_delay_s is not None:
+                    keep &= ts <= _fa[pos] + int(max_delay_s * _US)
                 return b.filter(pa.array(keep))
 
             cand = evs.map_batches(flt, batch_format="pyarrow")
@@ -240,6 +247,15 @@ def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
             joined = evs.join(prev, "inner", num_partitions,
                               on=("_k",), right_on=("_pk",))
             cand = joined.filter(expr="_ts >= _first")
+            if max_delay_s is not None:
+                lim = int(max_delay_s * _US)
+
+                def in_window(b: pa.Table, _lim=lim) -> pa.Table:
+                    ts = np.asarray(b.column("_ts"))
+                    fi = np.asarray(b.column("_first"))
+                    return b.filter(pa.array(ts <= fi + _lim))
+
+                cand = cand.map_batches(in_window, batch_format="pyarrow")
         # materialize the (small) first-reach table: it is consumed
         # twice (count + next stage's join) and each stage would
         # otherwise replay the whole upstream chain — O(k²) recompute

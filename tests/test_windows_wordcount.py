@@ -102,6 +102,30 @@ def test_funnel_ordering_semantics(ray_session):
     assert out["n_keys"].tolist() == [5, 3, 2]
 
 
+def test_funnel_attribution_window(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import funnel_counts
+
+    rows = [
+        ("u1", "signup", pd.Timestamp("2024-01-01 10:00")),
+        ("u1", "click", pd.Timestamp("2024-01-01 11:00")),    # in window
+        ("u2", "signup", pd.Timestamp("2024-01-02 10:00")),
+        ("u2", "click", pd.Timestamp("2024-01-02 12:30")),    # too late
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = funnel_counts(rd.from_pandas(df), "ts", "user_id", "event_type",
+                        ["signup", "click"], num_partitions=2,
+                        max_delay_s=7200)
+    assert out["n_keys"].tolist() == [2, 1]
+    # join-tier path must agree
+    out2 = funnel_counts(rd.from_pandas(df), "ts", "user_id", "event_type",
+                         ["signup", "click"], num_partitions=2,
+                         max_delay_s=7200, broadcast_limit=0)
+    assert out2["n_keys"].tolist() == [2, 1]
+
+
 def test_funnel_empty_stage_short_circuits(ray_session):
     import pandas as pd
     import ray.data as rd
