@@ -102,6 +102,33 @@ def test_funnel_ordering_semantics(ray_session):
     assert out["n_keys"].tolist() == [5, 3, 2]
 
 
+def test_funnel_join_tier_matches_broadcast(ray_session):
+    """The join-tier scale path agrees with the broadcast tier when
+    partitions are populated (the tier only engages above
+    broadcast_limit keys; tiny key sets stay on the broadcast path —
+    Ray 2.49's hash join mishandles empty partitions)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import funnel_counts
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 200, size=n),
+        "event_type": rng.choice(["s", "c", "p"], size=n),
+        "ts": pd.to_datetime(rng.integers(0, 50, size=n) * 3_600_000_000,
+                             unit="us"),
+    })
+    kw = dict(num_partitions=2)
+    a = funnel_counts(rd.from_pandas(df), "ts", "user_id", "event_type",
+                      ["s", "c", "p"], **kw)
+    b = funnel_counts(rd.from_pandas(df), "ts", "user_id", "event_type",
+                      ["s", "c", "p"], broadcast_limit=0, **kw)
+    assert a["n_keys"].tolist() == b["n_keys"].tolist()
+
+
 def test_funnel_attribution_window(ray_session):
     import pandas as pd
     import ray.data as rd
