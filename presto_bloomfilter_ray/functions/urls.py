@@ -48,7 +48,7 @@ _CANON_STEPS = [
     # (…&)+ eats runs of consecutive utm params in one match
     (r"([?&])(utm_[^&#]*&)+", r"\1"),                #    inner utm_* runs
     (r"[?&]utm_[^&#]*$", ""),                        #    trailing utm_*
-    (r"[?&]$", ""),                                  # 5. dangling sep
+    (r"[?&]+$", ""),                                 # 5. dangling seps
 ]
 
 
