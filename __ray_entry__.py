@@ -808,13 +808,26 @@ def _top_sources(sf_dir: str):
 
 # -------------------------------------------------------------------- dedup
 def _exact_dedup_documents(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from presto_bloomfilter_ray.functions import exact_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     deduped = exact_dedup(docs)
-    return deduped.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+    # pre-aggregate per batch so the groupby shuffles (lang, count)
+    # rows, never the deduped text (which would otherwise ride the
+    # sort-based shuffle)
+    def partial_counts(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(b.select(["lang"]))
+                .group_by("lang").agg(n_docs=pl.len()).to_arrow()
+                .cast(pa.schema([("lang", pa.string()),
+                                 ("n_docs", pa.int64())])))
+
+    return (deduped.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs")))
 
 
 def _minhash_dedup_documents(sf_dir: str):

@@ -317,77 +317,108 @@ def dedup_lines_keep_first(ds, text_col: str = "text",
     `remove_boilerplate_lines` (which drops ALL copies of hot lines),
     the first occurrence always survives, so no content is lost.
 
-    Scale shape: one vectorized explode pass emits ``(line_hash,
-    packed_position)`` pairs pre-combined per batch (the shuffle
-    carries 16 B per distinct line per batch, never line text); a
-    ``groupby(hash).min`` picks global winners; the winner table
-    attaches back by the tiered broadcast/co-partition pattern; one
-    per-doc ``map_groups`` rebuilds kept text in position order.
+    Scale shape: pass 1 emits ``(line_hash, packed_position)`` pairs
+    pre-combined per batch (the shuffle carries 16 B per distinct line
+    per batch, NEVER line text); a ``groupby(hash).min`` picks global
+    winners. When the winner table fits ``broadcast_limit`` it is
+    broadcast once (``ray.put``) and pass 2 is ONE vectorized
+    ``map_batches`` over the ORIGINAL documents: re-split, probe the
+    sorted winner array with ``searchsorted``, rebuild kept text with
+    ``ListArray.from_arrays`` + ``binary_join`` — corpus text never
+    crosses a shuffle and no per-doc Python runs. Above the limit the
+    exploded table joins the winner Dataset co-partitioned by hash and
+    a per-doc ``map_groups`` rebuilds (text crosses two shuffles —
+    unavoidable when the winner side itself needs a shuffle join).
     Positions pack as ``id·2³¹ + idx`` — requires ``id < 2³²`` and
     ``< 2³¹`` lines per doc (asserted).
 
     Returns one row per document: ``(id, n_lines, n_kept, text)``.
     """
+    import ray
     from ray.data.aggregate import Min
 
-    def explode(b: pa.Table) -> pa.Table:
+    def _positions(b: pa.Table):
+        """Split a batch of docs into flat lines + packed positions."""
         col = b.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         parts = pc.split_pattern(pc.fill_null(col, ""), sep)
         flat = pc.list_flatten(parts)
-        parents = pc.list_parent_indices(parts)
-        p = np.asarray(parents)
-        first = (np.concatenate(([0], np.flatnonzero(np.diff(p)) + 1))
-                 if len(p) else np.zeros(0, np.int64))
-        starts = np.repeat(first, np.diff(np.concatenate((first, [len(p)]))))
-        idx = np.arange(len(p), dtype=np.int64) - starts
-        ids = np.asarray(pc.take(b.column(id_col).cast(pa.int64()),
-                                 parents))
+        n_lines = np.asarray(pc.list_value_length(parts)).astype(np.int64)
+        parents = np.asarray(pc.list_parent_indices(parts))
+        starts = np.repeat(np.concatenate(([0], np.cumsum(n_lines)[:-1])),
+                           n_lines)
+        idx = np.arange(len(parents), dtype=np.int64) - starts
+        doc_ids = np.asarray(b.column(id_col).cast(pa.int64()))
+        ids = doc_ids[parents] if len(parents) else np.zeros(0, np.int64)
         if len(ids) and (ids.max() >= (1 << 32) or idx.max() >= (1 << 31)):
             raise ValueError("dedup_lines_keep_first position packing "
                              "requires id < 2^32 and < 2^31 lines/doc")
         h = hash64(flat, 0x11E5).astype(np.int64)
         packed = ids * (1 << 31) + idx
+        return flat, ids, idx, h, packed, doc_ids, n_lines, parents
+
+    def min_pairs(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        _, _, _, h, packed, _, _, _ = _positions(b)
+        t = pl.DataFrame({"h": h, "packed": packed})
+        return (t.group_by("h").agg(win=pl.col("packed").min()).to_arrow()
+                .cast(pa.schema([("h", pa.int64()), ("win", pa.int64())])))
+
+    winners = (ds.map_batches(min_pairs, batch_format="pyarrow")
+               .groupby("h").aggregate(Min("win", alias_name="win"))
+               .materialize())
+    n_distinct = winners.count()
+
+    if n_distinct <= broadcast_limit:
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "win": pa.array([], pa.int64())})
+        wt = pa.concat_tables(
+            [empty] + [pa.table(b) for b in winners.iter_batches(
+                batch_format="pyarrow", batch_size=None)])
+        wh = np.asarray(wt.column("h"))
+        order = np.argsort(wh)
+        ref = ray.put((wh[order], np.asarray(wt.column("win"))[order]))
+
+        def rebuild_map(b: pa.Table) -> pa.Table:
+            wh_sorted, win_sorted = ray.get(ref)
+            flat, _, _, h, packed, doc_ids, n_lines, parents = _positions(b)
+            if len(h):
+                i = np.searchsorted(wh_sorted, h)
+                keep = packed == win_sorted[i]
+            else:
+                keep = np.zeros(0, bool)
+            kept_flat = flat.filter(pa.array(keep))
+            n_kept = (np.bincount(parents[keep], minlength=len(b))
+                      .astype(np.int64) if len(parents)
+                      else np.zeros(len(b), np.int64))
+            offsets = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int32)
+            texts = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         kept_flat), sep)
+            return pa.table({
+                id_col: pa.array(doc_ids), "n_lines": pa.array(n_lines),
+                "n_kept": pa.array(n_kept), text_col: texts,
+            })
+
+        return ds.map_batches(rebuild_map, batch_format="pyarrow")
+
+    # winner table too big to broadcast: co-partitioned join + per-doc rebuild
+    def explode(b: pa.Table) -> pa.Table:
+        flat, ids, idx, h, packed, _, _, _ = _positions(b)
         return pa.table({
             "h": pa.array(h), "packed": pa.array(packed),
             "doc": pa.array(ids), "idx": pa.array(idx), "line": flat,
         })
 
-    lines = ds.map_batches(explode, batch_format="pyarrow").materialize()
-
-    def min_partial(b: pa.Table) -> pa.Table:
-        import polars as pl
-
-        t = pl.from_arrow(b.select(["h", "packed"]))
-        return t.group_by("h").agg(packed=pl.col("packed").min()).to_arrow()
-
-    winners = (lines.map_batches(min_partial, batch_format="pyarrow")
-               .groupby("h").aggregate(Min("packed", alias_name="win")))
-    n_distinct = winners.count()
-
-    if n_distinct <= broadcast_limit:
-        wt = pa.concat_tables(
-            [pa.table(b) for b in winners.iter_batches(
-                batch_format="pyarrow", batch_size=None)])
-        wh = np.asarray(wt.column("h"))
-        order = np.argsort(wh)
-        wh_sorted = wh[order]
-        win_sorted = np.asarray(wt.column("win"))[order]
-
-        def flag(b: pa.Table) -> pa.Table:
-            i = np.searchsorted(wh_sorted, np.asarray(b.column("h")))
-            keep = np.asarray(b.column("packed")) == win_sorted[i]
-            return b.append_column("keep", pa.array(keep))
-
-        flagged = lines.map_batches(flag, batch_format="pyarrow")
-    else:
-        flagged = lines.join(
-            winners, "inner", num_partitions, on=("h",), right_on=("h",))
-        flagged = flagged.map_batches(
-            lambda b: b.append_column(
-                "keep", pc.equal(b.column("packed"), b.column("win"))),
-            batch_format="pyarrow")
+    lines = ds.map_batches(explode, batch_format="pyarrow")
+    flagged = lines.join(
+        winners, "inner", num_partitions, on=("h",), right_on=("h",))
+    flagged = flagged.map_batches(
+        lambda b: b.append_column(
+            "keep", pc.equal(b.column("packed"), b.column("win"))),
+        batch_format="pyarrow")
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("idx", kind="stable")
@@ -434,22 +465,39 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return pa.table({"content_hash": pa.array(h.astype(np.int64)),
                          id_col: b.column(id_col)})
 
-    agg = (
+    def only_dups(b: pa.Table) -> pa.Table:
+        # fused filter(n > 1) + column projection: one stage on top of
+        # the groupby output instead of two lazy operators (the r3
+        # filter(expr) + select_columns chain cost a visible scheduling
+        # hit at small scale — PERF.md §23)
+        keep = pc.greater(b.column("n"), 1)
+        return pa.table({
+            "content_hash": b.column("content_hash").cast(pa.int64()),
+            "keep_id": b.column("keep_id").cast(pa.int64()),
+        }).filter(keep)
+
+    dups_ds = (
         ds.map_batches(hash_pairs, batch_format="pyarrow")
         .groupby("content_hash")
         .aggregate(Count(alias_name="n"), Min(id_col, alias_name="keep_id"))
+        .map_batches(only_dups, batch_format="pyarrow")
+        .materialize()
     )
-    dups_ds = agg.filter(expr="n > 1").select_columns(
-        ["content_hash", "keep_id"]).materialize()
-    n_dups = dups_ds.count()
+    n_dups = dups_ds.count()  # metadata-only on a materialized dataset
     if n_dups == 0:
         return ds
 
     if n_dups <= broadcast_limit:
-        dups = dups_ds.to_pandas()
-        order = np.argsort(dups["content_hash"].to_numpy())
-        dup_hashes = dups["content_hash"].to_numpy()[order]
-        keep_ids = dups["keep_id"].to_numpy()[order]
+        dups = pa.concat_tables(
+            [pa.table({"content_hash": pa.array([], pa.int64()),
+                       "keep_id": pa.array([], pa.int64())})]
+            + [pa.table(b).select(["content_hash", "keep_id"])
+               for b in dups_ds.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)])
+        dh = np.asarray(dups.column("content_hash"))
+        order = np.argsort(dh)
+        dup_hashes = dh[order]
+        keep_ids = np.asarray(dups.column("keep_id"))[order]
         ref = ray.put((dup_hashes, keep_ids))
 
         def drop_losers(b: pa.Table) -> pa.Table:
