@@ -2010,6 +2010,42 @@ def _bm25_index_search_documents(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bm25_index_incremental(sf_dir: str):
+    """Incremental BM25 index: build over the even-id half of the
+    corpus, APPEND the odd-id half (one generation-tagged chunk per
+    touched shard, meta bump as commit point — functions/
+    search_index.py bm25_index_append, the reference's persist→load→
+    probe loop at postings level), then search. Because appended
+    generations never share a doc with earlier ones, scores are
+    bit-identical to a one-shot build over the whole corpus — so the
+    oracle is the SAME generated SQL mirror as the one-shot query."""
+    import shutil
+    import uuid
+
+    from presto_bloomfilter_ray.functions import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_search,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def half(rem):
+        return lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b.column("doc_id").cast(pa.int64()), 1),
+                     rem))
+
+    root = f"/tmp/bm25-index-inc-{uuid.uuid4().hex[:8]}"
+    try:
+        bm25_index_build(docs.map_batches(half(0), batch_format="pyarrow"),
+                         root, n_shards=8)
+        bm25_index_append(docs.map_batches(half(1), batch_format="pyarrow"),
+                          root)
+        return bm25_index_search(root, _BM25_IDX_TERMS, top_k=10)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _pack_sequences_documents(sf_dir: str):
     """Token-budget sequence packing plan over documents (budget 64,
     16 hash partitions): over-budget docs split into budget-sized
@@ -2229,6 +2265,121 @@ def _multimodal_av_pipeline(sf_dir: str):
         "video_dim_fixed": [bool(len(f_dims) == 1 and f_dims[0] == 2 * 8 * 8 * 3)],
         "energies_bounded": [bool(e_ok)],
         "decode_deterministic": [bool(same)],
+    })
+
+
+def _multimodal_real_decode(sf_dir: str):
+    """REAL (not stubbed) multimodal decode, end to end and exactly
+    SQL-checkable: per document a solid-color P6 PPM image, a
+    constant-amplitude PCM WAV clip and a 2-frame PPM video stream are
+    synthesized from doc_id alone, then decoded by the real decoders
+    (functions/multimodal.py: pure-numpy PPM parser, stdlib-wave PCM
+    reader, PPM frame-stream sampler — strict=True, so any fake-decode
+    fallback would raise). Because each payload is constant-valued,
+    every decoded statistic is an exact function of doc_id: channel
+    means are the solid color, window RMS is |amplitude| quantized to
+    int16/32768 (exact in float32 AND in float64 sums — all values are
+    multiples of 2^-15, so the oracle reproduces the sum bit-exactly),
+    frame-0 mean is the first frame's gray level."""
+    import io as _io
+    import wave as _wave
+
+    from presto_bloomfilter_ray.functions.multimodal import (
+        AudioFrameSample,
+        ImageDecode,
+        ImageFeatures,
+        VideoFrameSample,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def _ppm_bytes(rgb, h=6, w=6):
+        px = np.broadcast_to(np.array(rgb, np.uint8), (h, w, 3))
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+    def _wav_bytes(amp, n=160):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(
+                np.clip(np.full(n, amp) * 32767, -32768, 32767)
+                .astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        imgs = [_ppm_bytes((i * 7 % 256, i * 11 % 256, i * 13 % 256))
+                for i in ids]
+        wavs = [_wav_bytes((i % 50) / 100.0) for i in ids]
+        vids = [_ppm_bytes((i * 17 % 256,) * 3, 4, 4)
+                + _ppm_bytes((i * 19 % 256,) * 3, 4, 4) for i in ids]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "img": pa.array(imgs, pa.large_binary()),
+            "wav": pa.array(wavs, pa.large_binary()),
+            "vid": pa.array(vids, pa.large_binary()),
+        })
+
+    class DecodeAll:
+        """The four real decode stages FUSED into one actor pool: four
+        chained pools would reserve 4 × concurrency CPUs and starve the
+        upstream read/synth tasks on a small ray.init (the wedge the
+        round-4 driver would hit at num_cpus=8); fusing also keeps the
+        binary columns from making three extra object-store hops."""
+
+        def __init__(self):
+            self.stages = [
+                ImageDecode(height=6, width=6, data_col="img", strict=True),
+                ImageFeatures(height=6, width=6),
+                AudioFrameSample(n_frames=4, data_col="wav", strict=True),
+                VideoFrameSample(n_frames=2, height=4, width=4,
+                                 data_col="vid", strict=True),
+            ]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            for stage in self.stages:
+                b = stage(b)
+            return b
+
+    decoded = (
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=512)
+        .map_batches(DecodeAll, batch_format="pyarrow", batch_size=512,
+                     concurrency=2)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        feats = np.asarray(b.column("features").combine_chunks().flatten(),
+                           dtype=np.float64).reshape(n, 6)
+        energy = np.asarray(
+            b.column("frame_energy").combine_chunks().flatten(),
+            dtype=np.float64).reshape(n, 4)
+        frames = np.asarray(b.column("frames").combine_chunks().flatten(),
+                            dtype=np.float64).reshape(n, 2, -1)
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "sum_mean_r": pa.array([int(np.rint(feats[:, 0]).sum())],
+                                   pa.int64()),
+            "sum_mean_g": pa.array([int(np.rint(feats[:, 1]).sum())],
+                                   pa.int64()),
+            "sum_mean_b": pa.array([int(np.rint(feats[:, 2]).sum())],
+                                   pa.int64()),
+            "sum_energy0": pa.array([float(energy[:, 0].sum())],
+                                    pa.float64()),
+            "sum_vid_f0": pa.array(
+                [int(np.rint(frames[:, 0, :].mean(axis=1)).sum())],
+                pa.int64()),
+        })
+
+    cols = ["n_docs", "sum_mean_r", "sum_mean_g", "sum_mean_b",
+            "sum_energy0", "sum_vid_f0"]
+    sums = decoded.map_batches(partial, batch_format="pyarrow").sum(cols)
+    return pd.DataFrame({
+        c: pd.array([sums[f"sum({c})"]],
+                    dtype="float64" if c == "sum_energy0" else "int64")
+        for c in cols
     })
 
 
@@ -2857,6 +3008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
         "bm25_index_search_documents": _bm25_index_search_documents,
+        "bm25_index_incremental": _bm25_index_incremental,
         "pack_sequences_documents": _pack_sequences_documents,
         "mixture_sample_by_lang": _mixture_sample_by_lang,
         "quantile_band_textlen": _quantile_band_textlen,
@@ -2883,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_av_pipeline": _multimodal_av_pipeline,
+        "multimodal_real_decode": _multimodal_real_decode,
         "ivf_neardup_recall": _ivf_neardup_recall,
         "ivf_ann_topk": _ivf_ann_topk,
         "kmeans_embeddings": _kmeans_embeddings,
@@ -3805,6 +3958,7 @@ def oracle_sql() -> dict[str, str]:
         # Ray implementation — the two cannot drift independently
         "bm25_search_documents": bm25_sql_mirror(_BM25_TERMS),
         "bm25_index_search_documents": bm25_sql_mirror(_BM25_IDX_TERMS),
+        "bm25_index_incremental": bm25_sql_mirror(_BM25_IDX_TERMS),
         # recomputes the temperature mix exactly: counts -> pow ->
         # round(6) -> floor threshold, mirroring temperature_fractions
         # + sample_mask operation-for-operation
@@ -3938,6 +4092,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT TRUE AS n_rows_ok, TRUE AS audio_dim_fixed,
                    TRUE AS video_dim_fixed, TRUE AS energies_bounded,
                    TRUE AS decode_deterministic
+        """,
+        "multimodal_real_decode": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum((doc_id * 7) % 256) AS BIGINT) AS sum_mean_r,
+                   CAST(sum((doc_id * 11) % 256) AS BIGINT) AS sum_mean_g,
+                   CAST(sum((doc_id * 13) % 256) AS BIGINT) AS sum_mean_b,
+                   sum(trunc(((doc_id % 50) / 100.0) * 32767) / 32768.0)
+                       AS sum_energy0,
+                   CAST(sum((doc_id * 17) % 256) AS BIGINT) AS sum_vid_f0
+            FROM documents
         """,
         "bpe_train_stats": """
             SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_word_types,

@@ -86,7 +86,12 @@ from .profile import profile_table
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .jsonops import json_extract, json_extract_fields
 from .search import bm25_search, bm25_sql_mirror
-from .search_index import bm25_index_build, bm25_index_search
+from .search_index import (
+    bm25_index_append,
+    bm25_index_build,
+    bm25_index_repair,
+    bm25_index_search,
+)
 from .windows import (
     cumulative_aggregate,
     funnel_counts,

@@ -142,18 +142,29 @@ def asof_join(left_ds, right_df, key: str, ts: str, value_cols: List[str],
                 ([0], np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1, [n]))
             key_of_run = lambda s: sorted_keys[s].item()  # noqa: E731
         else:
-            keys = kcol.to_pylist()
-            nn = [i for i in range(n) if keys[i] is not None]
-            order = np.array(sorted(nn, key=keys.__getitem__), dtype=np.int64)
+            # string (or nullable-numeric) keys: dictionary-encode and
+            # run the SAME numpy argsort/run-boundary machinery on the
+            # integer codes — no per-row Python (round-3 verdict #2).
+            # Runs group by code, not sorted key order, which is fine:
+            # the run loop only needs same-key rows contiguous.
+            enc = pc.dictionary_encode(kcol)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dict_np = np.asarray(enc.dictionary)
+            codes = np.asarray(
+                pc.fill_null(enc.indices.cast(pa.int64()), -1))
+            order_all = np.argsort(codes, kind="stable")
+            order = order_all[codes[order_all] >= 0]  # nulls unmatched
+            sorted_codes = codes[order]
             m = len(order)
             if m == 0:
                 run_starts = np.zeros(1, dtype=np.int64)
             else:
-                sk = [keys[i] for i in order]
                 run_starts = np.concatenate(
-                    ([0], [i for i in range(1, m) if sk[i] != sk[i - 1]], [m])
-                ).astype(np.int64)
-            key_of_run = lambda s: keys[order[s]]  # noqa: E731
+                    ([0],
+                     np.flatnonzero(sorted_codes[1:] != sorted_codes[:-1]) + 1,
+                     [m]))
+            key_of_run = lambda s: dict_np[sorted_codes[s]]  # noqa: E731
         for r in range(len(run_starts) - 1):
             i, j = int(run_starts[r]), int(run_starts[r + 1])
             rows = order[i:j]

@@ -21,6 +21,7 @@ from typing import Dict, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 #: Knuth multiplicative constant (2654435761 = 2^32 / φ, odd ⇒ the map
 #: id → (id*MULT) mod 2^32 is a bijection on 32-bit ids: no clumping)
@@ -64,8 +65,20 @@ def hash_sample(ds, id_col: str, fraction: Optional[float] = None, *,
         if fraction is not None:
             f = fraction
         else:
-            keys = b.column(key_col).to_pandas()
-            f = keys.map(fractions).fillna(default_fraction).to_numpy()
+            # dictionary-encode the stratum keys and look fractions up
+            # through a tiny numpy table — one dict.get per DISTINCT
+            # key in the batch, not per row (no pandas object map)
+            enc = pc.dictionary_encode(b.column(key_col))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            lut = np.array([fractions.get(k, default_fraction)
+                            for k in enc.dictionary.to_pylist()],
+                           dtype=np.float64)
+            codes = np.asarray(pc.fill_null(enc.indices.cast(pa.int64()), -1))
+            f = np.where(codes >= 0,
+                         lut[np.clip(codes, 0, None)] if len(lut)
+                         else default_fraction,
+                         default_fraction)
         return b.filter(pa.array(sample_mask(ids, f)))
 
     return ds.map_batches(pick, batch_format="pyarrow")

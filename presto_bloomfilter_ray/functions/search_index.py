@@ -10,8 +10,16 @@ splits the cost:
   (term, doc, tf) combine → postings hash-sharded BY TERM into sorted
   parquet shards (so a query term's postings live in exactly one
   shard), plus a (doc_id, dl) doc-stats table and a meta.json holding
-  (N, Σdl, shard count). The shuffle carries (term_hash, doc, tf)
-  triples — never text.
+  (N, Σdl, shard count, generation). The shuffle carries
+  (term_hash, doc, tf) triples — never text.
+* **append** (:func:`bm25_index_append`): new docs become ONE new
+  generation-tagged chunk per touched shard — no shard rewrite, no
+  corpus re-tokenization. The meta's generation bump is the commit
+  point; readers only load ``gen <= meta.gen``, so a crashed append is
+  invisible (:func:`bm25_index_repair` removes the debris). Same crash
+  contract as the MinHash index (functions/dedup_index.py), the
+  reference's persist→load→probe loop (`run_tests.sh:124-125`) at
+  postings level.
 * **search** (per query): reads ONLY the ≤ Q shards the query terms
   hash to, with a term-level parquet row filter (predicate pushdown),
   joins the query-term postings against the doc-stats table
@@ -33,7 +41,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Sequence, Union
+import re
+import uuid
+from typing import Dict, List, Sequence, Union
 
 import numpy as np
 import pyarrow as pa
@@ -42,7 +52,29 @@ import pyarrow.compute as pc
 from .search import _terms_of
 from .text import TOKEN_RE
 
-__all__ = ["bm25_index_build", "bm25_index_search"]
+__all__ = ["bm25_index_build", "bm25_index_append", "bm25_index_repair",
+           "bm25_index_search"]
+
+#: generation-gated chunk names, the same crash contract as the MinHash
+#: index (functions/dedup_index.py): every append writes chunks tagged
+#: with its generation; the meta.json gen bump is the commit point;
+#: readers only load gen <= meta gen, so a crashed append is invisible
+_CHUNK_RE = re.compile(r"^chunk-g(\d+)-[0-9a-f]+\.parquet$")
+
+
+def _valid_chunk_paths(d: str, gen) -> List[str]:
+    """Chunk files under ``d`` committed at or before ``gen``. ``gen``
+    None (a pre-append v1 index) accepts every parquet file."""
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".parquet"):
+            continue
+        m = _CHUNK_RE.match(fn)
+        if gen is None or (m and int(m.group(1)) <= gen):
+            out.append(os.path.join(d, fn))
+    return out
 
 
 def _term_shard(terms, n_shards: int) -> np.ndarray:
@@ -54,14 +86,14 @@ def _term_shard(terms, n_shards: int) -> np.ndarray:
             % np.uint64(n_shards)).astype(np.int64)
 
 
-def bm25_index_build(ds, root: str, *, text_col: str = "text",
-                     id_col: str = "doc_id", n_shards: int = 16) -> str:
-    """Build the index under ``root`` (fresh directory). Returns root."""
+def _ingest(ds, root: str, n_shards: int, gen: int, text_col: str,
+            id_col: str) -> Dict:
+    """Write one GENERATION of postings + doc-stats chunks from ``ds``.
+    Shared by build and append; fully distributed (the postings shuffle
+    carries (term, doc, tf) triples, never text; doc chunks are written
+    per block with no shuffle). Returns ``{"n_docs", "sum_dl"}``."""
     import polars as pl
-
-    n_shards = 1 << max(0, n_shards - 1).bit_length()  # pow2, mask-safe
-    os.makedirs(os.path.join(root, "postings"), exist_ok=True)
-    os.makedirs(os.path.join(root, "docs"), exist_ok=True)
+    import pyarrow.parquet as pq
 
     def postings(batch: pa.Table) -> pa.Table:
         txt = pc.utf8_lower(batch.column(text_col))
@@ -85,28 +117,121 @@ def bm25_index_build(ds, root: str, *, text_col: str = "text",
                             n_shards)
         return agg.append_column("shard", pa.array(shard))
 
-    def doc_stats(batch: pa.Table) -> pa.Table:
+    def write_shard(g: pa.Table) -> pa.Table:
+        s = int(g.column("shard")[0].as_py())
+        g = g.sort_by([("term", "ascending"), ("doc", "ascending")])
+        pdir = os.path.join(root, "postings", f"shard={s}")
+        os.makedirs(pdir, exist_ok=True)
+        final = os.path.join(
+            pdir, f"chunk-g{gen:04d}-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(g.drop_columns(["shard"]), f"{final}.tmp")
+        os.replace(f"{final}.tmp", final)
+        return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+    (ds.map_batches(postings, batch_format="pyarrow")
+     .repartition(n_shards)  # coalesce fragments before the sort shuffle
+     .groupby("shard").map_groups(write_shard, batch_format="pyarrow")
+     .materialize())
+
+    def doc_stats_chunk(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col)
-        return pa.table({
+        t = pa.table({
             "doc": batch.column(id_col).cast(pa.int64()),
             "dl": pc.fill_null(pc.count_substring_regex(txt, TOKEN_RE),
                                0).cast(pa.int64()),
         })
+        if t.num_rows:
+            pdir = os.path.join(root, "docs")
+            os.makedirs(pdir, exist_ok=True)
+            final = os.path.join(
+                pdir, f"chunk-g{gen:04d}-{uuid.uuid4().hex[:8]}.parquet")
+            pq.write_table(t, f"{final}.tmp")
+            os.replace(f"{final}.tmp", final)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sum_dl": pa.array([int(np.sum(np.asarray(t.column("dl"))))
+                                if t.num_rows else 0], pa.int64()),
+        })
 
-    post = ds.map_batches(postings, batch_format="pyarrow")
-    post.write_parquet(os.path.join(root, "postings"),
-                       partition_cols=["shard"])
-    docs = ds.map_batches(doc_stats, batch_format="pyarrow")
-    docs.write_parquet(os.path.join(root, "docs"))
-    sum_dl = docs.sum("dl") or 0
-    n = docs.count()
-    meta = {"n_docs": int(n), "sum_dl": int(sum_dl), "n_shards": n_shards,
-            "version": 1}
-    tmp = os.path.join(root, "meta.json.tmp")
+    parts = (ds.map_batches(doc_stats_chunk, batch_format="pyarrow")
+             .take_all())
+    return {"n_docs": int(sum(r["n"] for r in parts)),
+            "sum_dl": int(sum(r["sum_dl"] for r in parts))}
+
+
+def bm25_index_build(ds, root: str, *, text_col: str = "text",
+                     id_col: str = "doc_id", n_shards: int = 16) -> str:
+    """Build the index under ``root`` (fresh directory). Returns root.
+
+    Doc ids must stay unique across the index's lifetime (appends
+    included) — a re-appended id would double-count its postings."""
+    if os.path.exists(os.path.join(root, "meta.json")):
+        raise FileExistsError(
+            f"index already exists at {root}; use bm25_index_append")
+    n_shards = 1 << max(0, n_shards - 1).bit_length()  # pow2, mask-safe
+    os.makedirs(os.path.join(root, "postings"), exist_ok=True)
+    os.makedirs(os.path.join(root, "docs"), exist_ok=True)
+    stats = _ingest(ds, root, n_shards, 1, text_col, id_col)
+    meta = {"n_docs": stats["n_docs"], "sum_dl": stats["sum_dl"],
+            "n_shards": n_shards, "text_col": text_col, "id_col": id_col,
+            "gen": 1, "version": 2}
+    _write_meta(root, meta)
+    return root
+
+
+def _write_meta(root: str, meta: Dict) -> None:
+    tmp = os.path.join(root, f".meta.json.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(root, "meta.json"))
-    return root
+
+
+def bm25_index_append(ds, root: str) -> Dict:
+    """Add ``ds``'s docs to an existing index (tokenization params come
+    from the meta). One chunk per touched postings shard plus one doc
+    chunk per block; the meta's generation bump is the commit point —
+    a crash before it leaves the index readable at the old generation
+    (run :func:`bm25_index_repair` to drop the debris, then retry).
+    Single writer at a time. Returns the updated meta."""
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    if "gen" not in meta:
+        raise ValueError(
+            "v1 index lacks generation-tagged chunks; rebuild it with "
+            "the current bm25_index_build to enable appends")
+    gen = meta["gen"] + 1
+    stats = _ingest(ds, root, meta["n_shards"], gen,
+                    meta["text_col"], meta["id_col"])
+    meta["n_docs"] += stats["n_docs"]
+    meta["sum_dl"] += stats["sum_dl"]
+    meta["gen"] = gen
+    _write_meta(root, meta)
+    return meta
+
+
+def bm25_index_repair(root: str) -> List[str]:
+    """Delete chunks from generations NEWER than the meta's (debris of
+    a crashed append). Returns removed paths; no-op on a healthy
+    index."""
+    with open(os.path.join(root, "meta.json")) as f:
+        gen = json.load(f).get("gen")
+    if gen is None:
+        return []
+    removed = []
+    for kind in ("postings", "docs"):
+        kroot = os.path.join(root, kind)
+        if not os.path.isdir(kroot):
+            continue
+        dirs = ([os.path.join(kroot, d) for d in os.listdir(kroot)
+                 if os.path.isdir(os.path.join(kroot, d))]
+                if kind == "postings" else [kroot])
+        for d in dirs:
+            for fn in os.listdir(d):
+                m = _CHUNK_RE.match(fn)
+                if m and int(m.group(1)) > gen:
+                    os.remove(os.path.join(d, fn))
+                    removed.append(os.path.join(d, fn))
+    return removed
 
 
 def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
@@ -139,10 +264,10 @@ def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
     # a shard dir that was never written just means no corpus word
     # hashed there: zero postings for its terms (df=0, contribution 0 —
     # exactly bm25_search's absent-term behavior)
+    gen = meta.get("gen")  # None on a v1 index: accept all chunk files
     shard_dirs = sorted({os.path.join(root, "postings", f"shard={s}")
                          for s in shards.tolist()})
-    paths = [os.path.join(d, f) for d in shard_dirs if os.path.isdir(d)
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    paths = [p for d in shard_dirs for p in _valid_chunk_paths(d, gen)]
     if not paths:
         import pandas as pd
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
@@ -183,10 +308,11 @@ def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
 
     # tiered dl attach (the dedup-removal pattern): broadcast the
     # doc-stats table below the limit, key-partitioned join above it
+    doc_paths = _valid_chunk_paths(os.path.join(root, "docs"), gen)
     if meta["n_docs"] <= dl_broadcast_limit:
         import pyarrow.parquet as pq
 
-        dt = pq.read_table(os.path.join(root, "docs"))
+        dt = pa.concat_tables([pq.read_table(p) for p in doc_paths])
         ids = np.asarray(dt.column("doc"))
         order = np.argsort(ids)
         ids_sorted = ids[order]
@@ -198,7 +324,7 @@ def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
 
         joined = post.map_batches(attach_dl, batch_format="pyarrow")
     else:
-        docs = rd.read_parquet(os.path.join(root, "docs"))
+        docs = rd.read_parquet(doc_paths)
         joined = post.join(docs, "inner", num_partitions,
                            on=("doc",), right_on=("doc",))
 

@@ -114,7 +114,8 @@ def _sample_centroids(ds, vec_col: str, ncentroids: int,
 
 def kmeans_fit(ds, k: int = 8, vec_col: str = "embedding", iters: int = 5,
                seed: int = 7, init_sample_rows: int = 4096,
-               batch_size: Optional[int] = 4096):
+               batch_size: Optional[int] = 4096,
+               init_centroids: Optional[np.ndarray] = None):
     """Distributed spherical k-means over the FULL corpus (Lloyd
     iterations as Ray Data passes) — the scale path the round-2 verdict
     asked for beyond sample-based centroids.
@@ -126,10 +127,14 @@ def kmeans_fit(ds, k: int = 8, vec_col: str = "embedding", iters: int = 5,
     ``k × n_blocks`` tiny rows regardless of corpus size; a
     ``groupby(cluster).map_groups`` fold (k groups) produces the new
     centroids. Driver state is the (k, d) centroid matrix only. Empty
-    clusters keep their previous centroid.
+    clusters are reseeded from the init sample: the point farthest from
+    its assigned centroid inside the largest cluster (standard Lloyd
+    repair), so no centroid stays stale forever.
 
     Initialization is the bounded-sample Lloyd (`_sample_centroids`
-    machinery): deterministic given ``seed``.
+    machinery): deterministic given ``seed``. Pass ``init_centroids``
+    for a warm start (e.g. resuming a previous fit); the bounded sample
+    is still drawn — it feeds empty-cluster reseeding.
 
     Returns ``(centroids, info)``: L2-normalized (k, d) float32
     centroids and ``info`` with per-iteration inertia
@@ -137,7 +142,11 @@ def kmeans_fit(ds, k: int = 8, vec_col: str = "embedding", iters: int = 5,
     final cluster counts.
     """
     m0 = _bounded_sample_matrix(ds, vec_col, 1.0, init_sample_rows, seed)
-    c = _lloyd(m0, k, iters=3, seed=seed)
+    if init_centroids is not None:
+        c = _l2norm(np.asarray(init_centroids, dtype=np.float64)).astype(
+            np.float32)
+    else:
+        c = _lloyd(m0, k, iters=3, seed=seed)
     k_eff = len(c)
     vecs = ds.select_columns([vec_col])
     inertia_hist = []
@@ -197,10 +206,40 @@ def kmeans_fit(ds, k: int = 8, vec_col: str = "embedding", iters: int = 5,
             inertia += float(r["inertia"])
             if counts[j] > 0:
                 new_c[j] = np.asarray(r["sum"], dtype=np.float64) / counts[j]
+        _reseed_empty_clusters(new_c, counts, m0)
         c = _l2norm(new_c).astype(np.float32)
         inertia_hist.append(inertia)
 
     return c, {"inertia": inertia_hist, "counts": counts}
+
+
+def _reseed_empty_clusters(centroids: np.ndarray, counts: np.ndarray,
+                           sample: np.ndarray) -> None:
+    """Standard Lloyd repair, in place: every empty cluster's centroid is
+    replaced by the sample point FARTHEST (lowest cosine) from its
+    assigned centroid within the largest non-empty cluster — a stale
+    centroid would otherwise sit dead for every remaining iteration.
+    Deterministic; each reseed uses a distinct sample point."""
+    empty = np.flatnonzero(counts == 0)
+    if not len(empty) or not len(sample):
+        return
+    sn = _l2norm(sample.astype(np.float64))
+    sims = sn @ _l2norm(centroids).T
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(sn)), assign]
+    sizes = counts.astype(np.float64).copy()
+    used = np.zeros(len(sn), dtype=bool)
+    for j in empty:
+        jmax = int(np.argmax(sizes))
+        cand = np.flatnonzero((assign == jmax) & ~used)
+        if not len(cand):
+            cand = np.flatnonzero(~used)
+        if not len(cand):
+            return
+        pick = int(cand[np.argmin(best[cand])])
+        used[pick] = True
+        centroids[j] = sn[pick]
+        sizes[jmax] -= 1.0  # successive empties spread across big clusters
 
 
 def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",

@@ -80,6 +80,49 @@ def test_counts_partition_invariant(ray_session):
     assert (counts[0] == counts[1]).all()
 
 
+def test_reseed_empty_clusters_unit():
+    from presto_bloomfilter_ray.functions.similarity import (
+        _l2norm,
+        _reseed_empty_clusters,
+    )
+
+    # two live centroids along e0/e1; centroid 2 is empty and stale
+    cents = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    counts = np.array([10, 2, 0], dtype=np.int64)
+    # sample: points near e0, one outlier far from e0 inside cluster 0
+    sample = np.array([[1.0, 0.0, 0.0], [0.9, 0.1, 0.0],
+                       [0.5, 0.5, 0.0],  # farthest-from-e0 cluster-0 point
+                       [0.0, 1.0, 0.0]])
+    _reseed_empty_clusters(cents, counts, sample)
+    expected = _l2norm(np.array([[0.5, 0.5, 0.0]]))[0]
+    assert np.allclose(cents[2], expected)
+    # live centroids untouched
+    assert np.allclose(cents[0], [1, 0, 0]) and np.allclose(cents[1], [0, 1, 0])
+
+
+def test_skewed_init_recovers_dead_centroid(ray_session):
+    """Warm-start with a centroid ORTHOGONAL to every data point: it
+    gets zero assignments in iteration 1 (guaranteed empty cluster);
+    reseeding must put it back to work instead of leaving it dead."""
+    from presto_bloomfilter_ray.functions import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(2)
+    blob_a = np.array([3.0, 0, 0, 0.0]) + 0.05 * rng.standard_normal((300, 4))
+    blob_b = np.array([0, 3.0, 0, 0.0]) + 0.05 * rng.standard_normal((300, 4))
+    m = np.concatenate([blob_a, blob_b])
+    m[:, 2] = np.abs(m[:, 2]) * 0  # data lives in the e0/e1 plane
+    dead = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]])
+    cents, info = kmeans_fit(_ds(m, parallelism=2), k=3, iters=5,
+                             batch_size=64, init_sample_rows=128,
+                             init_centroids=dead)
+    asn = (kmeans_assign(_ds(m, parallelism=2), cents)
+           .to_pandas().sort_values("vec_id")["cluster"].to_numpy())
+    # without reseeding label 2 stays unused forever; with it all three
+    # centroids end up owning points (the bigger blob splits)
+    assert len(set(asn.tolist())) == 3
+    assert (info["counts"] > 0).all()
+
+
 def test_k_larger_than_sample(ray_session):
     from presto_bloomfilter_ray.functions import kmeans_fit
 

@@ -108,6 +108,80 @@ def test_join_scale_path_matches_broadcast(ray_session, sf_dir, index_root):
     pd.testing.assert_frame_equal(fast, joined)
 
 
+def test_append_matches_full_rebuild(ray_session, sf_dir, index_root):
+    """build(half A) + append(half B) scores BIT-IDENTICALLY to
+    build(A ∪ B): postings chunks from different generations never
+    share a doc, and N/Σdl accumulate exactly."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import bm25_index_append
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    def half(rem):
+        return lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), rem))
+
+    first = docs.map_batches(half(0), batch_format="pyarrow")
+    second = docs.map_batches(half(1), batch_format="pyarrow")
+    bm25_index_build(first, index_root, n_shards=8)
+    meta = bm25_index_append(second, index_root)
+    assert meta["gen"] == 2 and meta["n_docs"] == docs.count()
+
+    full_root = f"{index_root}-full"
+    bm25_index_build(docs, full_root, n_shards=8)
+    try:
+        for q in ["table filter", "spark window merge"]:
+            inc = bm25_index_search(index_root, q, top_k=5)
+            full = bm25_index_search(full_root, q, top_k=5)
+            pd.testing.assert_frame_equal(inc, full)
+    finally:
+        shutil.rmtree(full_root, ignore_errors=True)
+
+
+def test_crashed_append_invisible_and_repairable(ray_session, index_root):
+    """Chunks from a generation NEWER than the meta (a crashed append)
+    must not affect search; repair removes them; a retried append then
+    lands cleanly."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import (
+        bm25_index_append,
+        bm25_index_repair,
+    )
+
+    t1 = pa.table({"doc_id": [0, 1], "text": ["alpha beta", "alpha"]})
+    t2 = pa.table({"doc_id": [2, 3], "text": ["alpha gamma", "beta"]})
+    bm25_index_build(rd.from_arrow(t1), index_root, n_shards=4)
+    before = bm25_index_search(index_root, ["alpha"], top_k=8)
+
+    # simulate a crashed append: ingest gen-2 chunks WITHOUT the meta bump
+    from presto_bloomfilter_ray.functions.search_index import _ingest
+
+    _ingest(rd.from_arrow(t2), index_root, 4, 2, "text", "doc_id")
+    mid = bm25_index_search(index_root, ["alpha"], top_k=8)
+    pd.testing.assert_frame_equal(before, mid)  # debris invisible
+
+    removed = bm25_index_repair(index_root)
+    assert removed and all("chunk-g0002" in p for p in removed)
+    meta = bm25_index_append(rd.from_arrow(t2), index_root)
+    assert meta["n_docs"] == 4
+    after = bm25_index_search(index_root, ["alpha"], top_k=8)
+    assert after["doc_id"].tolist() != before["doc_id"].tolist()
+    assert set(after["doc_id"]) == {0, 1, 2}
+
+
+def test_build_refuses_existing_index(ray_session, index_root):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": [0], "text": ["alpha"]})
+    bm25_index_build(rd.from_arrow(t), index_root, n_shards=2)
+    with pytest.raises(FileExistsError, match="append"):
+        bm25_index_build(rd.from_arrow(t), index_root, n_shards=2)
+
+
 def test_meta_written_atomically(ray_session, sf_dir, index_root):
     import json
 

@@ -414,6 +414,43 @@ def test_asof_forward_direction(ray_session):
     assert out["v_r"].tolist() == [10, 30]  # next right row at/after each left ts
 
 
+def test_asof_string_keys_match_pandas(ray_session):
+    """Property: the dictionary-encoded string-key probe path agrees
+    with pd.merge_asof on random (key, ts) data, nulls unmatched."""
+    import pandas as pd
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    keys = np.array(["alpha", "b", "cc", "ddd", "e", "zz"])
+    for trial in range(3):
+        n_l, n_r = 120, 40
+        lk = keys[rng.integers(0, len(keys), n_l)].astype(object)
+        lk[rng.random(n_l) < 0.1] = None  # null keys stay unmatched
+        left = pd.DataFrame({
+            "k": lk,
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+            "row": np.arange(n_l),
+        })
+        right = pd.DataFrame({
+            "k": keys[rng.integers(0, len(keys) - 1, n_r)],  # 'zz' absent
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+            "v": rng.integers(0, 1000, n_r),
+        })
+        got = (asof_join(rd.from_pandas(left).repartition(3), right,
+                         key="k", ts="ts", value_cols=["v"])
+               .to_pandas().sort_values("row").reset_index(drop=True))
+        oracle = pd.merge_asof(
+            left.dropna(subset=["k"]).sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable").astype({"v": "float64"}),
+            on="ts", by="k", direction="backward",
+        ).sort_values("row").set_index("row")["v"]
+        ours = got.set_index("row")["v_r"].astype("float64")
+        assert ours.reindex(oracle.index).equals(oracle)
+        assert got.loc[got["k"].isna(), "v_r"].isna().all()
+
+
 def test_range_join_bands(ray_session):
     import pandas as pd
     import ray.data as rd
