@@ -454,6 +454,45 @@ def _event_transition_counts(sf_dir: str):
     return agg
 
 
+def _pagerank_browse_graph(sf_dir: str):
+    """PageRank over the browse graph: each user's consecutive events
+    define page→page edges (pages = the JSON ``k`` prop), then 3 power
+    iterations of the integer recurrence (functions/graph.py pagerank —
+    broadcast tier here; the dataset tier is equality-tested against it
+    in tests/test_graph.py). The oracle is GENERATED from the same
+    constants by pagerank_sql_mirror, so ranks match bit-for-bit."""
+    from presto_bloomfilter_ray.functions import (
+        pagerank,
+        transition_counts,
+    )
+    from presto_bloomfilter_ray.functions.jsonops import (
+        json_extract_fields,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        return json_extract_fields(
+            b, "props", {"page": ("$.k", "int64")}).drop_columns(["props"])
+
+    edges = transition_counts(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        "ts", "user_id", "page", order_cols=["event_id"])
+    return pagerank(edges, iters=3, src_col="from_state",
+                    dst_col="to_state", weight_col="n")
+
+
+_PAGERANK_EDGES_SQL = """
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS src,
+               lead(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ) WHERE dst IS NOT NULL GROUP BY src, dst
+"""
+
+
 def _interarrival_stats(sf_dir: str):
     """Per-user inter-event gaps (functions/windows.py lag_deltas — the
     lag()-OVER window shape), folded per the later event's type. Gaps
@@ -2968,6 +3007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_user_spend": _cumulative_user_spend,
         "interarrival_stats": _interarrival_stats,
         "event_transition_counts": _event_transition_counts,
+        "pagerank_browse_graph": _pagerank_browse_graph,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
@@ -3056,6 +3096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from presto_bloomfilter_ray.functions.graph import pagerank_sql_mirror
     from presto_bloomfilter_ray.functions.search import bm25_sql_mirror
     from presto_bloomfilter_ray.functions.urls import canonicalize_sql
 
@@ -3120,6 +3161,12 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE to_state IS NOT NULL
             GROUP BY from_state, to_state
         """,
+        # GENERATED from the operator's own integer-recurrence
+        # constants (graph.py pagerank_sql_mirror) — ranks are pure
+        # int64 floor arithmetic on both engines, so they match
+        # bit-for-bit
+        "pagerank_browse_graph": pagerank_sql_mirror(_PAGERANK_EDGES_SQL,
+                                                     iters=3),
         # identical fixed expression order as standardize_by_key:
         # mu=(s1/100.0)/n, var=(s2/10000.0)/n-mu*mu, z=round((v-mu)/sd,6)
         "zscore_totalprice_by_status": """

@@ -1,0 +1,104 @@
+"""PageRank (functions/graph.py): integer recurrence, backend parity,
+and the generated SQL mirror."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from presto_bloomfilter_ray.functions import pagerank, pagerank_sql_mirror
+
+
+def _random_edges(seed, n_edges=4000, n_src=90, n_dst=110):
+    """Multigraph with guaranteed dangling nodes (ids ≥ n_src appear
+    only as destinations)."""
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "src": pa.array(rng.integers(0, n_src, n_edges), pa.int64()),
+        "dst": pa.array(rng.integers(0, n_dst, n_edges), pa.int64()),
+    })
+
+
+def _oracle(t: pa.Table, iters: int):
+    con = duckdb.connect()
+    con.register("raw", t)
+    edges_sql = ("SELECT src, dst, CAST(count(*) AS BIGINT) AS w "
+                 "FROM raw GROUP BY src, dst")
+    return con.execute(pagerank_sql_mirror(edges_sql, iters=iters)).df()
+
+
+def _run(t, backend, iters=3, **kw):
+    return (pagerank(rd.from_arrow(t), iters=iters, backend=backend,
+                     num_partitions=4, **kw)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+
+
+@pytest.mark.parametrize("backend", ["broadcast", "dataset"])
+def test_matches_sql_mirror(ray_session, backend):
+    t = _random_edges(11)
+    got = _run(t, backend)
+    ref = _oracle(t, 3)
+    assert got["node"].tolist() == ref["node"].tolist()
+    assert got["rank_micro"].tolist() == ref["rank_micro"].tolist()
+
+
+def test_backends_bit_identical(ray_session):
+    t = _random_edges(12)
+    a = _run(t, "broadcast")
+    b = _run(t, "dataset")
+    assert a["rank_micro"].tolist() == b["rank_micro"].tolist()
+
+
+def test_weights_equal_parallel_edges(ray_session):
+    """An edge with w=3 must behave exactly like three parallel
+    edges."""
+    raw = pa.table({"src": pa.array([0, 0, 0, 1], pa.int64()),
+                    "dst": pa.array([1, 1, 1, 2], pa.int64())})
+    agg = pa.table({"src": pa.array([0, 1], pa.int64()),
+                    "dst": pa.array([1, 2], pa.int64()),
+                    "w": pa.array([3, 1], pa.int64())})
+    a = _run(raw, "broadcast")
+    b = _run(agg, "broadcast", weight_col="w")
+    assert a["rank_micro"].tolist() == b["rank_micro"].tolist()
+
+
+def test_mass_conserved_up_to_floor_leak(ray_session):
+    """Total rank stays within the floor-leak bound of scale: each of
+    the k iterations loses < N + |E| + 2N units (per-node teleport and
+    dangling floors, per-edge payout floors)."""
+    t = _random_edges(13)
+    got = _run(t, "broadcast")
+    n_nodes = got.shape[0]
+    n_edge_rows = 4000
+    total = int(got["rank_micro"].sum())
+    leak_bound = 3 * (3 * n_nodes + n_edge_rows)
+    assert 10 ** 12 - leak_bound <= total <= 10 ** 12
+
+
+def test_zero_iters_is_uniform(ray_session):
+    t = _random_edges(14)
+    got = _run(t, "broadcast", iters=0)
+    n = got.shape[0]
+    assert (got["rank_micro"] == 10 ** 12 // n).all()
+
+
+def test_empty_edges(ray_session):
+    t = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    got = pagerank(rd.from_arrow(t), iters=3, backend="broadcast",
+                   num_partitions=4).to_pandas()
+    assert got.empty
+
+
+def test_dangling_mass_recycles(ray_session):
+    """Chain 0→1→2: node 2 is dangling; its mass must come back via
+    the dangling term (rank of 0 stays positive forever)."""
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    got = _run(t, "broadcast", iters=8)
+    ranks = dict(zip(got["node"], got["rank_micro"]))
+    assert ranks[0] > 10 ** 10  # ≫ 0: teleport + recycled dangling mass
+    assert ranks[2] > ranks[0]  # sink accumulates the chain's flow
+    ref = _oracle(t, 8)
+    assert got["rank_micro"].tolist() == ref["rank_micro"].tolist()
