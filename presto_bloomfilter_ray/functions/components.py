@@ -41,6 +41,8 @@ import pyarrow as pa
 
 import ray
 
+from .fold import bucket_fold
+
 
 def _fold_batches(batches):
     """Min-fold (node, label) pyarrow batches into two sorted arrays."""
@@ -70,8 +72,6 @@ def connected_components(edges, max_iters: int = 50,
     import pandas as pd
 
     import ray.data as rd
-    from ray.data.aggregate import Min
-
     if isinstance(edges, pd.DataFrame):
         edges = rd.from_pandas(edges[["a", "b"]].astype("int64"))
     edges = edges.select_columns(["a", "b"]).materialize()
@@ -95,7 +95,8 @@ def connected_components(edges, max_iters: int = 50,
 
     p0 = edges.map_batches(propose0, batch_format="pyarrow")
     if shuffle_rounds:
-        df0 = p0.groupby("node").aggregate(Min("label", alias_name="label")).to_pandas()
+        df0 = bucket_fold(p0, ["node"],
+                          [("label", "min", "label")]).to_pandas()
         order = np.argsort(df0["node"].to_numpy())
         nodes = df0["node"].to_numpy().astype(np.int64)[order]
         labels = df0["label"].to_numpy().astype(np.int64)[order]
@@ -125,7 +126,8 @@ def connected_components(edges, max_iters: int = 50,
 
         prop = edges.map_batches(propose, batch_format="pyarrow")
         if shuffle_rounds:
-            pdf = prop.groupby("node").aggregate(Min("label", alias_name="label")).to_pandas()
+            pdf = bucket_fold(prop, ["node"],
+                              [("label", "min", "label")]).to_pandas()
             pn = pdf["node"].to_numpy().astype(np.int64)
             pl = pdf["label"].to_numpy().astype(np.int64)
         else:
@@ -182,8 +184,6 @@ def connected_components_ds(edges, max_iters: int = 50, n_parts: int = 64,
        the shortcut the identity; breaking on ``changed == 0`` before
        the shortcut stays exact.
     """
-    from ray.data.aggregate import Min
-
     from .dedup import _pow2
 
     import ray.data as rd
@@ -225,11 +225,10 @@ def connected_components_ds(edges, max_iters: int = 50, n_parts: int = 64,
         n, lab = _fold_pairs(np.concatenate([a, b]), np.concatenate([m, m]))
         return pa.table({"node": pa.array(n), "label": pa.array(lab)})
 
-    labels = _sever((
-        edges.map_batches(propose0, batch_format="pyarrow")
-        .repartition(n_parts)
-        .groupby("node").aggregate(Min("label", alias_name="label"))
-    ).materialize())
+    labels = _sever(bucket_fold(
+        edges.map_batches(propose0, batch_format="pyarrow"),
+        ["node"], [("label", "min", "label")],
+        num_buckets=n_parts).materialize())
 
     def label_rows(b: pa.Table) -> pa.Table:
         node = b.column("node").cast(pa.int64())

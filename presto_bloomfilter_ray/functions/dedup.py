@@ -335,7 +335,6 @@ def dedup_lines_keep_first(ds, text_col: str = "text",
     Returns one row per document: ``(id, n_lines, n_kept, text)``.
     """
     import ray
-    from ray.data.aggregate import Min
 
     def _positions(b: pa.Table):
         """Split a batch of docs into flat lines + packed positions."""
@@ -366,9 +365,11 @@ def dedup_lines_keep_first(ds, text_col: str = "text",
         return (t.group_by("h").agg(win=pl.col("packed").min()).to_arrow()
                 .cast(pa.schema([("h", pa.int64()), ("win", pa.int64())])))
 
-    winners = (ds.map_batches(min_pairs, batch_format="pyarrow")
-               .groupby("h").aggregate(Min("win", alias_name="win"))
-               .materialize())
+    from .fold import bucket_fold
+
+    winners = bucket_fold(
+        ds.map_batches(min_pairs, batch_format="pyarrow"),
+        ["h"], [("win", "min", "win")]).materialize()
     n_distinct = winners.count()
 
     if n_distinct <= broadcast_limit:
@@ -456,8 +457,6 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
       and removal is a sharded anti-join: each batch loads only the
       shards its hashes land in, memoized per worker.
     """
-    from ray.data.aggregate import Count, Min
-
     import ray
 
     def hash_pairs(b: pa.Table) -> pa.Table:
@@ -476,10 +475,12 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
             "keep_id": b.column("keep_id").cast(pa.int64()),
         }).filter(keep)
 
+    from .fold import bucket_fold
+
     dups_ds = (
-        ds.map_batches(hash_pairs, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Count(alias_name="n"), Min(id_col, alias_name="keep_id"))
+        bucket_fold(ds.map_batches(hash_pairs, batch_format="pyarrow"),
+                    ["content_hash"],
+                    [(None, "count", "n"), (id_col, "min", "keep_id")])
         .map_batches(only_dups, batch_format="pyarrow")
         .materialize()
     )
@@ -1177,7 +1178,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     ``pair_cutoff`` fall back to star edges (hub → members).
     A pair found by several chunks is folded to its min hamming.
     """
-    from ray.data.aggregate import Min
+    from .fold import bucket_fold
 
     def sigs(batch: pa.Table) -> pa.Table:
         sh = simhash64(batch.column(text_col))  # arrow in, no row loop
@@ -1234,7 +1235,8 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         .repartition(n_parts)  # see _verify_pairs: avoid fragment blowup
         .groupby("part").map_groups(pair_and_verify, batch_format="pyarrow")
     )
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return bucket_fold(pairs, ["a", "b"],
+                       [("hamming", "min", "hamming")], num_buckets=n_parts)
 
 
 def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",

@@ -286,8 +286,6 @@ def pivot_counts(ds, row_key: str, col_key: str,
     ``{prefix}{category}`` column per requested category (others are
     ignored — mirror with explicit CASE sums in SQL). One-hot encode
     map-side, one ``groupby(row).sum`` — no row shuffle beyond it."""
-    from ray.data.aggregate import Sum
-
     cats = list(categories)
 
     def onehot(b: pa.Table) -> pa.Table:
@@ -297,7 +295,8 @@ def pivot_counts(ds, row_key: str, col_key: str,
             cols[prefix + c] = pc.cast(pc.equal(col, c), pa.int64())
         return pa.table(cols)
 
-    return (ds.map_batches(onehot, batch_format="pyarrow")
-            .groupby(row_key)
-            .aggregate(*[Sum(prefix + c, alias_name=prefix + c)
-                         for c in cats]))
+    from .fold import bucket_fold
+
+    return bucket_fold(ds.map_batches(onehot, batch_format="pyarrow"),
+                       [row_key],
+                       [(prefix + c, "sum", prefix + c) for c in cats])

@@ -279,8 +279,6 @@ def cosine_neardup_pairs_ivf(ds, threshold: float = 0.99,
     """
     import pandas as pd
 
-    from ray.data.aggregate import Max
-
     c = _sample_centroids(ds, vec_col, ncentroids, sample_fraction, seed=seed)
     cref = ray.put(c)
     m_eff = min(assign_m, len(c))
@@ -327,7 +325,9 @@ def cosine_neardup_pairs_ivf(ds, threshold: float = 0.99,
         .groupby("bucket").map_groups(pair_bucket, batch_format="pyarrow")
     )
     # a pair co-bucketed under two shared centroids appears twice (same sim)
-    return pairs.groupby(["a", "b"]).aggregate(Max("sim", alias_name="sim"))
+    from .fold import bucket_fold
+
+    return bucket_fold(pairs, ["a", "b"], [("sim", "max", "sim")])
 
 
 def cosine_neardup_pairs(ds, threshold: float = 0.99, vec_col: str = "embedding",

@@ -124,8 +124,6 @@ def hot_windows(ds, text_col: str = "text", window: int = 20,
     broadcast/sharded hot-set descriptor as
     :func:`~.text.boilerplate_lines` (``{"kind": "array", ...}`` or
     ``{"kind": "shards", ...}``)."""
-    from ray.data.aggregate import Sum
-
     from .dedup import _fresh_shard_dir, _n_shards_for, _write_key_shards
 
     def window_doc_counts(b: pa.Table) -> pa.Table:
@@ -146,9 +144,12 @@ def hot_windows(ds, text_col: str = "text", window: int = 20,
         return pa.table({"win_hash": pa.array(uniq_h),
                          "nd": pa.array(nd.astype(np.int64))})
 
+    from .fold import bucket_fold
+
     hot = (
-        ds.map_batches(window_doc_counts, batch_format="pyarrow")
-        .groupby("win_hash").aggregate(Sum("nd", alias_name="nd"))
+        bucket_fold(ds.map_batches(window_doc_counts,
+                                   batch_format="pyarrow"),
+                    ["win_hash"], [("nd", "sum", "nd")])
         .filter(expr=f"nd >= {int(min_docs)}")
         .select_columns(["win_hash"])
     ).materialize()

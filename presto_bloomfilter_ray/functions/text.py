@@ -318,9 +318,11 @@ def boilerplate_lines(ds, text_col: str = "text", min_count: int = 2,
         return pa.table({"line_hash": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
+    from .fold import bucket_fold
+
     hot = (
-        ds.map_batches(line_hash_counts, batch_format="pyarrow")
-        .groupby("line_hash").aggregate(Sum("n", alias_name="n"))
+        bucket_fold(ds.map_batches(line_hash_counts, batch_format="pyarrow"),
+                    ["line_hash"], [("n", "sum", "n")])
         .filter(expr=f"n >= {int(min_count)}")
         .select_columns(["line_hash"])
     ).materialize()
