@@ -78,29 +78,14 @@ _D_NUM, _D_DEN = 85, 100
 
 def _bucket_fold_sum(partials, num_buckets: int):
     """Sum a Dataset of (node:int64, s:int64) partial rows by node →
-    Dataset of (node, s), using a bucket-keyed fold instead of a
-    node-keyed ``groupby().aggregate`` (see module docstring: identical
-    result, ~50× faster at ≥1M distinct nodes in Ray 2.49). Exchange
-    volume is exactly the partial rows; each bucket's fold is one
-    vectorized unique+add.at."""
+    Dataset of (node, s), via the shared bucket fold (see module
+    docstring and ``functions/fold.py``: identical result to a
+    node-keyed ``groupby().aggregate``, ~50× faster at ≥1M distinct
+    nodes in Ray 2.49)."""
+    from .fold import bucket_fold
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        node = np.asarray(b.column("node"), dtype=np.int64)
-        return b.append_column(
-            "_b", pa.array(node % num_buckets, pa.int64()))
-
-    def fold(g: pa.Table) -> pa.Table:
-        node = np.asarray(g.column("node"), dtype=np.int64)
-        s = np.asarray(g.column("s"), dtype=np.int64)
-        uniq, inv = np.unique(node, return_inverse=True)
-        acc = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(acc, inv, s)
-        return pa.table({"node": pa.array(uniq, pa.int64()),
-                         "s": pa.array(acc, pa.int64())})
-
-    return (partials.map_batches(add_bucket, batch_format="pyarrow",
-                                 batch_size=None)
-            .groupby("_b").map_groups(fold, batch_format="pyarrow"))
+    return bucket_fold(partials, ["node"], [("s", "sum", "s")],
+                       num_buckets=num_buckets)
 
 
 def _node_wout_partials(src_col: str, dst_col: str, w_col: str):
