@@ -119,9 +119,11 @@ def pack_stats(assignments, *, budget: int):
     groupby aggregate, never a driver collect."""
     from ray.data.aggregate import Count, Max, Sum
 
-    per_pack = (assignments.groupby("pack_id")
-                .aggregate(Sum("n_tok", alias_name="pack_tok"),
-                           Count(alias_name="pack_pieces")))
+    from .fold import bucket_fold
+
+    per_pack = bucket_fold(
+        assignments, ["pack_id"],
+        [("n_tok", "sum", "pack_tok"), (None, "count", "pack_pieces")])
     agg = per_pack.aggregate(Count(alias_name="n_packs"),
                              Sum("pack_tok", alias_name="total_tokens"),
                              Max("pack_tok", alias_name="max_pack_tokens"),

@@ -340,12 +340,11 @@ def bm25_index_search(root: str, query: Union[str, Sequence[str]], *,
                                       type=pa.float64())
         return pa.table(cols)
 
-    from ray.data.aggregate import Sum
+    from .fold import bucket_fold
 
-    per_doc = (joined.map_batches(contrib_cols, batch_format="pyarrow")
-               .groupby("doc")
-               .aggregate(*[Sum(f"c_{i}", alias_name=f"c_{i}")
-                            for i in range(Q)]))
+    per_doc = bucket_fold(
+        joined.map_batches(contrib_cols, batch_format="pyarrow"),
+        ["doc"], [(f"c_{i}", "sum", f"c_{i}") for i in range(Q)])
 
     def local_topk(batch: pa.Table) -> pa.Table:
         # fixed q-order cross-term add — the oracle's operation order
