@@ -493,6 +493,32 @@ _PAGERANK_EDGES_SQL = """
 """
 
 
+def _hits_browse_graph(sf_dir: str):
+    """Kleinberg HITS (hubs/authorities) over the same per-user
+    consecutive-event page graph as `pagerank_browse_graph` — 3
+    iterations of the division-first integer recurrence
+    (functions/graph.py hits; broadcast tier here, dataset tier
+    equality-tested in tests/test_graph.py). Oracle GENERATED from the
+    same constants by hits_sql_mirror: bit-exact."""
+    from presto_bloomfilter_ray.functions import hits, transition_counts
+    from presto_bloomfilter_ray.functions.jsonops import (
+        json_extract_fields,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        return json_extract_fields(
+            b, "props", {"page": ("$.k", "int64")}).drop_columns(["props"])
+
+    edges = transition_counts(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        "ts", "user_id", "page", order_cols=["event_id"])
+    return hits(edges, iters=3, src_col="from_state",
+                dst_col="to_state", weight_col="n")
+
+
 def _interarrival_stats(sf_dir: str):
     """Per-user inter-event gaps (functions/windows.py lag_deltas — the
     lag()-OVER window shape), folded per the later event's type. Gaps
@@ -3008,6 +3034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": _interarrival_stats,
         "event_transition_counts": _event_transition_counts,
         "pagerank_browse_graph": _pagerank_browse_graph,
+        "hits_browse_graph": _hits_browse_graph,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
@@ -3096,7 +3123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from presto_bloomfilter_ray.functions.graph import pagerank_sql_mirror
+    from presto_bloomfilter_ray.functions.graph import (
+        hits_sql_mirror,
+        pagerank_sql_mirror,
+    )
     from presto_bloomfilter_ray.functions.search import bm25_sql_mirror
     from presto_bloomfilter_ray.functions.urls import canonicalize_sql
 
@@ -3167,6 +3197,9 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit
         "pagerank_browse_graph": pagerank_sql_mirror(_PAGERANK_EDGES_SQL,
                                                      iters=3),
+        # same generated-mirror discipline for HITS (division-first
+        # rescale, non-negative int64 floors on both engines)
+        "hits_browse_graph": hits_sql_mirror(_PAGERANK_EDGES_SQL, iters=3),
         # identical fixed expression order as standardize_by_key:
         # mu=(s1/100.0)/n, var=(s2/10000.0)/n-mu*mu, z=round((v-mu)/sd,6)
         "zscore_totalprice_by_status": """

@@ -66,7 +66,7 @@ import pyarrow.compute as pc
 
 import ray
 
-__all__ = ["pagerank", "pagerank_sql_mirror"]
+__all__ = ["pagerank", "pagerank_sql_mirror", "hits", "hits_sql_mirror"]
 
 #: rank unit: ranks are integers in 1/SCALE-ths, so every sum any engine
 #: computes is an exact int64 (no float accumulation order anywhere)
@@ -335,3 +335,189 @@ def pagerank_sql_mirror(edges_sql: str, *, iters: int = 3,
             f" FROM nodes n LEFT JOIN inflow{k} i USING (node))")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, r AS rank_micro FROM r{iters} ORDER BY node")
+
+
+#: HITS rank unit — smaller than PageRank's because hub scores multiply
+#: edge weights inside int64 sums: the documented bound is
+#: ``|E| · max_w · hits_scale < 2^63`` (10^12 weighted edges at 10^6).
+HITS_SCALE = 10 ** 6
+
+
+def hits(edges, *, iters: int = 3, scale: int = HITS_SCALE,
+         src_col: str = "src", dst_col: str = "dst",
+         weight_col: Optional[str] = None,
+         backend: str = "auto", broadcast_limit: int = 2_000_000,
+         num_partitions: int = 16):
+    """Kleinberg's HITS over an edge Dataset → Dataset of
+    ``(node, hub_score, auth_score)`` int64.
+
+    Integer recurrence (shared verbatim with :func:`hits_sql_mirror`,
+    all ``//`` floor divisions on non-negative int64):
+
+    * ``h0(v) = scale`` for every node;
+    * ``a_raw(v) = Σ_{(u,v,w)∈E} h(u)·w``; with ``A = Σ_v a_raw(v)``
+      the rescale is **division-first** — ``a(v) = a_raw(v) //
+      max(A // scale, 1)`` — so no intermediate ever multiplies a raw
+      sum by ``scale`` (int64-safe at 10^12 edges, unlike the textbook
+      ``a_raw·scale // A``);
+    * ``h_raw(u) = Σ_{(u,v,w)∈E} a(v)·w``; ``h(u) = h_raw(u) //
+      max(H // scale, 1)`` with ``H = Σ h_raw``.
+
+    Scores are ≈``scale``-normalized (Σ ≈ scale up to floor loss).
+    Backends mirror :func:`pagerank`: broadcast (score vectors on the
+    driver, one edge pass per half-iteration routed via ``ray.put``)
+    and dataset (scores stay a hash-partitioned Dataset; per
+    half-iteration one routing join + one bucket fold + one attach
+    join). Bound: ``|E| · max_w · scale < 2^63``.
+    """
+    import ray.data as rd
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    ed = _normalize_edges(edges, src_col, dst_col, weight_col).materialize()
+    node_rows = _bucket_fold_sum(
+        ed.map_batches(_node_wout_partials("src", "dst", "w"),
+                       batch_format="pyarrow", batch_size=None),
+        num_partitions).materialize()
+    n = node_rows.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hub_score": pa.array([], pa.int64()),
+            "auth_score": pa.array([], pa.int64())}))
+    if backend == "dataset" or (backend == "auto" and n > broadcast_limit):
+        return _hits_dataset(ed, node_rows, iters, scale, num_partitions)
+
+    nodes = np.sort(node_rows.to_pandas()["node"].to_numpy(dtype=np.int64))
+    nodes_ref = ray.put(nodes)
+    h = np.full(n, scale, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+
+    def half_pass(vec: np.ndarray, lookup_col: str, emit_col: str):
+        """Route vec[lookup]·w to emit nodes, fold, rescale."""
+        v_ref = ray.put(vec)
+        rows = _bucket_fold_sum(ed.map_batches(
+            _edge_partials(nodes_ref, v_ref, lookup_col, emit_col, "w"),
+            batch_format="pyarrow", batch_size=None),
+            num_partitions).to_pandas()
+        raw = np.zeros(n, dtype=np.int64)
+        if len(rows):
+            idx = np.searchsorted(nodes, rows["node"].to_numpy(np.int64))
+            raw[idx] = rows["s"].to_numpy(np.int64)
+        denom = max(int(raw.sum()) // scale, 1)
+        return raw // denom
+
+    for _ in range(iters):
+        a = half_pass(h, "src", "dst")
+        h = half_pass(a, "dst", "src")
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "hub_score": pa.array(h, pa.int64()),
+        "auth_score": pa.array(a, pa.int64())}))
+
+
+def _hits_dataset(ed, node_rows, iters: int, scale: int,
+                  num_partitions: int):
+    """Scale path: the (node, h, a) score table stays a
+    hash-partitioned Dataset; the driver holds only the per-half-pass
+    total (A or H). Per half-pass: one routing join (edges ⋈ scores on
+    the lookup endpoint), one bucket fold keyed by the emit endpoint,
+    one attach join back onto the score table."""
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "h": pa.array(np.full(b.num_rows, scale, np.int64)),
+            "a": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    scores = node_rows.map_batches(seed, batch_format="pyarrow",
+                                   batch_size=None).materialize()
+
+    def half_pass(scores, value_col: str, out_col: str,
+                  lookup_col: str, emit_col: str):
+        def pick(b: pa.Table) -> pa.Table:
+            return pa.table({lookup_col: b.column("node"),
+                             "q": b.column(value_col)})
+
+        q_ds = scores.map_batches(pick, batch_format="pyarrow",
+                                  batch_size=None)
+        joined = ed.join(q_ds, "inner", num_partitions, on=(lookup_col,))
+
+        def per_edge(b: pa.Table) -> pa.Table:
+            emit = np.asarray(b.column(emit_col), dtype=np.int64)
+            c = (np.asarray(b.column("q"), dtype=np.int64)
+                 * np.asarray(b.column("w"), dtype=np.int64))
+            uniq, inv = np.unique(emit, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(acc, inv, c)
+            return pa.table({"node": pa.array(uniq, pa.int64()),
+                             "s": pa.array(acc, pa.int64())})
+
+        raw = _bucket_fold_sum(
+            joined.map_batches(per_edge, batch_format="pyarrow",
+                               batch_size=None),
+            num_partitions).map_batches(
+                lambda b: b.rename_columns(["node", "_s"]),
+                batch_format="pyarrow", batch_size=None).materialize()
+        denom = max(int(raw.sum("_s") or 0) // scale, 1)
+        nxt = scores.join(raw, "left_outer", num_partitions, on=("node",))
+
+        def rescale(b: pa.Table) -> pa.Table:
+            s = np.asarray(pc.fill_null(b.column("_s"), 0), dtype=np.int64)
+            cols = {"node": b.column("node"), "h": b.column("h"),
+                    "a": b.column("a")}
+            cols[out_col] = pa.array(s // denom, pa.int64())
+            return pa.table(cols)
+
+        return nxt.map_batches(rescale, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    for _ in range(iters):
+        scores = half_pass(scores, "h", "a", "src", "dst")
+        scores = half_pass(scores, "a", "h", "dst", "src")
+    return scores.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "hub_score": b.column("h"),
+                            "auth_score": b.column("a")}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def hits_sql_mirror(edges_sql: str, *, iters: int = 3,
+                    scale: int = HITS_SCALE) -> str:
+    """ANSI-SQL mirror of :func:`hits`, GENERATED from the same
+    constants (the repo's oracle-can't-drift pattern). ``edges_sql``
+    must select ``src, dst, w`` (int). Bit-identical to the operator:
+    the recurrence is pure non-negative int64 floor arithmetic on both
+    engines."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst AS node FROM edges)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"araw{k} AS (SELECT e.dst AS node,"
+            f" CAST(sum(s.h * e.w) AS BIGINT) AS s"
+            f" FROM edges e JOIN h{p} s ON e.src = s.node GROUP BY e.dst)")
+        parts.append(
+            f"a{k} AS (SELECT n.node, coalesce(r.s, 0)"
+            f" // greatest((SELECT CAST(coalesce(sum(s), 0) AS BIGINT)"
+            f" FROM araw{k})"
+            f" // {scale}, 1) AS a"
+            f" FROM nodes n LEFT JOIN araw{k} r USING (node))")
+        parts.append(
+            f"hraw{k} AS (SELECT e.src AS node,"
+            f" CAST(sum(s.a * e.w) AS BIGINT) AS s"
+            f" FROM edges e JOIN a{k} s ON e.dst = s.node GROUP BY e.src)")
+        parts.append(
+            f"h{k} AS (SELECT n.node, coalesce(r.s, 0)"
+            f" // greatest((SELECT CAST(coalesce(sum(s), 0) AS BIGINT)"
+            f" FROM hraw{k})"
+            f" // {scale}, 1) AS h"
+            f" FROM nodes n LEFT JOIN hraw{k} r USING (node))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h.node, h.h AS hub_score, a.a AS auth_score"
+            + f" FROM h{iters} h JOIN a{iters} a USING (node)"
+            + " ORDER BY node")

@@ -102,3 +102,75 @@ def test_dangling_mass_recycles(ray_session):
     assert ranks[2] > ranks[0]  # sink accumulates the chain's flow
     ref = _oracle(t, 8)
     assert got["rank_micro"].tolist() == ref["rank_micro"].tolist()
+
+
+# ---------------- HITS ----------------
+
+from presto_bloomfilter_ray.functions import hits, hits_sql_mirror  # noqa: E402
+
+
+def _hits_oracle(t: pa.Table, iters: int):
+    con = duckdb.connect()
+    con.register("raw", t)
+    edges_sql = ("SELECT src, dst, CAST(count(*) AS BIGINT) AS w "
+                 "FROM raw GROUP BY src, dst")
+    return con.execute(hits_sql_mirror(edges_sql, iters=iters)).df()
+
+
+def _hits_run(t, backend, iters=3, **kw):
+    return (hits(rd.from_arrow(t), iters=iters, backend=backend,
+                 num_partitions=4, **kw)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+
+
+@pytest.mark.parametrize("backend", ["broadcast", "dataset"])
+def test_hits_matches_sql_mirror(ray_session, backend):
+    t = _random_edges(21)
+    got = _hits_run(t, backend)
+    ref = _hits_oracle(t, 3)
+    assert got["node"].tolist() == ref["node"].tolist()
+    assert got["hub_score"].tolist() == ref["hub_score"].tolist()
+    assert got["auth_score"].tolist() == ref["auth_score"].tolist()
+
+
+def test_hits_backends_bit_identical(ray_session):
+    t = _random_edges(22)
+    a = _hits_run(t, "broadcast")
+    b = _hits_run(t, "dataset")
+    assert a["hub_score"].tolist() == b["hub_score"].tolist()
+    assert a["auth_score"].tolist() == b["auth_score"].tolist()
+
+
+def test_hits_star_graph(ray_session):
+    """A star u→{v1..v9}: u is the only hub, the leaves split the
+    authority mass ≈ evenly; leaves have zero hub score."""
+    t = pa.table({"src": pa.array([0] * 9, pa.int64()),
+                  "dst": pa.array(list(range(1, 10)), pa.int64())})
+    got = _hits_run(t, "broadcast")
+    hub = dict(zip(got["node"], got["hub_score"]))
+    auth = dict(zip(got["node"], got["auth_score"]))
+    assert hub[0] > 0 and all(hub[v] == 0 for v in range(1, 10))
+    assert auth[0] == 0
+    leaf_auths = {auth[v] for v in range(1, 10)}
+    assert len(leaf_auths) == 1  # symmetric leaves, identical scores
+    # scores ≈ scale-normalized: sum within floor loss of the unit
+    assert 0 < sum(auth.values()) <= 10 ** 6
+
+
+def test_hits_empty_edges(ray_session):
+    t = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    got = _hits_run(t, "broadcast")
+    assert len(got) == 0
+
+
+def test_hits_weights_equal_parallel_edges(ray_session):
+    raw = pa.table({"src": pa.array([0, 0, 0, 1], pa.int64()),
+                    "dst": pa.array([1, 1, 1, 2], pa.int64())})
+    agg = pa.table({"src": pa.array([0, 1], pa.int64()),
+                    "dst": pa.array([1, 2], pa.int64()),
+                    "w": pa.array([3, 1], pa.int64())})
+    a = _hits_run(raw, "broadcast")
+    b = _hits_run(agg, "broadcast", weight_col="w")
+    assert a["hub_score"].tolist() == b["hub_score"].tolist()
+    assert a["auth_score"].tolist() == b["auth_score"].tolist()
