@@ -363,7 +363,9 @@ def hits(edges, *, iters: int = 3, scale: int = HITS_SCALE,
     * ``h_raw(u) = Σ_{(u,v,w)∈E} a(v)·w``; ``h(u) = h_raw(u) //
       max(H // scale, 1)`` with ``H = Σ h_raw``.
 
-    Scores are ≈``scale``-normalized (Σ ≈ scale up to floor loss).
+    Scores are ≈``scale``-normalized: Σ lands within a
+    ``(1 ± 1/denom)`` factor of ``scale`` (``denom = total // scale``),
+    the price of dividing before multiplying.
     Backends mirror :func:`pagerank`: broadcast (score vectors on the
     driver, one edge pass per half-iteration routed via ``ray.put``)
     and dataset (scores stay a hash-partitioned Dataset; per

@@ -153,8 +153,9 @@ def test_hits_star_graph(ray_session):
     assert auth[0] == 0
     leaf_auths = {auth[v] for v in range(1, 10)}
     assert len(leaf_auths) == 1  # symmetric leaves, identical scores
-    # scores ≈ scale-normalized: sum within floor loss of the unit
-    assert 0 < sum(auth.values()) <= 10 ** 6
+    # division-first rescale normalizes to scale within a (1 ± 1/denom)
+    # factor (denom = total // scale), not exactly ≤ scale
+    assert 0.8 * 10 ** 6 < sum(auth.values()) < 1.25 * 10 ** 6
 
 
 def test_hits_empty_edges(ray_session):
