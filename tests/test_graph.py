@@ -161,7 +161,10 @@ def test_hits_star_graph(ray_session):
 def test_hits_empty_edges(ray_session):
     t = pa.table({"src": pa.array([], pa.int64()),
                   "dst": pa.array([], pa.int64())})
-    got = _hits_run(t, "broadcast")
+    # to_pandas() on an empty Dataset drops the column schema (same
+    # Ray behavior as test_empty_edges above) — check emptiness only
+    got = hits(rd.from_arrow(t), iters=3, backend="broadcast",
+               num_partitions=4).to_pandas()
     assert len(got) == 0
 
 
