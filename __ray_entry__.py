@@ -493,6 +493,38 @@ _PAGERANK_EDGES_SQL = """
 """
 
 
+#: personalized-PageRank teleport set (pages 0-99 exist at every sf)
+_PPR_SEEDS = [3, 7, 42]
+
+
+def _pagerank_personalized_pages(sf_dir: str):
+    """Personalized PageRank: the teleport term (restart + dangling
+    redistribution) flows only to seed pages — the seed-expansion
+    primitive for crawl-frontier / topic-conditioned quality. Same
+    browse-graph edges as `pagerank_browse_graph`; oracle GENERATED
+    with the identical seed set by pagerank_sql_mirror(seeds=...)."""
+    from presto_bloomfilter_ray.functions import (
+        pagerank,
+        transition_counts,
+    )
+    from presto_bloomfilter_ray.functions.jsonops import (
+        json_extract_fields,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        return json_extract_fields(
+            b, "props", {"page": ("$.k", "int64")}).drop_columns(["props"])
+
+    edges = transition_counts(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        "ts", "user_id", "page", order_cols=["event_id"])
+    return pagerank(edges, iters=3, src_col="from_state",
+                    dst_col="to_state", weight_col="n", seeds=_PPR_SEEDS)
+
+
 def _hits_browse_graph(sf_dir: str):
     """Kleinberg HITS (hubs/authorities) over the same per-user
     consecutive-event page graph as `pagerank_browse_graph` — 3
@@ -3034,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": _interarrival_stats,
         "event_transition_counts": _event_transition_counts,
         "pagerank_browse_graph": _pagerank_browse_graph,
+        "pagerank_personalized_pages": _pagerank_personalized_pages,
         "hits_browse_graph": _hits_browse_graph,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
@@ -3197,6 +3230,8 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit
         "pagerank_browse_graph": pagerank_sql_mirror(_PAGERANK_EDGES_SQL,
                                                      iters=3),
+        "pagerank_personalized_pages": pagerank_sql_mirror(
+            _PAGERANK_EDGES_SQL, iters=3, seeds=_PPR_SEEDS),
         # same generated-mirror discipline for HITS (division-first
         # rescale, non-negative int64 floors on both engines)
         "hits_browse_graph": hits_sql_mirror(_PAGERANK_EDGES_SQL, iters=3),

@@ -154,6 +154,7 @@ def _normalize_edges(edges, src_col: str, dst_col: str,
 def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: Optional[str] = None,
+             seeds=None,
              backend: str = "auto", broadcast_limit: int = 2_000_000,
              num_partitions: int = 16):
     """PageRank over an edge Dataset → Dataset of (node, rank_micro).
@@ -163,7 +164,15 @@ def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
     power iterations of the integer recurrence in the module docstring.
     ``backend``: "broadcast" (driver-resident rank vector), "dataset"
     (rank vector stays distributed), or "auto" (node count decides).
-    """
+
+    ``seeds``: optional iterable of node ids → PERSONALIZED PageRank:
+    the teleport term (initial mass, the 15 % restart, and the dangling
+    redistribution) flows only to the seed set instead of uniformly —
+    the standard seed-expansion primitive (crawl-frontier scoring,
+    topic-conditioned page quality). Seeds absent from the graph's node
+    set are ignored (both engines intersect first); ``seeds=None`` is
+    EXACTLY the uniform recurrence (all nodes are seeds). The seed set
+    is driver-resident (it's a query parameter, not data)."""
     import ray.data as rd
 
     if iters < 0:
@@ -175,9 +184,12 @@ def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
         ed.map_batches(_node_wout_partials("src", "dst", "w"),
                        batch_format="pyarrow", batch_size=None),
         num_partitions).materialize()
+    seed_arr = (None if seeds is None
+                else np.unique(np.asarray(list(seeds), dtype=np.int64)))
     if backend == "dataset" or (backend == "auto"
                                 and node_wout.count() > broadcast_limit):
-        return _pagerank_dataset(ed, node_wout, iters, scale, num_partitions)
+        return _pagerank_dataset(ed, node_wout, iters, scale,
+                                 num_partitions, seed_arr)
 
     nw = node_wout.to_pandas()
     n = len(nw)
@@ -189,8 +201,17 @@ def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
     nodes = nw["node"].to_numpy(dtype=np.int64)[order]
     wout = nw["s"].to_numpy(dtype=np.int64)[order]
 
-    r = np.full(n, scale // n, dtype=np.int64)
-    base = (scale * (_D_DEN - _D_NUM)) // (_D_DEN * n)
+    if seed_arr is None:
+        s_mask = np.ones(n, dtype=bool)
+    else:
+        s_mask = np.isin(nodes, seed_arr)
+    ns = int(s_mask.sum())
+    if ns == 0:
+        raise ValueError("no seed is a node of the graph")
+    r = np.where(s_mask, scale // ns, 0).astype(np.int64)
+    base = np.where(
+        s_mask, (scale * (_D_DEN - _D_NUM)) // (_D_DEN * ns), 0
+    ).astype(np.int64)
     nodes_ref = ray.put(nodes)  # shipped once, read zero-copy per block
     for _ in range(iters):
         q = np.where(wout > 0, r // np.maximum(wout, 1), 0)
@@ -206,36 +227,56 @@ def pagerank(edges, *, iters: int = 3, scale: int = DEFAULT_SCALE,
             inflow[idx] = inflow_rows["s"].to_numpy(dtype=np.int64)
         dangling = int(r[wout == 0].sum())
         r = (base + (_D_NUM * inflow) // _D_DEN
-             + (_D_NUM * dangling) // (_D_DEN * n))
+             + s_mask * ((_D_NUM * dangling) // (_D_DEN * ns)))
     return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()),
                                    "rank_micro": pa.array(r, pa.int64())}))
 
 
 def _pagerank_dataset(ed, node_wout, iters: int, scale: int,
-                      num_partitions: int):
+                      num_partitions: int, seed_arr=None):
     """Scale path: the rank vector is a hash-partitioned Dataset end to
     end; the driver only ever holds per-iteration scalars (N, dangling
     mass). ``node_wout`` is the fused (node, s=out-weight) table — the
     rank rows carry wout inline, so the only per-iteration join is the
     edge⋈payout routing; dangling mass and payout are pure map passes
-    and the inflow reduction is a bucket fold."""
-    n = node_wout.count()
+    and the inflow reduction is a bucket fold. ``seed_arr`` (sorted
+    int64, personalized teleport set) ships once via ``ray.put``."""
     import ray.data as rd
 
-    if n == 0:
+    if node_wout.count() == 0:
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "rank_micro": pa.array([], pa.int64())}))
 
-    def seed(b: pa.Table) -> pa.Table:
+    seeds_ref = ray.put(seed_arr)  # None → uniform (every node a seed)
+
+    def mark(b: pa.Table) -> pa.Table:
+        node = np.asarray(b.column("node"), dtype=np.int64)
+        sa = ray.get(seeds_ref)
+        flag = (np.ones(len(node), bool) if sa is None
+                else np.isin(node, sa))
         return pa.table({
             "node": b.column("node"),
             "wout": b.column("s"),
-            "r": pa.array(np.full(b.num_rows, scale // n, np.int64))})
+            "is_seed": pa.array(flag.astype(np.int64), pa.int64())})
 
-    ranks = node_wout.map_batches(seed, batch_format="pyarrow",
-                                  batch_size=None).materialize()
-    base = (scale * (_D_DEN - _D_NUM)) // (_D_DEN * n)
+    marked = node_wout.map_batches(mark, batch_format="pyarrow",
+                                   batch_size=None).materialize()
+    ns = int(marked.sum("is_seed") or 0)  # seed count, distributed
+    if ns == 0:
+        raise ValueError("no seed is a node of the graph")
+
+    def seed(b: pa.Table) -> pa.Table:
+        flag = np.asarray(b.column("is_seed"), dtype=np.int64)
+        return pa.table({
+            "node": b.column("node"),
+            "wout": b.column("wout"),
+            "is_seed": b.column("is_seed"),
+            "r": pa.array(flag * (scale // ns), pa.int64())})
+
+    ranks = marked.map_batches(seed, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    base = (scale * (_D_DEN - _D_NUM)) // (_D_DEN * ns)
 
     def dang_partial(b: pa.Table) -> pa.Table:
         r = np.asarray(b.column("r"), dtype=np.int64)
@@ -280,10 +321,12 @@ def _pagerank_dataset(ed, node_wout, iters: int, scale: int,
 
         def fold(b: pa.Table) -> pa.Table:
             s = np.asarray(pc.fill_null(b.column("_in"), 0), dtype=np.int64)
-            r = (base + (_D_NUM * s) // _D_DEN
-                 + (_D_NUM * dangling) // (_D_DEN * n))
+            flag = np.asarray(b.column("is_seed"), dtype=np.int64)
+            r = (flag * base + (_D_NUM * s) // _D_DEN
+                 + flag * ((_D_NUM * dangling) // (_D_DEN * ns)))
             return pa.table({"node": b.column("node"),
                              "wout": b.column("wout"),
+                             "is_seed": b.column("is_seed"),
                              "r": pa.array(r, pa.int64())})
 
         ranks = nxt.map_batches(fold, batch_format="pyarrow",
@@ -296,23 +339,43 @@ def _pagerank_dataset(ed, node_wout, iters: int, scale: int,
 
 
 def pagerank_sql_mirror(edges_sql: str, *, iters: int = 3,
-                        scale: int = DEFAULT_SCALE) -> str:
+                        scale: int = DEFAULT_SCALE, seeds=None) -> str:
     """ANSI-SQL mirror of :func:`pagerank`, GENERATED from the same
     constants (the repo's oracle-can't-drift pattern: bm25_sql_mirror,
     canonicalize_sql). ``edges_sql`` must select columns
     ``src, dst, w`` (int). Produces (node, rank_micro) — bit-identical
     to the operator because the recurrence is pure int64 floor
-    arithmetic on both engines."""
+    arithmetic on both engines. ``seeds`` mirrors the operator's
+    personalized teleport set (intersected with the node set, exactly
+    as the operator does); ``None`` emits the uniform recurrence."""
     num, den = _D_NUM, _D_DEN
     parts = [
         f"edges AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM edges"
         " UNION SELECT dst AS node FROM edges)",
-        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
         "outdeg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wout"
         " FROM edges GROUP BY src)",
-        f"r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)",
     ]
+    if seeds is None:
+        parts.append("nn AS (SELECT CAST(count(*) AS BIGINT) AS n"
+                     " FROM nodes)")
+        parts.append(f"r0 AS (SELECT node,"
+                     f" {scale} // (SELECT n FROM nn) AS r FROM nodes)")
+        flag = "1"  # every node is a seed
+        joins = ""
+    else:
+        vals = ", ".join(f"({int(v)})" for v in sorted(set(seeds)))
+        parts.append(f"seedset AS (SELECT node FROM nodes WHERE node IN"
+                     f" (SELECT sv.node FROM (VALUES {vals})"
+                     f" sv(node)))")
+        parts.append("nn AS (SELECT CAST(count(*) AS BIGINT) AS n"
+                     " FROM seedset)")
+        parts.append(
+            f"r0 AS (SELECT n.node, CASE WHEN sd.node IS NOT NULL THEN"
+            f" {scale} // (SELECT n FROM nn) ELSE 0 END AS r"
+            f" FROM nodes n LEFT JOIN seedset sd ON n.node = sd.node)")
+        flag = "CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END"
+        joins = " LEFT JOIN seedset sd ON n.node = sd.node"
     for k in range(1, iters + 1):
         p = k - 1
         parts.append(
@@ -326,13 +389,23 @@ def pagerank_sql_mirror(edges_sql: str, *, iters: int = 3,
             f"dang{k} AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS d"
             f" FROM r{p} r LEFT JOIN outdeg o USING (node)"
             f" WHERE o.node IS NULL)")
-        parts.append(
-            f"r{k} AS (SELECT n.node,"
-            f" ({scale} * {den - num}) // ({den} * (SELECT n FROM nn))"
-            f" + ({num} * coalesce(i.s, 0)) // {den}"
-            f" + ({num} * (SELECT d FROM dang{k}))"
-            f" // ({den} * (SELECT n FROM nn)) AS r"
-            f" FROM nodes n LEFT JOIN inflow{k} i USING (node))")
+        if seeds is None:
+            parts.append(
+                f"r{k} AS (SELECT n.node,"
+                f" ({scale} * {den - num}) // ({den} * (SELECT n FROM nn))"
+                f" + ({num} * coalesce(i.s, 0)) // {den}"
+                f" + ({num} * (SELECT d FROM dang{k}))"
+                f" // ({den} * (SELECT n FROM nn)) AS r"
+                f" FROM nodes n LEFT JOIN inflow{k} i USING (node))")
+        else:
+            parts.append(
+                f"r{k} AS (SELECT n.node,"
+                f" ({flag}) * (({scale} * {den - num})"
+                f" // ({den} * (SELECT n FROM nn)))"
+                f" + ({num} * coalesce(i.s, 0)) // {den}"
+                f" + ({flag}) * (({num} * (SELECT d FROM dang{k}))"
+                f" // ({den} * (SELECT n FROM nn))) AS r"
+                f" FROM nodes n LEFT JOIN inflow{k} i USING (node){joins})")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, r AS rank_micro FROM r{iters} ORDER BY node")
 

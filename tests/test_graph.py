@@ -178,3 +178,56 @@ def test_hits_weights_equal_parallel_edges(ray_session):
     b = _hits_run(agg, "broadcast", weight_col="w")
     assert a["hub_score"].tolist() == b["hub_score"].tolist()
     assert a["auth_score"].tolist() == b["auth_score"].tolist()
+
+
+# ---------------- personalized PageRank ----------------
+
+
+def _ppr_oracle(t: pa.Table, iters: int, seeds):
+    con = duckdb.connect()
+    con.register("raw", t)
+    edges_sql = ("SELECT src, dst, CAST(count(*) AS BIGINT) AS w "
+                 "FROM raw GROUP BY src, dst")
+    return con.execute(
+        pagerank_sql_mirror(edges_sql, iters=iters, seeds=seeds)).df()
+
+
+@pytest.mark.parametrize("backend", ["broadcast", "dataset"])
+def test_personalized_matches_sql_mirror(ray_session, backend):
+    t = _random_edges(31)
+    seeds = [0, 5, 17, 105]  # 105 only appears as a destination
+    got = _run(t, backend, seeds=seeds)
+    ref = _ppr_oracle(t, 3, seeds)
+    assert got["node"].tolist() == ref["node"].tolist()
+    assert got["rank_micro"].tolist() == ref["rank_micro"].tolist()
+
+
+def test_personalized_uniform_seed_set_equals_default(ray_session):
+    """seeds = every node must reproduce the uniform recurrence
+    bit-for-bit (the personalized formula degenerates to it)."""
+    t = _random_edges(32)
+    all_nodes = sorted(set(t.column("src").to_pylist())
+                       | set(t.column("dst").to_pylist()))
+    a = _run(t, "broadcast")
+    b = _run(t, "broadcast", seeds=all_nodes)
+    assert a["rank_micro"].tolist() == b["rank_micro"].tolist()
+
+
+def test_personalized_mass_concentrates_on_seed_side(ray_session):
+    """Chain 0→1→2→3: personalizing on 0 must rank 0 and its
+    descendants above the same nodes in a reversed personalization."""
+    t = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                  "dst": pa.array([1, 2, 3], pa.int64())})
+    fwd = _run(t, "broadcast", seeds=[0]).set_index("node")["rank_micro"]
+    rev = _run(t, "broadcast", seeds=[3]).set_index("node")["rank_micro"]
+    assert fwd[0] > rev[0] and rev[3] > fwd[3]
+    # non-seed, non-reachable-from-seed nodes hold no teleport mass
+    assert rev[0] == 0  # node 0 has no in-edges and isn't the seed
+
+
+def test_personalized_absent_seeds_raise(ray_session):
+    t = _random_edges(33)
+    with pytest.raises(ValueError, match="no seed"):
+        _run(t, "broadcast", seeds=[10_000_000])
+    with pytest.raises(ValueError, match="no seed"):
+        _run(t, "dataset", seeds=[10_000_000])
