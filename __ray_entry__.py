@@ -525,6 +525,35 @@ def _pagerank_personalized_pages(sf_dir: str):
                     dst_col="to_state", weight_col="n", seeds=_PPR_SEEDS)
 
 
+def _triangle_count_pages(sf_dir: str):
+    """Exact triangle count of the undirected page browse graph
+    (functions/graph.py triangle_count — degree-ordered wedges, bucket
+    folds, co-partitioned closure; oracle is a plain 3-way self-join:
+    the count is a pure integer, nothing to mirror)."""
+    import pandas as pd
+
+    from presto_bloomfilter_ray.functions import (
+        transition_counts,
+        triangle_count,
+    )
+    from presto_bloomfilter_ray.functions.jsonops import (
+        json_extract_fields,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        return json_extract_fields(
+            b, "props", {"page": ("$.k", "int64")}).drop_columns(["props"])
+
+    edges = transition_counts(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        "ts", "user_id", "page", order_cols=["event_id"])
+    n = triangle_count(edges, src_col="from_state", dst_col="to_state")
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
 def _hits_browse_graph(sf_dir: str):
     """Kleinberg HITS (hubs/authorities) over the same per-user
     consecutive-event page graph as `pagerank_browse_graph` — 3
@@ -3067,6 +3096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_counts": _event_transition_counts,
         "pagerank_browse_graph": _pagerank_browse_graph,
         "pagerank_personalized_pages": _pagerank_personalized_pages,
+        "triangle_count_pages": _triangle_count_pages,
         "hits_browse_graph": _hits_browse_graph,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
@@ -3159,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
     from presto_bloomfilter_ray.functions.graph import (
         hits_sql_mirror,
         pagerank_sql_mirror,
+        triangle_count_sql,
     )
     from presto_bloomfilter_ray.functions.search import bm25_sql_mirror
     from presto_bloomfilter_ray.functions.urls import canonicalize_sql
@@ -3232,6 +3263,11 @@ def oracle_sql() -> dict[str, str]:
                                                      iters=3),
         "pagerank_personalized_pages": pagerank_sql_mirror(
             _PAGERANK_EDGES_SQL, iters=3, seeds=_PPR_SEEDS),
+        # the triangle count needs no generated mirror: a pure-int
+        # 3-way self-join over the distinct undirected edge set
+        "triangle_count_pages": triangle_count_sql(
+            _PAGERANK_EDGES_SQL.replace("src, dst, CAST(count(*) AS BIGINT) AS w",
+                                        "src, dst")),
         # same generated-mirror discipline for HITS (division-first
         # rescale, non-negative int64 floors on both engines)
         "hits_browse_graph": hits_sql_mirror(_PAGERANK_EDGES_SQL, iters=3),

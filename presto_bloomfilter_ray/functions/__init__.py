@@ -84,7 +84,14 @@ from .features import (
 from .histogram import histogram
 from .profile import profile_table
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
-from .graph import hits, hits_sql_mirror, pagerank, pagerank_sql_mirror
+from .graph import (
+    hits,
+    hits_sql_mirror,
+    pagerank,
+    pagerank_sql_mirror,
+    triangle_count,
+    triangle_count_sql,
+)
 from .jsonops import json_extract, json_extract_fields
 from .search import bm25_search, bm25_sql_mirror
 from .search_index import (

@@ -231,3 +231,57 @@ def test_personalized_absent_seeds_raise(ray_session):
         _run(t, "broadcast", seeds=[10_000_000])
     with pytest.raises(ValueError, match="no seed"):
         _run(t, "dataset", seeds=[10_000_000])
+
+
+# ---------------- triangle counting ----------------
+
+from presto_bloomfilter_ray.functions import (  # noqa: E402
+    triangle_count,
+    triangle_count_sql,
+)
+
+
+def _tri_oracle(t: pa.Table) -> int:
+    con = duckdb.connect()
+    con.register("raw", t)
+    return int(con.execute(
+        triangle_count_sql("SELECT src, dst FROM raw")).fetchone()[0])
+
+
+def test_triangle_known_graph(ray_session):
+    # K4 has 4 triangles; direction/duplicates/self-loops must not matter
+    src = [0, 0, 0, 1, 1, 2, 2, 3, 0]
+    dst = [1, 2, 3, 2, 3, 3, 1, 3, 0]  # (2,1) dup of (1,2); (3,3)... keep
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got = triangle_count(rd.from_arrow(t), num_partitions=4)
+    assert got == 4 == _tri_oracle(t)
+
+
+@pytest.mark.parametrize("tier_limit", [2_000_000, 1])
+def test_triangle_random_matches_oracle(ray_session, tier_limit):
+    """Both the broadcast-degree tier and the join tier (forced via
+    broadcast_limit=1) must match the SQL oracle exactly."""
+    t = _random_edges(41, n_edges=3000, n_src=60, n_dst=70)
+    got = triangle_count(rd.from_arrow(t), num_partitions=4,
+                         broadcast_limit=tier_limit)
+    assert got == _tri_oracle(t)
+
+
+def test_triangle_hub_star_has_none(ray_session):
+    """A pure star (hub → leaves) has no triangles AND must not emit a
+    quadratic wedge set from the hub: degree orientation points every
+    edge INTO the hub, so leaves (degree 1) emit nothing."""
+    t = pa.table({"src": pa.array([0] * 50, pa.int64()),
+                  "dst": pa.array(list(range(1, 51)), pa.int64())})
+    assert triangle_count(rd.from_arrow(t), num_partitions=4) == 0
+
+
+def test_triangle_empty_and_ids_guard(ray_session):
+    e = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    assert triangle_count(rd.from_arrow(e), num_partitions=4) == 0
+    big = pa.table({"src": pa.array([1 << 31], pa.int64()),
+                    "dst": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="2\\^31"):
+        triangle_count(rd.from_arrow(big), num_partitions=4)
