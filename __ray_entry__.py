@@ -554,6 +554,29 @@ def _triangle_count_pages(sf_dir: str):
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
 
+def _kcore_pages(sf_dir: str):
+    """3-core of the undirected page browse graph (functions/graph.py
+    kcore — peeling via bucket folds + tiered survivor filters; oracle
+    GENERATED with the same 8-round unroll by kcore_sql, CTEs
+    MATERIALIZED so DuckDB doesn't exponentially inline the chain)."""
+    from presto_bloomfilter_ray.functions import kcore, transition_counts
+    from presto_bloomfilter_ray.functions.jsonops import (
+        json_extract_fields,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        return json_extract_fields(
+            b, "props", {"page": ("$.k", "int64")}).drop_columns(["props"])
+
+    edges = transition_counts(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        "ts", "user_id", "page", order_cols=["event_id"])
+    return kcore(edges, 3, src_col="from_state", dst_col="to_state")
+
+
 def _hits_browse_graph(sf_dir: str):
     """Kleinberg HITS (hubs/authorities) over the same per-user
     consecutive-event page graph as `pagerank_browse_graph` — 3
@@ -3097,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_browse_graph": _pagerank_browse_graph,
         "pagerank_personalized_pages": _pagerank_personalized_pages,
         "triangle_count_pages": _triangle_count_pages,
+        "kcore_pages": _kcore_pages,
         "hits_browse_graph": _hits_browse_graph,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
@@ -3188,6 +3212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from presto_bloomfilter_ray.functions.graph import (
         hits_sql_mirror,
+        kcore_sql,
         pagerank_sql_mirror,
         triangle_count_sql,
     )
@@ -3265,6 +3290,10 @@ def oracle_sql() -> dict[str, str]:
             _PAGERANK_EDGES_SQL, iters=3, seeds=_PPR_SEEDS),
         # the triangle count needs no generated mirror: a pure-int
         # 3-way self-join over the distinct undirected edge set
+        "kcore_pages": kcore_sql(
+            _PAGERANK_EDGES_SQL.replace(
+                "src, dst, CAST(count(*) AS BIGINT) AS w", "src, dst"),
+            3),
         "triangle_count_pages": triangle_count_sql(
             _PAGERANK_EDGES_SQL.replace("src, dst, CAST(count(*) AS BIGINT) AS w",
                                         "src, dst")),

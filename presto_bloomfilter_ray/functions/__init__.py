@@ -87,6 +87,8 @@ from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .graph import (
     hits,
     hits_sql_mirror,
+    kcore,
+    kcore_sql,
     pagerank,
     pagerank_sql_mirror,
     triangle_count,

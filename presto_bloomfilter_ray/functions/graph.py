@@ -67,7 +67,7 @@ import pyarrow.compute as pc
 import ray
 
 __all__ = ["pagerank", "pagerank_sql_mirror", "hits", "hits_sql_mirror",
-           "triangle_count", "triangle_count_sql"]
+           "triangle_count", "triangle_count_sql", "kcore", "kcore_sql"]
 
 #: rank unit: ranks are integers in 1/SCALE-ths, so every sum any engine
 #: computes is an exact int64 (no float accumulation order anywhere)
@@ -802,3 +802,140 @@ def triangle_count_sql(edges_sql: str) -> str:
         JOIN und y ON y.a = x.b
         JOIN und z ON z.a = x.a AND z.b = y.b
     """
+
+
+def kcore(edges, k: int, *, src_col: str = "src", dst_col: str = "dst",
+          max_rounds: int = 8, broadcast_limit: int = 2_000_000,
+          num_partitions: int = 16):
+    """The k-core of the undirected simple graph under ``edges``:
+    the maximal subgraph where every node has degree ≥ ``k`` inside
+    the subgraph (the standard web-spam / community-density signal).
+    Returns a Dataset ``(node, deg)`` — core members with their
+    IN-CORE degrees.
+
+    Peeling, Ray-Data-first: each round is one degree bucket fold over
+    the surviving edge set plus one map-side filter (survivor set
+    broadcast via ``ray.put`` when ≤ ``broadcast_limit``, else two
+    semi-join passes). All nodes below ``k`` drop TOGETHER each round,
+    so rounds = peeling depth, not node count — but a path graph still
+    peels O(n/2) rounds, hence the loud ``max_rounds`` guard: the SQL
+    mirror (:func:`kcore_sql`) unrolls exactly ``max_rounds`` rounds,
+    and a run that hasn't reached its fixpoint inside the unroll
+    raises instead of silently disagreeing with its oracle (the CC
+    convergence contract). Extra rounds after the fixpoint are the
+    identity on both engines, so converging EARLY is always safe.
+    """
+    from .fold import bucket_fold
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def und_rows(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column(src_col), dtype=np.int64)
+        d = np.asarray(b.column(dst_col), dtype=np.int64)
+        a = np.minimum(s, d)
+        c = np.maximum(s, d)
+        keep = a != c
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(c[keep])})
+
+    ed = (bucket_fold(
+        edges.map_batches(und_rows, batch_format="pyarrow",
+                          batch_size=None),
+        ["a", "b"], [(None, "count", "_n")], num_buckets=num_partitions)
+        .drop_columns(["_n"]).materialize())
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        both = np.concatenate([np.asarray(b.column("a"), dtype=np.int64),
+                               np.asarray(b.column("b"), dtype=np.int64)])
+        uniq, cnt = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "s": pa.array(cnt.astype(np.int64))})
+
+    import ray.data as rd
+
+    n_prev = None
+    for _ in range(max_rounds + 1):
+        deg = _bucket_fold_sum(
+            ed.map_batches(deg_rows, batch_format="pyarrow",
+                           batch_size=None),
+            num_partitions).materialize()
+        live = deg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("s"),
+                                                pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow", batch_size=None).materialize()
+        n_live = live.count()
+        if n_live == 0:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64())}))
+        if n_live == n_prev:  # fixpoint: nobody dropped this round
+            return live.map_batches(
+                lambda b: b.rename_columns(["node", "deg"]),
+                batch_format="pyarrow", batch_size=None)
+        n_prev = n_live
+
+        if n_live <= broadcast_limit:
+            keep_nodes = np.sort(
+                live.to_pandas()["node"].to_numpy(dtype=np.int64))
+            kref = ray.put(keep_nodes)
+
+            def filt(b: pa.Table) -> pa.Table:
+                kn = ray.get(kref)
+                a = np.asarray(b.column("a"), dtype=np.int64)
+                c = np.asarray(b.column("b"), dtype=np.int64)
+                ia = np.searchsorted(kn, a)
+                ic = np.searchsorted(kn, c)
+                ia[ia >= len(kn)] = len(kn) - 1
+                ic[ic >= len(kn)] = len(kn) - 1
+                ok = (kn[ia] == a) & (kn[ic] == c) if len(kn) else \
+                    np.zeros(len(a), bool)
+                return b.filter(pa.array(ok))
+
+            ed = ed.map_batches(filt, batch_format="pyarrow",
+                                batch_size=None).materialize()
+        else:
+            lt = live.map_batches(
+                lambda b: pa.table({"a": b.column("node")}),
+                batch_format="pyarrow", batch_size=None)
+            rt = live.map_batches(
+                lambda b: pa.table({"b": b.column("node")}),
+                batch_format="pyarrow", batch_size=None)
+            ed = (ed.join(lt, "inner", num_partitions, on=("a",))
+                  .join(rt, "inner", num_partitions, on=("b",))
+                  .materialize())
+    raise RuntimeError(
+        f"kcore(k={k}) did not reach its fixpoint in {max_rounds} "
+        "peeling rounds; raise max_rounds (the SQL mirror unrolls the "
+        "same count, so both engines move together)")
+
+
+def kcore_sql(edges_sql: str, k: int, *, max_rounds: int = 8) -> str:
+    """SQL oracle for :func:`kcore`, GENERATED with the same unroll
+    depth: ``max_rounds`` peeling rounds as chained CTEs (rounds after
+    the fixpoint are the identity). Emits (node, deg) of the k-core.
+
+    Every CTE is ``AS MATERIALIZED``: each round references the
+    previous round's node set twice, and an engine that INLINES CTEs
+    (DuckDB does by default) would re-expand the whole chain per
+    reference — 2^rounds subtrees, measured as an indefinite hang at 8
+    rounds vs 0.05 s materialized."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        f" greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst)",
+    ]
+    for r in range(1, max_rounds + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node,"
+            f" CAST(count(*) AS BIGINT) AS deg FROM"
+            f" (SELECT a AS node FROM e{p} UNION ALL"
+            f" SELECT b AS node FROM e{p}) GROUP BY node)")
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT node, deg FROM d{r}"
+            f" WHERE deg >= {int(k)})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM e{p}"
+            f" WHERE a IN (SELECT node FROM n{r})"
+            f" AND b IN (SELECT node FROM n{r}))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, deg FROM n{max_rounds} ORDER BY node")

@@ -285,3 +285,71 @@ def test_triangle_empty_and_ids_guard(ray_session):
                     "dst": pa.array([1], pa.int64())})
     with pytest.raises(Exception, match="2\\^31"):
         triangle_count(rd.from_arrow(big), num_partitions=4)
+
+
+# ---------------- k-core ----------------
+
+from presto_bloomfilter_ray.functions import kcore, kcore_sql  # noqa: E402
+
+
+def _kcore_oracle(t: pa.Table, k: int, rounds: int = 8):
+    con = duckdb.connect()
+    con.register("raw", t)
+    return con.execute(
+        kcore_sql("SELECT src, dst FROM raw", k, max_rounds=rounds)).df()
+
+
+def _kcore_run(t, k, **kw):
+    return (kcore(rd.from_arrow(t), k, num_partitions=4, **kw)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+
+
+def test_kcore_known_graph(ray_session):
+    """K4 plus a pendant path: the 3-core is exactly the K4 (deg 3
+    each); the path peels away."""
+    src = [0, 0, 0, 1, 1, 2, 3, 4]
+    dst = [1, 2, 3, 2, 3, 3, 4, 5]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got = _kcore_run(t, 3)
+    assert got["node"].tolist() == [0, 1, 2, 3]
+    assert got["deg"].tolist() == [3, 3, 3, 3]
+    ref = _kcore_oracle(t, 3)
+    assert got["node"].tolist() == ref["node"].tolist()
+    assert got["deg"].tolist() == ref["deg"].tolist()
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+@pytest.mark.parametrize("tier_limit", [2_000_000, 1])
+def test_kcore_random_matches_oracle(ray_session, k, tier_limit):
+    t = _random_edges(51, n_edges=2500, n_src=70, n_dst=80)
+    got = kcore(rd.from_arrow(t), k, num_partitions=4,
+                broadcast_limit=tier_limit).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    ref = _kcore_oracle(t, k)
+    assert got["node"].tolist() == ref["node"].tolist()
+    assert got["deg"].tolist() == ref["deg"].tolist()
+
+
+def test_kcore_path_hits_round_guard(ray_session):
+    """A 30-path with k=2 peels one layer from each end per round —
+    it cannot converge in 3 rounds and must raise LOUDLY (silent
+    truncation would disagree with the oracle)."""
+    n = 30
+    t = pa.table({"src": pa.array(list(range(n - 1)), pa.int64()),
+                  "dst": pa.array(list(range(1, n)), pa.int64())})
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(rd.from_arrow(t), 2, num_partitions=4, max_rounds=3)
+    # with enough rounds the 2-core of a path is empty
+    got = kcore(rd.from_arrow(t), 2, num_partitions=4,
+                max_rounds=20).to_pandas()
+    assert len(got) == 0
+
+
+def test_kcore_everything_survives(ray_session):
+    """A triangle is its own 2-core — zero peeling, early fixpoint."""
+    t = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                  "dst": pa.array([1, 2, 0], pa.int64())})
+    got = _kcore_run(t, 2)
+    assert got["node"].tolist() == [0, 1, 2]
+    assert got["deg"].tolist() == [2, 2, 2]
