@@ -603,6 +603,35 @@ def _hits_browse_graph(sf_dir: str):
                 dst_col="to_state", weight_col="n")
 
 
+def _bfs_hops_pages(sf_dir: str):
+    """Multi-source BFS hop distances from the seed pages over the
+    directed page browse graph (functions/graph.py bfs_distances —
+    frontier broadcast per round, successors made distinct with a
+    bucket fold so the exchange is new-frontier-sized, never
+    edge-sized). Oracle GENERATED with the same 4-round unroll by
+    bfs_sql (chained MATERIALIZED CTEs, the kcore_sql discipline)."""
+    from presto_bloomfilter_ray.functions import (
+        bfs_distances,
+        transition_counts,
+    )
+    from presto_bloomfilter_ray.functions.jsonops import (
+        json_extract_fields,
+    )
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        return json_extract_fields(
+            b, "props", {"page": ("$.k", "int64")}).drop_columns(["props"])
+
+    edges = transition_counts(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        "ts", "user_id", "page", order_cols=["event_id"])
+    return bfs_distances(edges, _PPR_SEEDS, max_hops=4,
+                         src_col="from_state", dst_col="to_state")
+
+
 def _interarrival_stats(sf_dir: str):
     """Per-user inter-event gaps (functions/windows.py lag_deltas — the
     lag()-OVER window shape), folded per the later event's type. Gaps
@@ -3122,6 +3151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_pages": _triangle_count_pages,
         "kcore_pages": _kcore_pages,
         "hits_browse_graph": _hits_browse_graph,
+        "bfs_hops_pages": _bfs_hops_pages,
         "zscore_totalprice_by_status": _zscore_totalprice_by_status,
         "events_pivot_hourly": _events_pivot_hourly,
         "ntile_quartiles_by_status": _ntile_quartiles_by_status,
@@ -3211,6 +3241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from presto_bloomfilter_ray.functions.graph import (
+        bfs_sql,
         hits_sql_mirror,
         kcore_sql,
         pagerank_sql_mirror,
@@ -3300,6 +3331,13 @@ def oracle_sql() -> dict[str, str]:
         # same generated-mirror discipline for HITS (division-first
         # rescale, non-negative int64 floors on both engines)
         "hits_browse_graph": hits_sql_mirror(_PAGERANK_EDGES_SQL, iters=3),
+        # GENERATED with the operator's own unroll depth (bfs_sql,
+        # MATERIALIZED chained CTEs); rounds past the fixpoint are the
+        # identity on both engines
+        "bfs_hops_pages": bfs_sql(
+            _PAGERANK_EDGES_SQL.replace(
+                "src, dst, CAST(count(*) AS BIGINT) AS w", "src, dst"),
+            _PPR_SEEDS, max_hops=4),
         # identical fixed expression order as standardize_by_key:
         # mu=(s1/100.0)/n, var=(s2/10000.0)/n-mu*mu, z=round((v-mu)/sd,6)
         "zscore_totalprice_by_status": """

@@ -85,6 +85,8 @@ from .histogram import histogram
 from .profile import profile_table
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .graph import (
+    bfs_distances,
+    bfs_sql,
     hits,
     hits_sql_mirror,
     kcore,

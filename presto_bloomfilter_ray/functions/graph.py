@@ -67,7 +67,8 @@ import pyarrow.compute as pc
 import ray
 
 __all__ = ["pagerank", "pagerank_sql_mirror", "hits", "hits_sql_mirror",
-           "triangle_count", "triangle_count_sql", "kcore", "kcore_sql"]
+           "triangle_count", "triangle_count_sql", "kcore", "kcore_sql",
+           "bfs_distances", "bfs_sql"]
 
 #: rank unit: ranks are integers in 1/SCALE-ths, so every sum any engine
 #: computes is an exact int64 (no float accumulation order anywhere)
@@ -939,3 +940,127 @@ def kcore_sql(edges_sql: str, k: int, *, max_rounds: int = 8) -> str:
             f" AND b IN (SELECT node FROM n{r}))")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, deg FROM n{max_rounds} ORDER BY node")
+
+
+def bfs_distances(edges, sources, *, max_hops: int = 4,
+                  directed: bool = True, src_col: str = "src",
+                  dst_col: str = "dst", num_partitions: int = 16):
+    """Multi-source BFS hop distances: every node reachable from any
+    node in ``sources`` within ``max_hops`` edge traversals, with its
+    minimum hop count — the crawl-frontier / seed-expansion primitive
+    (how many clicks from a trusted seed is this page?).
+
+    Frontier-parallel, Ray-Data-first: each round broadcasts the
+    current frontier (``ray.put`` of a sorted int64 array) and streams
+    the edge Dataset once through ``map_batches`` — a batch emits the
+    per-batch-distinct successors of frontier members, so the exchange
+    per round is bounded by the NEW frontier, never the edge count.
+    Successor rows are made globally distinct with a bucket fold before
+    the driver sees them. The distance table itself is driver-held
+    (visited array, 16 B/node) — the same documented contract as
+    ``connected_components``' driver backend; for graphs whose reach
+    exceeds driver memory, keep ``max_hops`` bounded (the table grows
+    with the REACHED set, not the corpus) or mirror
+    ``connected_components_ds``'s hash-partitioned label table.
+
+    Rounds run to ``max_hops`` with early exit on an empty frontier;
+    the generated oracle (:func:`bfs_sql`) unrolls exactly ``max_hops``
+    rounds, and rounds after the fixpoint are the identity on both
+    engines, so early convergence is always safe (the kcore contract).
+
+    Returns a Dataset ``(node, dist)``, int64, seeds at dist 0 (seeds
+    absent from the edge table are still reported at 0, as in the SQL
+    mirror).
+    """
+    from .fold import bucket_fold
+
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    seeds = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if len(seeds) == 0:
+        raise ValueError("sources must be non-empty")
+
+    def dir_rows(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column(src_col), dtype=np.int64)
+        d = np.asarray(b.column(dst_col), dtype=np.int64)
+        if not directed:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        return pa.table({"a": pa.array(s), "b": pa.array(d)})
+
+    ed = (bucket_fold(
+        edges.map_batches(dir_rows, batch_format="pyarrow",
+                          batch_size=None),
+        ["a", "b"], [(None, "count", "_n")], num_buckets=num_partitions)
+        .drop_columns(["_n"]).materialize())
+
+    visited = seeds                     # sorted (np.unique sorts)
+    dists = np.zeros(len(seeds), dtype=np.int64)
+    frontier = seeds
+    for r in range(1, max_hops + 1):
+        fref = ray.put(frontier)        # sorted by construction
+
+        def succ(b: pa.Table) -> pa.Table:
+            fr = ray.get(fref)
+            a = np.asarray(b.column("a"), dtype=np.int64)
+            d = np.asarray(b.column("b"), dtype=np.int64)
+            ia = np.searchsorted(fr, a)
+            ia[ia >= len(fr)] = len(fr) - 1
+            hit = fr[ia] == a
+            return pa.table({"node": pa.array(np.unique(d[hit]))})
+
+        cand = bucket_fold(
+            ed.map_batches(succ, batch_format="pyarrow",
+                           batch_size=None),
+            ["node"], [(None, "count", "_n")],
+            num_buckets=num_partitions).drop_columns(["_n"])
+        cdf = cand.to_pandas()      # empty Dataset drops its schema
+        cnodes = (cdf["node"].to_numpy(dtype=np.int64) if "node" in cdf
+                  else np.empty(0, dtype=np.int64))
+        new = np.setdiff1d(cnodes, visited, assume_unique=False)
+        if len(new) == 0:
+            break
+        order = np.argsort(np.concatenate([visited, new]), kind="stable")
+        dists = np.concatenate([dists,
+                                np.full(len(new), r, dtype=np.int64)])
+        visited = np.concatenate([visited, new])[order]
+        dists = dists[order]
+        frontier = np.sort(new)
+
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "node": pa.array(visited, pa.int64()),
+        "dist": pa.array(dists, pa.int64())}))
+
+
+def bfs_sql(edges_sql: str, sources, *, max_hops: int = 4,
+            directed: bool = True) -> str:
+    """SQL oracle for :func:`bfs_distances`, GENERATED with the same
+    unroll depth: ``max_hops`` relaxation rounds as chained CTEs, each
+    ``AS MATERIALIZED`` because round k references round k-1 twice and
+    an engine that inlines CTEs (DuckDB by default) would re-expand
+    2^rounds subtrees (the measured kcore_sql hang). Rounds after the
+    BFS fixpoint are the identity, matching the operator's early exit.
+    Emits (node, dist) ordered by node."""
+    seeds = sorted({int(s) for s in sources})
+    if not seeds:
+        raise ValueError("sources must be non-empty")
+    e0 = (f"SELECT DISTINCT src, dst FROM ({edges_sql})" if directed else
+          f"SELECT DISTINCT src, dst FROM (SELECT src, dst FROM"
+          f" ({edges_sql}) UNION ALL SELECT dst AS src, src AS dst FROM"
+          f" ({edges_sql}))")
+    vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        f"e0 AS MATERIALIZED ({e0})",
+        f"d0 AS MATERIALIZED (SELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(0 AS BIGINT) AS dist FROM (VALUES {vals}) s(node))",
+    ]
+    for r in range(1, max_hops + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM"
+            f" (SELECT node, dist FROM d{p} UNION ALL"
+            f" SELECT e.dst AS node, f.dist + 1 AS dist FROM d{p} f"
+            f" JOIN e0 e ON e.src = f.node WHERE f.dist = {p})"
+            f" GROUP BY node)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, dist FROM d{max_hops} ORDER BY node")

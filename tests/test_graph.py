@@ -2,6 +2,7 @@
 and the generated SQL mirror."""
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -353,3 +354,78 @@ def test_kcore_everything_survives(ray_session):
     got = _kcore_run(t, 2)
     assert got["node"].tolist() == [0, 1, 2]
     assert got["deg"].tolist() == [2, 2, 2]
+
+
+# ---------------------------------------------------------------- BFS
+
+from presto_bloomfilter_ray.functions import bfs_distances, bfs_sql  # noqa: E402
+
+
+def _bfs_oracle(t: pa.Table, seeds, hops, directed=True):
+    con = duckdb.connect()
+    con.register("edges_t", t)
+    return con.execute(bfs_sql("SELECT src, dst FROM edges_t", seeds,
+                               max_hops=hops, directed=directed)).df()
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize("hops", [0, 1, 3, 6])
+def test_bfs_matches_sql_mirror(ray_session, directed, hops):
+    t = _random_edges(11, n_edges=2000, n_src=300, n_dst=300)
+    got = (bfs_distances(rd.from_arrow(t), [3, 7, 42], max_hops=hops,
+                         directed=directed, num_partitions=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    ref = _bfs_oracle(t, [3, 7, 42], hops, directed)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=True)
+
+
+def test_bfs_path_graph_exact_distances(ray_session):
+    """0→1→…→9: dist(v) = v; max_hops beyond the diameter is the
+    identity (early fixpoint, the kcore contract)."""
+    t = pa.table({"src": pa.array(list(range(9)), pa.int64()),
+                  "dst": pa.array(list(range(1, 10)), pa.int64())})
+    got = (bfs_distances(rd.from_arrow(t), [0], max_hops=25,
+                         num_partitions=4)
+           .to_pandas().sort_values("node"))
+    assert got["dist"].tolist() == list(range(10))
+
+
+def test_bfs_isolated_seed_reports_dist_zero(ray_session):
+    """A seed absent from the edge table is still dist 0 (the SQL
+    mirror's d0 semantics)."""
+    t = _random_edges(5, n_edges=200, n_src=50, n_dst=50)
+    got = (bfs_distances(rd.from_arrow(t), [99_999], max_hops=3,
+                         num_partitions=4).to_pandas())
+    assert got["node"].tolist() == [99_999]
+    assert got["dist"].tolist() == [0]
+    ref = _bfs_oracle(t, [99_999], 3)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True), ref,
+        check_dtype=True)
+
+
+def test_bfs_undirected_reaches_backwards(ray_session):
+    """Edge 5→3 only: directed BFS from 3 stays put, undirected walks
+    the reverse edge."""
+    t = pa.table({"src": pa.array([5], pa.int64()),
+                  "dst": pa.array([3], pa.int64())})
+    d = bfs_distances(rd.from_arrow(t), [3], max_hops=2,
+                      num_partitions=2).to_pandas()
+    assert d["node"].tolist() == [3]
+    u = (bfs_distances(rd.from_arrow(t), [3], max_hops=2, directed=False,
+                       num_partitions=2).to_pandas().sort_values("node"))
+    assert u["node"].tolist() == [3, 5]
+    assert u["dist"].tolist() == [0, 1]
+
+
+def test_bfs_min_distance_wins_on_multi_source(ray_session):
+    """Two seeds on a path: every node takes the NEARER seed."""
+    t = pa.table({"src": pa.array(list(range(9)), pa.int64()),
+                  "dst": pa.array(list(range(1, 10)), pa.int64())})
+    got = (bfs_distances(rd.from_arrow(t), [0, 9], max_hops=25,
+                         num_partitions=4)
+           .to_pandas().sort_values("node"))
+    ref = _bfs_oracle(t, [0, 9], 25)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=True)
+    assert got["dist"].max() == 8  # node 8 is 8 hops from seed 0
