@@ -94,6 +94,41 @@ def _bloom_antijoin_customer(sf_dir: str):
     return pd.DataFrame({"n_no_orders": [kept.count()]})
 
 
+def _cbf_delete_semijoin(sf_dir: str):
+    """Counting-Bloom deletion as a distributed operation. The
+    reference's filter is insert-only — retracting keys means rebuilding
+    and re-persisting the whole filter (the persist-service round-trip,
+    ``run_tests.sh:123-125``). With counters, retraction is itself
+    UDAF-shaped: build the base filter over two nations' customers with
+    the normal map/combine pipeline, build a SECOND filter over the
+    nation to retract (same (n,p) → same positions), subtract
+    counter-wise once on the driver, and semi-join orders against the
+    result. p=1e-9 and disjoint nation memberships make the outcome
+    exactly the nation-5-only semijoin (asserted via underflows == 0)."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.engine import build_sketch, semi_join
+    from presto_bloomfilter_ray.sketches import CountingBloomFilter
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    factory = lambda: CountingBloomFilter(100_000, 1e-9)
+    keep = build_sketch(cust.filter(expr="c_nationkey == 5"), "c_custkey",
+                        factory, batch_size=100_000)
+    drop = build_sketch(cust.filter(expr="c_nationkey == 10"), "c_custkey",
+                        factory, batch_size=100_000)
+    cbf = keep.merge(drop).subtract(drop)
+    assert cbf.underflows == 0 and cbf.stuck == 0
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    probed = semi_join(orders, "o_custkey", cbf).map_batches(
+        _add_cents("o_totalprice"), batch_format="pyarrow")
+    agg = probed.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"), Sum("_cents", alias_name="_tp")
+    )
+    df = agg.to_pandas()
+    df["total_price"] = (df["_tp"] / 100.0).round(2)
+    return df[["o_orderstatus", "n_orders", "total_price"]]
+
+
 def _bloom_params(sf_dir: str):
     """Parameter introspection goldens (TestBloomFilterQueries.java:64-74)."""
     from presto_bloomfilter_ray import BloomFilter
@@ -3133,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_nation": _bloom_semijoin_nation,
         "bloom_semijoin_orders": _bloom_semijoin_orders,
         "bloom_antijoin_customer": _bloom_antijoin_customer,
+        "cbf_delete_semijoin": _cbf_delete_semijoin,
         "bloom_params": _bloom_params,
         "bloom_persist_load": _bloom_persist_load,
         "bloom_from_string_merge": _bloom_from_string_merge,
@@ -3266,6 +3302,14 @@ def oracle_sql() -> dict[str, str]:
         "bloom_antijoin_customer": """
             SELECT count(*) AS n_no_orders FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "cbf_delete_semijoin": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+            GROUP BY o_orderstatus
         """,
         "bloom_params": """
             SELECT CAST(10 AS BIGINT) AS expected_insertions, 0.1234 AS fpp

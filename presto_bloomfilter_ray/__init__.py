@@ -15,6 +15,7 @@ from .sketches import (
     TopK,
     BloomFilter,
     CountMin,
+    CountingBloomFilter,
     HyperLogLog,
     Sketch,
     TDigest,

@@ -7,6 +7,7 @@ from .base import (
     read_params,
 )
 from .bloom import DEFAULT_EXPECTED_INSERTIONS, DEFAULT_FPP, BloomFilter
+from .cbf import CountingBloomFilter
 from .countmin import CountMin
 from .hll import HyperLogLog
 from .kll import KLL
@@ -18,6 +19,7 @@ from .theta import ThetaSketch
 __all__ = [
     "Sketch",
     "BloomFilter",
+    "CountingBloomFilter",
     "HyperLogLog",
     "CountMin",
     "TDigest",
