@@ -184,12 +184,17 @@ class HyperLogLog(Sketch):
         if self.p != other.p:
             raise ValueError(f"incompatible HLL precisions {self.p} vs {other.p}")
         if self._regs is None and other._regs is None:
-            other._flush()  # may densify other; re-checked below
-        if self._regs is None and other._regs is None:
-            if other._codes.size:
+            # lazy: adopt the other side's chunks and only compact past
+            # the pending cap — a merge edge is O(1) amortized instead
+            # of a sort per edge; serialization compacts canonically
+            if other._codes is not None and other._codes.size:
                 self._pending.append(other._codes)
                 self._pending_n += other._codes.size
-            self._flush()
+            if other._pending:
+                self._pending.extend(other._pending)
+                self._pending_n += other._pending_n
+            if self._pending_n > 2 * self._sparse_max:
+                self._flush()
             return self
         # at least one side is dense → result is dense (the dense side's
         # content already exceeded the parity threshold, so the union
