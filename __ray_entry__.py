@@ -129,6 +129,69 @@ def _cbf_delete_semijoin(sf_dir: str):
     return df[["o_orderstatus", "n_orders", "total_price"]]
 
 
+def _ams_f2_events(sf_dir: str):
+    """Second frequency moment of the per-user event distribution via
+    the AMS/count sketch (sketches/ams.py) — distributed build through
+    the same map-partials → combine-tree path as every other sketch —
+    alongside the EXACT F2 (groupby count + sum of squares, fully
+    distributed). Completes the frequency-moment family: F0=HLL,
+    F1=count, F2=AMS, heavy hitters=CM/Misra–Gries."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.engine import build_sketch
+    from presto_bloomfilter_ray.sketches import AMSSketch
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    sk = build_sketch(ev, "user_id", lambda: AMSSketch(2048, 5), batch_size=None)
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="c"))
+
+    def sq(b: pa.Table) -> pa.Table:
+        c = b.column("c").cast(pa.int64())
+        return pa.table({"c2": pc.multiply(c, c)})
+
+    f2_exact = int(counts.map_batches(sq, batch_format="pyarrow").sum("c2"))
+    rel = abs(sk.estimate_f2() - f2_exact) / max(f2_exact, 1)
+    ok = bool(rel <= 3 * sk.relative_error_bound())
+    return pd.DataFrame({"f2_exact": [f2_exact], "ams_within_bound": [ok]})
+
+
+def _fd_embedding_spectrum(sf_dir: str):
+    """Frequent-Directions sketch (sketches/fd.py) over the embeddings
+    table: the corpus's covariance spectrum without materializing the
+    (n × d) matrix. Built distributed via build_sketch on the
+    list<float> column; validated against the EXACT Gram matrix
+    (one (d × d) partial per batch, summed on the driver — d=64, so
+    each partial is 32 KB regardless of corpus size). ‖A‖_F² is
+    tracked exactly (additive scalar) and the top eigenvalue must sit
+    within the published 2‖A‖_F²/ℓ spectral bound (Weyl)."""
+    import numpy as np
+
+    from presto_bloomfilter_ray.engine import build_sketch
+    from presto_bloomfilter_ray.sketches import FrequentDirections
+    from presto_bloomfilter_ray.sketches.fd import rows_from_arrow
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    fd = build_sketch(emb, "embedding",
+                      lambda: FrequentDirections(ell=64, dim=64),
+                      batch_size=None)
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        rows = rows_from_arrow(b.column("embedding"), 64)
+        g = rows.T @ rows
+        return pa.table({"g": pa.array([g.ravel().tolist()],
+                                       type=pa.list_(pa.float64()))})
+
+    parts = emb.map_batches(gram_partial, batch_format="pyarrow").take_all()
+    gram = np.sum([np.asarray(r["g"]).reshape(64, 64) for r in parts], axis=0)
+    top_exact = float(np.linalg.eigvalsh(gram)[-1])
+    top_fd = float(fd.cov_eigvals()[0])
+    ok = bool(abs(top_fd - top_exact) <= fd.error_bound())
+    return pd.DataFrame({
+        "frobenius_sq": [round(fd.frobenius_sq(), 3)],
+        "fd_within_bound": [ok],
+    })
+
+
 def _bloom_params(sf_dir: str):
     """Parameter introspection goldens (TestBloomFilterQueries.java:64-74)."""
     from presto_bloomfilter_ray import BloomFilter
@@ -3169,6 +3232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_orders": _bloom_semijoin_orders,
         "bloom_antijoin_customer": _bloom_antijoin_customer,
         "cbf_delete_semijoin": _cbf_delete_semijoin,
+        "ams_f2_events": _ams_f2_events,
+        "fd_embedding_spectrum": _fd_embedding_spectrum,
         "bloom_params": _bloom_params,
         "bloom_persist_load": _bloom_persist_load,
         "bloom_from_string_merge": _bloom_from_string_merge,
@@ -3310,6 +3375,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
             GROUP BY o_orderstatus
+        """,
+        "ams_f2_events": """
+            SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact,
+                   TRUE AS ams_within_bound
+            FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        """,
+        "fd_embedding_spectrum": """
+            SELECT round(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 3) AS frobenius_sq,
+                   TRUE AS fd_within_bound
+            FROM (SELECT unnest(embedding) AS v FROM embeddings)
         """,
         "bloom_params": """
             SELECT CAST(10 AS BIGINT) AS expected_insertions, 0.1234 AS fpp

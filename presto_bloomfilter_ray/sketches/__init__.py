@@ -6,8 +6,10 @@ from .base import (
     read_kind,
     read_params,
 )
+from .ams import AMSSketch
 from .bloom import DEFAULT_EXPECTED_INSERTIONS, DEFAULT_FPP, BloomFilter
 from .cbf import CountingBloomFilter
+from .fd import FrequentDirections
 from .countmin import CountMin
 from .hll import HyperLogLog
 from .kll import KLL
@@ -20,6 +22,8 @@ __all__ = [
     "Sketch",
     "BloomFilter",
     "CountingBloomFilter",
+    "AMSSketch",
+    "FrequentDirections",
     "HyperLogLog",
     "CountMin",
     "TDigest",
