@@ -97,11 +97,16 @@ class HyperLogLog(Sketch):
         precision: int = 14,
         _regs: Optional[np.ndarray] = None,
         _codes: Optional[np.ndarray] = None,
+        sparse: bool = True,
     ):
         if not (4 <= precision <= 18):
             raise ValueError("precision must be in [4, 18]")
         self.p = int(precision)
         self.m = 1 << self.p
+        if _regs is None and _codes is None and not sparse:
+            # known-large groups: skip the sparse phase (and its
+            # per-serialize compaction sort) and start dense
+            _regs = np.zeros(self.m, dtype=np.uint8)
         self._regs = _regs  # dense registers, or None while sparse
         self._codes = (
             _codes if _codes is not None else np.empty(0, dtype=np.uint32)
