@@ -192,6 +192,43 @@ def _fd_embedding_spectrum(sf_dir: str):
     })
 
 
+def _priority_sample_orders(sf_dir: str):
+    """Weighted (priority) sampling as a mergeable sketch
+    (sketches/priority.py): keep k orders biased by price, estimate any
+    subset's total price from the sample via the Horvitz–Thompson
+    max(w, τ) weights. Built distributed through build_sketch on a
+    struct<item, weight> column; validated against the EXACT subset
+    weight (odd order keys) computed distributed with scaled-int sums."""
+    from presto_bloomfilter_ray.engine import build_sketch
+    from presto_bloomfilter_ray.sketches import PrioritySample
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def add_struct(b: pa.Table) -> pa.Table:
+        item = b.column("o_orderkey").cast(pa.large_string()).combine_chunks()
+        s = pa.StructArray.from_arrays(
+            [item, b.column("o_totalprice").combine_chunks()],
+            names=["item", "weight"])
+        return pa.table({"iw": s})
+
+    sk = build_sketch(orders.map_batches(add_struct, batch_format="pyarrow"),
+                      "iw", lambda: PrioritySample(k=4096), batch_size=None)
+    cents = orders.map_batches(_add_cents("o_totalprice"), batch_format="pyarrow")
+
+    def odd_cents(b: pa.Table) -> pa.Table:
+        odd = pc.equal(pc.bit_wise_and(b.column("o_orderkey"), pa.scalar(1)), 1)
+        return pa.table({"c": pc.if_else(odd, b.column("_cents"), pa.scalar(0, pa.int64()))})
+
+    odd_exact = int(cents.map_batches(odd_cents, batch_format="pyarrow").sum("c")) / 100.0
+    total_exact = int(cents.sum("_cents")) / 100.0
+    est = sk.estimate_subset(lambda v: int(v) % 2 == 1)
+    ok = bool(abs(est - odd_exact) / max(odd_exact, 1.0) <= 0.15)
+    return pd.DataFrame({
+        "total_price_exact": [round(total_exact, 2)],
+        "priority_est_within_tol": [ok],
+    })
+
+
 def _bloom_params(sf_dir: str):
     """Parameter introspection goldens (TestBloomFilterQueries.java:64-74)."""
     from presto_bloomfilter_ray import BloomFilter
@@ -3234,6 +3271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cbf_delete_semijoin": _cbf_delete_semijoin,
         "ams_f2_events": _ams_f2_events,
         "fd_embedding_spectrum": _fd_embedding_spectrum,
+        "priority_sample_orders": _priority_sample_orders,
         "bloom_params": _bloom_params,
         "bloom_persist_load": _bloom_persist_load,
         "bloom_from_string_merge": _bloom_from_string_merge,
@@ -3385,6 +3423,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 3) AS frobenius_sq,
                    TRUE AS fd_within_bound
             FROM (SELECT unnest(embedding) AS v FROM embeddings)
+        """,
+        "priority_sample_orders": """
+            SELECT round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                       AS total_price_exact,
+                   TRUE AS priority_est_within_tol
+            FROM orders
         """,
         "bloom_params": """
             SELECT CAST(10 AS BIGINT) AS expected_insertions, 0.1234 AS fpp

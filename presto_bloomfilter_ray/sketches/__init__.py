@@ -10,6 +10,7 @@ from .ams import AMSSketch
 from .bloom import DEFAULT_EXPECTED_INSERTIONS, DEFAULT_FPP, BloomFilter
 from .cbf import CountingBloomFilter
 from .fd import FrequentDirections
+from .priority import PrioritySample
 from .countmin import CountMin
 from .hll import HyperLogLog
 from .kll import KLL
@@ -24,6 +25,7 @@ __all__ = [
     "CountingBloomFilter",
     "AMSSketch",
     "FrequentDirections",
+    "PrioritySample",
     "HyperLogLog",
     "CountMin",
     "TDigest",
