@@ -1941,6 +1941,44 @@ def _quality_gate_pipeline(sf_dir: str):
     return agg
 
 
+def _prepare_corpus_pipeline(sf_dir: str):
+    """The full five-stage training-corpus preparation composition
+    (pipelines/prepare.py prepare_corpus): quality gates → exact dedup
+    → MinHash near-dedup, with per-stage row metrics. Deterministic
+    checks: ``n_gated`` is SQL-exact (the same gate expressions the
+    quality_gate_pipeline oracle proves, at this pipeline's thresholds);
+    stage rows must be monotone non-increasing; the returned dataset's
+    cardinality must equal the last stage metric; and every
+    normalized-exact-duplicate group (whose members share quality /
+    entropy / length, so the gates keep or drop them together) must
+    collapse to at most one survivor."""
+    import duckdb
+
+    from presto_bloomfilter_ray.pipelines import prepare_corpus
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out, metrics = prepare_corpus(
+        docs, id_col="doc_id", text_col="text",
+        quality_min=0.35, entropy_band=(3.0, 6.5),
+        length_band=(20, 1_000_000))
+    rows = [m["rows"] for m in metrics]
+    kept = {int(r["doc_id"])
+            for r in out.select_columns(["doc_id"]).take_all()}
+    groups = duckdb.sql(
+        f"""select list(doc_id) ids from '{sf_dir}/documents.parquet'
+            group by lower(regexp_replace(text, '\\s+', ' ', 'g'))
+            having count(*) > 1"""
+    ).df()["ids"]
+    collapse_ok = all(
+        sum(1 for i in ids if int(i) in kept) <= 1 for ids in groups)
+    return pd.DataFrame({
+        "n_gated": [int(rows[0])],
+        "monotone_ok": [bool(rows == sorted(rows, reverse=True))],
+        "final_stage_ok": [bool(len(kept) == rows[-1])],
+        "exact_dups_collapsed": [bool(collapse_ok)],
+    })
+
+
 def _entropy_stats_by_lang(sf_dir: str):
     """Per-language byte-entropy quality screen (functions/text.py
     byte_entropy): zero-copy per-doc Shannon entropy in a map stage,
@@ -3327,6 +3365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _profile_documents,
         "entropy_stats_by_lang": _entropy_stats_by_lang,
         "quality_gate_pipeline": _quality_gate_pipeline,
+        "prepare_corpus_pipeline": _prepare_corpus_pipeline,
         "url_canonicalize_stats": _url_canonicalize_stats,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search_documents": _bm25_search_documents,
@@ -4577,6 +4616,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_orderstatus,
                    TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
             FROM orders ORDER BY o_orderstatus
+        """,
+        "prepare_corpus_pipeline": """
+            WITH s AS (
+                SELECT doc_id AS rid,
+                       len(regexp_extract_all(text, '\\S+')) AS nt,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS np_,
+                       len(regexp_extract_all(text,
+                           '(?i)\\b(?:the|and|of|a|to|in|is|it|that|for)\\b')) AS ns,
+                       length(text) AS nc
+                FROM documents
+            ), q AS (
+                SELECT rid, nc,
+                       0.5 * (least(greatest(nt / 50.0, 0), 1)
+                              * least(greatest((10000 - nt) / 10000.0, 0), 1))
+                       + 0.25 * least(greatest(1.0 - 4.0 * abs(
+                             CAST(np_ AS DOUBLE) / greatest(nc, 1) - 0.05), 0), 1)
+                       + 0.25 * least(greatest(
+                             CAST(ns AS DOUBLE) / greatest(nt, 1) * 5.0, 0), 1)
+                           AS quality
+                FROM s
+            ), ent AS (
+                SELECT rid, round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+                           AS h
+                FROM (
+                    SELECT doc_id AS rid, c, count(*) AS n FROM (
+                        SELECT doc_id, unnest(string_split(text, '')) AS c
+                        FROM documents WHERE length(text) > 0
+                    ) GROUP BY doc_id, c
+                ) GROUP BY rid
+            )
+            SELECT count(*) AS n_gated, TRUE AS monotone_ok,
+                   TRUE AS final_stage_ok, TRUE AS exact_dups_collapsed
+            FROM q LEFT JOIN ent ON q.rid = ent.rid
+            WHERE q.quality >= 0.35 AND ent.h >= 3.0 AND ent.h <= 6.5
+              AND q.nc >= 20 AND q.nc <= 1000000
         """,
         "minhash_dedup_documents": """
             SELECT count(*) AS n_docs, TRUE AS partition_ok,
