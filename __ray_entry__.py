@@ -314,6 +314,38 @@ def _grouped_bloom_membership(sf_dir: str):
 
 
 # ---------------------------------------------------------------- relational
+def _scalable_bloom_ingest(sf_dir: str):
+    """Scalable Bloom filter (Almeida et al. 2007; sketches/scalable.py)
+    — the reference's Bloom semantics without a known n: geometric
+    stage growth with tightening per-stage error, built through the
+    SAME map_batches-partials + merge-tree path as the plain filter
+    (same-index stage OR is associative). Deterministic checks: exact
+    key count (SQL), zero false negatives on a full semi-join probe
+    (structural Bloom guarantee), measured FPP on disjoint probes
+    within the achieved bit-density estimate + binomial slack, and the
+    filter actually grew past stage 0."""
+    from presto_bloomfilter_ray import ScalableBloomFilter
+    from presto_bloomfilter_ray.engine import build_sketch, semi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    sbf = build_sketch(orders, "o_orderkey",
+                       lambda: ScalableBloomFilter(64, 0.02),
+                       batch_size=4096)
+    n_keys = orders.count()
+    no_fn = semi_join(orders, "o_orderkey", sbf).count() == n_keys
+    probes = 50_000
+    disjoint = pa.array([f"zz-{i}" for i in range(probes)])
+    fp = float(sbf.contains_many(disjoint).sum()) / probes
+    est = sbf.get_false_positive_percentage()
+    fpp_ok = fp <= est + 4 * (max(est, 1e-4) / probes) ** 0.5 + 0.005
+    return pd.DataFrame({
+        "n_keys": [int(n_keys)],
+        "no_false_negatives": [bool(no_fn)],
+        "fpp_within_estimate": [bool(fpp_ok)],
+        "grew_stages": [bool(sbf.n_stages >= 2)],
+    })
+
+
 def _q1_lineitem(sf_dir: str):
     """TPC-H Q1 shape. The shipdate predicate is pushed INTO the read
     (pyarrow dataset expression → row-group pruning + per-fragment
@@ -3314,6 +3346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_persist_load": _bloom_persist_load,
         "bloom_from_string_merge": _bloom_from_string_merge,
         "grouped_bloom_membership": _grouped_bloom_membership,
+        "scalable_bloom_ingest": _scalable_bloom_ingest,
         "q1_lineitem": _q1_lineitem,
         "events_hourly": _events_hourly,
         "json_props_stats": _json_props_stats,
@@ -3483,6 +3516,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_bloom_membership": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                    TRUE AS contained FROM nation ORDER BY n_nationkey
+        """,
+        "scalable_bloom_ingest": """
+            SELECT count(*) AS n_keys, TRUE AS no_false_negatives,
+                   TRUE AS fpp_within_estimate, TRUE AS grew_stages
+            FROM orders
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

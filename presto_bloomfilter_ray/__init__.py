@@ -17,6 +17,7 @@ from .sketches import (
     CountMin,
     CountingBloomFilter,
     HyperLogLog,
+    ScalableBloomFilter,
     Sketch,
     TDigest,
     ThetaSketch,

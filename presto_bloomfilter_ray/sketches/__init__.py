@@ -16,6 +16,7 @@ from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
 from .sample import BottomKSample
+from .scalable import ScalableBloomFilter
 from .topk import TopK
 from .theta import ThetaSketch
 
@@ -23,6 +24,7 @@ __all__ = [
     "Sketch",
     "BloomFilter",
     "CountingBloomFilter",
+    "ScalableBloomFilter",
     "AMSSketch",
     "FrequentDirections",
     "PrioritySample",
