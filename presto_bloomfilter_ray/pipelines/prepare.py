@@ -21,14 +21,33 @@ rows after each stage (one metadata pass per stage on the already-
 materialized datasets) and wall-clocks the stages — the per-partition
 lineage/metrics surface the north rule asks pipelines to emit.
 
+**Checkpoint/resume** (the north rule's "resumes from per-partition
+checkpoints after failure"): pass ``checkpoint_dir`` and every stage's
+output is persisted as partitioned parquet (one file per block) under
+``{checkpoint_dir}/{idx:02d}-{stage}/`` with a ``_MANIFEST.json``
+written LAST via tmp+rename — the commit marker, same generation
+pattern as ``functions/dedup_index.py``. A crashed stage leaves no
+manifest and is recomputed into a fresh directory on the next run; a
+re-run with the same parameters skips every committed prefix stage
+(``resumed: true`` in its metric record) and continues from the first
+uncommitted one. Each stage's manifest pins a rolling signature of the
+stage chain + parameters, so changing any upstream knob invalidates
+that stage and everything after it. The caller owns input identity
+(same ``docs`` between runs), as with any checkpoint contract.
+
 Returns ``(dataset, metrics)`` where metrics is an ordered list of
-``{"stage", "rows", "wall_s"}`` records (rows is None when
-``collect_metrics=False``).
+``{"stage", "rows", "wall_s", "resumed"}`` records (rows is None when
+``collect_metrics=False`` and the stage was not resumed).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import shutil
 import time
+import uuid
 from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -72,6 +91,7 @@ def prepare_corpus(
     work_dir: Optional[str] = None,
     cc_backend: str = "driver",
     collect_metrics: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ):
     """Run the five-stage preparation chain over ``docs``.
 
@@ -79,39 +99,94 @@ def prepare_corpus(
     ``host_cap=None`` skips only the cap. Stage parameters default to
     permissive bands suitable for the synthetic corpora; production
     callers tune them like any C4/Gopher-style recipe.
+
+    ``checkpoint_dir`` enables per-stage parquet checkpoints with
+    crash-safe resume (module docstring). On a multi-node cluster it
+    must point at storage every worker can reach (object store / NFS),
+    like any Ray Data write path.
     """
+    import ray
+
     metrics: List[dict] = []
+    # rolling signature of the stage chain: any parameter change
+    # invalidates that stage's checkpoint and every later one
+    sig = hashlib.sha256(b"prepare_corpus/v1").hexdigest()
+    idx = 0
+    resuming = checkpoint_dir is not None  # inside the committed prefix
 
-    def _record(stage: str, ds, t0: float):
-        rows = ds.count() if collect_metrics else None
-        metrics.append({"stage": stage, "rows": rows,
-                        "wall_s": round(time.time() - t0, 2)})
-        return ds
+    def run_stage(name: str, params: dict, compute) -> None:
+        nonlocal docs, sig, idx, resuming
+        sig = hashlib.sha256(
+            (sig + name + json.dumps(params, sort_keys=True)).encode()
+        ).hexdigest()
+        t0 = time.time()
+        if checkpoint_dir is None:
+            docs = compute(docs)
+            rows = docs.count() if collect_metrics else None
+            metrics.append({"stage": name, "rows": rows,
+                            "wall_s": round(time.time() - t0, 2),
+                            "resumed": False})
+            idx += 1
+            return
+        d = os.path.join(checkpoint_dir, f"{idx:02d}-{name}")
+        man = os.path.join(d, "_MANIFEST.json")
+        if resuming and os.path.exists(man):
+            with open(man) as f:
+                m = json.load(f)
+            if m.get("sig") == sig:
+                docs = ray.data.read_parquet(os.path.join(d, "data"))
+                metrics.append({"stage": name, "rows": int(m["rows"]),
+                                "wall_s": round(time.time() - t0, 2),
+                                "resumed": True})
+                idx += 1
+                return
+        # first uncommitted (or invalidated) stage: recompute from here on
+        resuming = False
+        if os.path.exists(d):
+            shutil.rmtree(d)  # crashed partial write or stale params
+        docs = compute(docs)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"data-tmp-{uuid.uuid4().hex[:8]}")
+        docs.write_parquet(tmp)
+        os.rename(tmp, os.path.join(d, "data"))  # atomic data commit
+        docs = ray.data.read_parquet(os.path.join(d, "data"))
+        rows = docs.count()
+        mtmp = man + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"sig": sig, "rows": rows, "stage": name}, f)
+        os.rename(mtmp, man)  # manifest last = the commit marker
+        metrics.append({"stage": name, "rows": rows,
+                        "wall_s": round(time.time() - t0, 2),
+                        "resumed": False})
+        idx += 1
 
-    t0 = time.time()
     if url_col is not None and blocked_hosts:
-        docs = host_filter(docs, blocked_hosts, url_col=url_col)
-        docs = _record("host_blocklist", docs, t0)
+        hosts = sorted(blocked_hosts)
+        run_stage(
+            "host_blocklist", {"hosts": hosts, "url_col": url_col},
+            lambda ds: host_filter(ds, hosts, url_col=url_col))
 
-    t0 = time.time()
-    docs = docs.map_batches(
-        _gate_fn(quality_min, entropy_band, length_band, text_col),
-        batch_format="pyarrow", batch_size=None)
-    docs = _record("quality_gates", docs, t0)
+    run_stage(
+        "quality_gates",
+        {"q": quality_min, "ent": list(entropy_band),
+         "len": list(length_band), "col": text_col},
+        lambda ds: ds.map_batches(
+            _gate_fn(quality_min, entropy_band, length_band, text_col),
+            batch_format="pyarrow", batch_size=None))
 
-    t0 = time.time()
-    docs = exact_dedup(docs, col=text_col, id_col=id_col, work_dir=work_dir)
-    docs = _record("exact_dedup", docs, t0)
+    run_stage(
+        "exact_dedup", {"col": text_col, "id": id_col},
+        lambda ds: exact_dedup(ds, col=text_col, id_col=id_col,
+                               work_dir=work_dir))
 
-    t0 = time.time()
-    docs, _dup_map = minhash_dedup(
-        docs, threshold=minhash_threshold, text_col=text_col, id_col=id_col,
-        work_dir=work_dir, cc_backend=cc_backend)
-    docs = _record("minhash_dedup", docs, t0)
+    run_stage(
+        "minhash_dedup",
+        {"thr": minhash_threshold, "col": text_col, "id": id_col},
+        lambda ds: minhash_dedup(
+            ds, threshold=minhash_threshold, text_col=text_col,
+            id_col=id_col, work_dir=work_dir, cc_backend=cc_backend)[0])
 
     if url_col is not None and host_cap is not None:
-        t0 = time.time()
-
         def add_host(b: pa.Table) -> pa.Table:
             x = b.column(url_col)
             if isinstance(x, pa.ChunkedArray):
@@ -120,9 +195,11 @@ def prepare_corpus(
                 x, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#:]*)")
             return b.append_column("_host", pc.struct_field(st, "host"))
 
-        docs = cap_per_key(
-            docs.map_batches(add_host, batch_format="pyarrow", batch_size=None),
-            "_host", id_col, host_cap).drop_columns(["_host"])
-        docs = _record("host_cap", docs, t0)
+        run_stage(
+            "host_cap", {"cap": host_cap, "url_col": url_col, "id": id_col},
+            lambda ds: cap_per_key(
+                ds.map_batches(add_host, batch_format="pyarrow",
+                               batch_size=None),
+                "_host", id_col, host_cap).drop_columns(["_host"]))
 
     return docs, metrics

@@ -1,4 +1,8 @@
-"""End-to-end prepare_corpus composition: monotone stages, determinism."""
+"""End-to-end prepare_corpus composition: monotone stages, determinism,
+checkpoint/resume."""
+
+import json
+import os
 
 import pyarrow as pa
 import pytest
@@ -67,3 +71,57 @@ def test_prepare_url_stages(ray_session, tmp_path):
     kept_ids = sorted(r["doc_id"] for r in got)
     assert kept_ids[0] in (1, 2, 3, 4)  # smallest surviving ids win the cap
     assert "_host" not in out.schema().names
+
+
+def _mini_docs():
+    import ray
+
+    rows = []
+    for i in range(200):
+        host = f"h{i % 5}.example.com"
+        rows.append({
+            "doc_id": i,
+            "url": f"https://{host}/p/{i}",
+            "text": f"document body number {i} with enough words to pass "
+                    f"the permissive gates and some variety {i * 7} {i * 13}",
+        })
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_prepare_checkpoint_resume(ray_session, tmp_path):
+    from presto_bloomfilter_ray.pipelines import prepare_corpus
+
+    ck = str(tmp_path / "ck")
+    kw = dict(id_col="doc_id", text_col="text", url_col="url",
+              blocked_hosts=["h0.example.com"], host_cap=10,
+              work_dir=str(tmp_path / "w"), checkpoint_dir=ck)
+    out1, m1 = prepare_corpus(_mini_docs(), **kw)
+    assert [m["resumed"] for m in m1] == [False] * 5
+    # every stage committed: data dir + manifest-last marker
+    for i, m in enumerate(m1):
+        d = os.path.join(ck, f"{i:02d}-{m['stage']}")
+        assert os.path.exists(os.path.join(d, "data"))
+        man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+        assert man["rows"] == m["rows"]
+    ids1 = sorted(r["doc_id"] for r in out1.select_columns(["doc_id"]).take_all())
+
+    # full resume: every stage skipped, identical output
+    out2, m2 = prepare_corpus(_mini_docs(), **kw)
+    assert [m["resumed"] for m in m2] == [True] * 5
+    assert [m["rows"] for m in m2] == [m["rows"] for m in m1]
+    ids2 = sorted(r["doc_id"] for r in out2.select_columns(["doc_id"]).take_all())
+    assert ids2 == ids1
+
+    # crash simulation: stage 2's manifest vanishes → prefix resumes,
+    # stage 2 and everything after recompute
+    os.remove(os.path.join(ck, "02-exact_dedup", "_MANIFEST.json"))
+    out3, m3 = prepare_corpus(_mini_docs(), **kw)
+    assert [m["resumed"] for m in m3] == [True, True, False, False, False]
+    ids3 = sorted(r["doc_id"] for r in out3.select_columns(["doc_id"]).take_all())
+    assert ids3 == ids1
+
+    # parameter change invalidates that stage and the rest of the chain
+    kw2 = dict(kw, quality_min=0.01)
+    out4, m4 = prepare_corpus(_mini_docs(), **kw2)
+    assert [m["resumed"] for m in m4] == [True, False, False, False, False]
+    assert m4[0]["rows"] == m1[0]["rows"]
