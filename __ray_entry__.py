@@ -346,6 +346,37 @@ def _scalable_bloom_ingest(sf_dir: str):
     })
 
 
+def _iblt_reconcile_custkeys(sf_dir: str):
+    """Set reconciliation via IBLT (Goodrich–Mitzenmacher;
+    sketches/iblt.py): two snapshots of the customer key set — all
+    customers vs. customers outside nation 3 — are each summarized by
+    a map_batches-partials + merge-tree IBLT build (24 B/cell, NEVER
+    shuffling the keys), subtracted on the driver so shared keys cancel
+    exactly, and peeled to recover the symmetric difference's actual
+    fingerprints; a final broadcast map pass binds fingerprints back to
+    key values. Output is the EXACT key list — the oracle is a plain
+    WHERE clause, not a TRUE-flag check."""
+    from presto_bloomfilter_ray.engine import build_sketch
+    from presto_bloomfilter_ray.sketches import IBLT
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    snap_a = build_sketch(cust, "c_custkey", lambda: IBLT(4096),
+                          batch_size=65_536)
+    snap_b = build_sketch(cust.filter(expr="c_nationkey != 3"), "c_custkey",
+                          lambda: IBLT(4096), batch_size=65_536)
+    a_only, b_only, ok = snap_a.subtract(snap_b).decode()
+    if not ok or b_only.size:
+        raise RuntimeError("IBLT decode failed — diff exceeds cell budget")
+    fps = np.sort(a_only)
+
+    def probe(b: pa.Table) -> pa.Table:
+        hit = np.isin(IBLT.fingerprints(b.column("c_custkey")), fps)
+        return b.select(["c_custkey"]).filter(pa.array(hit))
+
+    out = cust.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
 def _q1_lineitem(sf_dir: str):
     """TPC-H Q1 shape. The shipdate predicate is pushed INTO the read
     (pyarrow dataset expression → row-group pruning + per-fragment
@@ -3347,6 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_from_string_merge": _bloom_from_string_merge,
         "grouped_bloom_membership": _grouped_bloom_membership,
         "scalable_bloom_ingest": _scalable_bloom_ingest,
+        "iblt_reconcile_custkeys": _iblt_reconcile_custkeys,
         "q1_lineitem": _q1_lineitem,
         "events_hourly": _events_hourly,
         "json_props_stats": _json_props_stats,
@@ -3521,6 +3553,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_keys, TRUE AS no_false_negatives,
                    TRUE AS fpp_within_estimate, TRUE AS grew_stages
             FROM orders
+        """,
+        "iblt_reconcile_custkeys": """
+            SELECT c_custkey FROM customer WHERE c_nationkey = 3
+            ORDER BY c_custkey
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

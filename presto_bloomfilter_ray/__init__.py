@@ -10,6 +10,7 @@ per-partition lineage.
 """
 
 from .sketches import (
+    IBLT,
     KLL,
     BottomKSample,
     TopK,

@@ -13,6 +13,7 @@ from .fd import FrequentDirections
 from .priority import PrioritySample
 from .countmin import CountMin
 from .hll import HyperLogLog
+from .iblt import IBLT
 from .kll import KLL
 from .tdigest import TDigest
 from .sample import BottomKSample
@@ -25,6 +26,7 @@ __all__ = [
     "BloomFilter",
     "CountingBloomFilter",
     "ScalableBloomFilter",
+    "IBLT",
     "AMSSketch",
     "FrequentDirections",
     "PrioritySample",
