@@ -97,3 +97,27 @@ def test_fingerprint_probe_maps_back_to_keys():
     col = keys("p", range(200))
     hit = np.isin(IBLT.fingerprints(col), rec)
     assert set(np.asarray(col)[hit].tolist()) == {f"p-{i}" for i in ids}
+
+
+def test_dataset_diff_end_to_end(ray_session):
+    import ray
+
+    from presto_bloomfilter_ray.functions import DecodeError, dataset_diff
+
+    a = ray.data.from_arrow(pa.table({
+        "k": [f"u-{i}" for i in range(2000)],
+        "v": list(range(2000))}))
+    b = ray.data.from_arrow(pa.table({
+        "k": [f"u-{i}" for i in range(100, 2100)],
+        "v": list(range(100, 2100))}))
+    only_a, only_b = dataset_diff(a, b, "k", cells=1024)
+    ga = sorted(r["v"] for r in only_a.take_all())
+    gb = sorted(r["v"] for r in only_b.take_all())
+    assert ga == list(range(100))          # u-0..u-99 absent from b
+    assert gb == list(range(2000, 2100))   # u-2000..u-2099 absent from a
+
+    # loud failure when the diff exceeds the cell budget
+    big = ray.data.from_arrow(pa.table({"k": [f"w-{i}" for i in range(5000)]}))
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.string())}))
+    with pytest.raises(DecodeError):
+        dataset_diff(big, empty, "k", cells=512)
