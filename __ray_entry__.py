@@ -2954,6 +2954,46 @@ def _hll_distinct(sf_dir: str):
     })
 
 
+def _cm_join_size_estimate(sf_dir: str):
+    """Join-cardinality estimation WITHOUT executing the join (Cormode
+    & Muthukrishnan 2005 §4.2; sketches/countmin.py inner_product):
+    Count-Min sketches over lineitem.l_partkey and a filtered part-key
+    set, each built by the standard partial/merge-tree path, then one
+    driver-side inner product. Deterministic checks: the exact join
+    size is SQL-computed (also returned as a value column); CM's
+    one-sided guarantee est ≥ exact must hold structurally; est must
+    sit within the ε·N_a·N_b additive bound."""
+    import duckdb
+
+    from presto_bloomfilter_ray.engine import build_sketch
+    from presto_bloomfilter_ray.sketches import CountMin
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def keep_mod7(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("p_partkey"), dtype=np.int64)
+        return b.filter(pa.array(k % 7 == 0))
+
+    cm_a = build_sketch(li, "l_partkey", lambda: CountMin(1e-4, 1e-3),
+                        batch_size=65_536)
+    cm_b = build_sketch(part.map_batches(keep_mod7, batch_format="pyarrow",
+                                         batch_size=None),
+                        "p_partkey", lambda: CountMin(1e-4, 1e-3),
+                        batch_size=65_536)
+    est = cm_a.inner_product(cm_b)
+    exact = duckdb.sql(
+        f"""select count(*) from '{sf_dir}/lineitem.parquet' l
+            join '{sf_dir}/part.parquet' p on l.l_partkey = p.p_partkey
+            where p.p_partkey % 7 = 0""").fetchone()[0]
+    return pd.DataFrame({
+        "exact_join_size": [int(exact)],
+        "est_ge_exact": [bool(est >= exact)],
+        "est_within_bound": [bool(est <= exact
+                                  + cm_a.inner_product_bound(cm_b))],
+    })
+
+
 def _cm_heavy_hitters(sf_dir: str):
     import duckdb
 
@@ -3473,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_aggregate_events": _stream_aggregate_events,
         "stream_windowed_events": _stream_windowed_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
+        "cm_join_size_estimate": _cm_join_size_estimate,
         "quantiles_textlen": _quantiles_textlen,
         "topk_words_misra_gries": _topk_words_misra_gries,
         "topk_words_by_lang": _topk_words_by_lang,
@@ -4675,6 +4716,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS sum_value,
                    CAST(0 AS BIGINT) AS n_late
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "cm_join_size_estimate": """
+            SELECT count(*) AS exact_join_size, TRUE AS est_ge_exact,
+                   TRUE AS est_within_bound
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey % 7 = 0
         """,
         "cm_heavy_hitters": """
             SELECT lang, CAST(count(*) AS BIGINT) AS freq_exact,

@@ -88,6 +88,24 @@ class CountMin(Sketch):
         """Additive error εN valid with probability ≥ 1-δ."""
         return self.eps * self.total
 
+    def inner_product(self, other: "CountMin") -> int:
+        """Join-size / inner-product estimate (Cormode & Muthukrishnan
+        2005 §4.2): ``min_j Σ_w a_jw·b_jw`` over the depth rows.
+
+        When both sketches count equi-join keys, the true join
+        cardinality ``a⊙b = Σ_x f_a(x)·f_b(x)`` satisfies
+        ``a⊙b ≤ est ≤ a⊙b + ε·N_a·N_b`` with probability ≥ 1-δ —
+        a query-planner cardinality estimate without executing the
+        join. Requires identical (w, d); both sketches share the class
+        seeds, so same-parameter sketches always qualify."""
+        if (self.w, self.d) != (other.w, other.d):
+            raise ValueError("incompatible CountMin shapes")
+        return int(np.einsum("ij,ij->i", self.counts, other.counts).min())
+
+    def inner_product_bound(self, other: "CountMin") -> int:
+        """The ε·N_a·N_b additive slack for :meth:`inner_product`."""
+        return math.ceil(self.eps * self.total * other.total)
+
     def _params(self) -> Dict[str, Any]:
         return {"epsilon": self.eps, "delta": self.delta, "total": self.total}
 

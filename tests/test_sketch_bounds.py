@@ -74,6 +74,32 @@ class TestCountMin:
         assert cm.estimate("x") >= 10
         assert cm.total == 13
 
+    def test_inner_product_join_size_bound(self):
+        rng = np.random.default_rng(7)
+        # many-to-many join: key i appears fa[i] times in A, fb[i] in B
+        fa = rng.integers(0, 20, size=300)
+        fb = rng.integers(0, 20, size=300)
+        a_items = np.repeat([f"j{i}" for i in range(300)], fa)
+        b_items = np.repeat([f"j{i}" for i in range(300)], fb)
+        a = CountMin(1e-3, 1e-3).update_arrow(pa.array(list(a_items)))
+        b = CountMin(1e-3, 1e-3).update_arrow(pa.array(list(b_items)))
+        exact = int((fa * fb).sum())
+        est = a.inner_product(b)
+        assert exact <= est <= exact + a.inner_product_bound(b)
+        assert b.inner_product(a) == est  # symmetric
+        with pytest.raises(ValueError):
+            a.inner_product(CountMin(1e-2, 1e-3))
+
+    def test_inner_product_distributed_equals_serial(self):
+        rng = np.random.default_rng(8)
+        data = np.array([f"k{i % 40}" for i in range(8000)], dtype=object)
+        other = CountMin(1e-3, 1e-3).update_arrow(
+            pa.array([f"k{i % 60}" for i in range(500)]))
+        serial = CountMin(1e-3, 1e-3).update_arrow(pa.array(list(data)))
+        chunks = [pa.array(list(c)) for c in np.array_split(data, 7)]
+        merged = _random_merge(lambda: CountMin(1e-3, 1e-3), chunks, rng)
+        assert merged.inner_product(other) == serial.inner_product(other)
+
 
 class TestTDigest:
     @pytest.mark.parametrize("dist", ["normal", "uniform", "lognormal"])
