@@ -86,6 +86,24 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Reconcile two parquet snapshots by key at O(diff) memory (IBLT):
+    writes rows unique to each side, never shuffles either input."""
+    import ray.data as rd
+
+    from .functions import dataset_diff
+
+    a = rd.read_parquet(args.a)
+    b = rd.read_parquet(args.b)
+    only_a, only_b = dataset_diff(a, b, args.key, cells=args.cells)
+    only_a.write_parquet(f"{args.output}/only_a")
+    only_b.write_parquet(f"{args.output}/only_b")
+    na = rd.read_parquet(f"{args.output}/only_a").count()
+    nb = rd.read_parquet(f"{args.output}/only_b").count()
+    print(json.dumps({"only_a": na, "only_b": nb, "output": args.output}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve a sketch store over the reference persist-service wire
     protocol (PUT/GET /bloomfilter/<key>) for non-engine clients."""
@@ -171,6 +189,16 @@ def main(argv=None) -> int:
     c.add_argument("--expected-insertions", type=int, default=1_000_000)
     c.add_argument("--fpp", type=float, default=1e-4)
     c.set_defaults(fn=cmd_decontaminate)
+
+    f = sub.add_parser("diff", help="reconcile two parquet snapshots "
+                       "by key at O(diff) memory (IBLT)")
+    f.add_argument("--a", required=True, help="snapshot A parquet path")
+    f.add_argument("--b", required=True, help="snapshot B parquet path")
+    f.add_argument("--key", required=True, help="unique key column")
+    f.add_argument("--cells", type=int, default=1 << 16,
+                   help="IBLT cells; must exceed ~1.4x the expected diff")
+    f.add_argument("--output", required=True)
+    f.set_defaults(fn=cmd_diff)
 
     t = sub.add_parser("stats", help="introspect a sketch store")
     t.add_argument("--store", required=True)
