@@ -2954,6 +2954,61 @@ def _hll_distinct(sf_dir: str):
     })
 
 
+def _apbf_sliding_users(sf_dir: str):
+    """Sliding-window membership via an age-partitioned Bloom filter
+    (sketches/apbf.py): ONE map pass over events routes each row to its
+    day epoch inside per-batch partial filters; the standard fan-in
+    tree unions the epoch maps (merge never trims, so the tree is
+    order-independent); one finalize `advance` trims to the 7-day
+    window and physically drops expired bits. Deterministic checks:
+    the window's exact distinct-user count (SQL), every recent user
+    reads present (structural no-FN), every stale user reads absent
+    (deterministic for this input at p=1e-6), and expired epochs hold
+    zero bytes after the advance."""
+    import duckdb
+
+    from presto_bloomfilter_ray.engine import merge_serialized_column
+    from presto_bloomfilter_ray.sketches import AgePartitionedBloom
+
+    G = 7
+    events = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = AgePartitionedBloom(G, 100_000, 1e-6)
+        d = np.asarray(b.column("ts").cast(pa.date32()).cast(pa.int32()))
+        ids = b.column("user_id")
+        for e in np.unique(d):
+            f.update_at(int(e), ids.filter(pa.array(d == e)))
+        return pa.table({"sketch": pa.array([f.serialize()],
+                                            type=pa.large_binary())})
+
+    f = merge_serialized_column(
+        events.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None))
+    n_epochs_before = len(f.stages)
+    f.advance(to_epoch=f.current)  # trim to the window
+    recent, stale = duckdb.sql(
+        f"""WITH mx AS (SELECT max(CAST(ts AS DATE)) md
+                        FROM '{sf_dir}/events.parquet'),
+            r AS (SELECT DISTINCT user_id
+                  FROM '{sf_dir}/events.parquet', mx
+                  WHERE CAST(ts AS DATE) > mx.md - {G})
+            SELECT (SELECT list(user_id) FROM r),
+                   (SELECT list(DISTINCT user_id)
+                    FROM '{sf_dir}/events.parquet'
+                    WHERE user_id NOT IN (SELECT user_id FROM r))"""
+    ).fetchone()
+    recent_hit = f.contains_many(pa.array(recent, type=pa.int64()))
+    stale_hit = (f.contains_many(pa.array(stale, type=pa.int64()))
+                 if stale else np.zeros(0, dtype=bool))
+    return pd.DataFrame({
+        "n_recent_users": [len(recent)],
+        "recent_all_present": [bool(recent_hit.all())],
+        "stale_absent": [bool(not stale_hit.any())],
+        "expired_trimmed": [bool(len(f.stages) <= min(G, n_epochs_before))],
+    })
+
+
 def _cm_join_size_estimate(sf_dir: str):
     """Join-cardinality estimation WITHOUT executing the join (Cormode
     & Muthukrishnan 2005 §4.2; sketches/countmin.py inner_product):
@@ -3514,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_windowed_events": _stream_windowed_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "cm_join_size_estimate": _cm_join_size_estimate,
+        "apbf_sliding_users": _apbf_sliding_users,
         "quantiles_textlen": _quantiles_textlen,
         "topk_words_misra_gries": _topk_words_misra_gries,
         "topk_words_by_lang": _topk_words_by_lang,
@@ -4722,6 +4778,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS est_within_bound
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE p.p_partkey % 7 = 0
+        """,
+        "apbf_sliding_users": """
+            WITH mx AS (SELECT max(CAST(ts AS DATE)) md FROM events)
+            SELECT count(DISTINCT user_id) AS n_recent_users,
+                   TRUE AS recent_all_present, TRUE AS stale_absent,
+                   TRUE AS expired_trimmed
+            FROM events, mx WHERE CAST(ts AS DATE) > mx.md - 7
         """,
         "cm_heavy_hitters": """
             SELECT lang, CAST(count(*) AS BIGINT) AS freq_exact,

@@ -12,6 +12,7 @@ per-partition lineage.
 from .sketches import (
     IBLT,
     KLL,
+    AgePartitionedBloom,
     BottomKSample,
     TopK,
     BloomFilter,

@@ -7,6 +7,7 @@ from .base import (
     read_params,
 )
 from .ams import AMSSketch
+from .apbf import AgePartitionedBloom
 from .bloom import DEFAULT_EXPECTED_INSERTIONS, DEFAULT_FPP, BloomFilter
 from .cbf import CountingBloomFilter
 from .fd import FrequentDirections
@@ -27,6 +28,7 @@ __all__ = [
     "CountingBloomFilter",
     "ScalableBloomFilter",
     "IBLT",
+    "AgePartitionedBloom",
     "AMSSketch",
     "FrequentDirections",
     "PrioritySample",
