@@ -92,6 +92,7 @@ def prepare_corpus(
     cc_backend: str = "driver",
     collect_metrics: bool = True,
     checkpoint_dir: Optional[str] = None,
+    materialize_stages: bool = True,
 ):
     """Run the five-stage preparation chain over ``docs``.
 
@@ -122,6 +123,15 @@ def prepare_corpus(
         t0 = time.time()
         if checkpoint_dir is None:
             docs = compute(docs)
+            if materialize_stages:
+                # stage outputs are consumed more than once (the metric
+                # count + the next stage); without a block boundary Ray
+                # re-executes the upstream lineage on every consumer.
+                # Materializing pins blocks in the object store (which
+                # spills under pressure) — measured 2.3× on the 1M-doc
+                # composition (PERF §33). checkpoint_dir achieves the
+                # same truncation via on-disk parquet, plus resume.
+                docs = docs.materialize()
             rows = docs.count() if collect_metrics else None
             metrics.append({"stage": name, "rows": rows,
                             "wall_s": round(time.time() - t0, 2),
