@@ -3163,6 +3163,33 @@ def _stream_aggregate_events(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def _stream_dedup_events(sf_dir: str):
+    """Windowed streaming dedup (pipelines/streaming.py
+    stream_dedup_window): the at-least-once-delivery shape — drop an
+    event when its (user, event_type) key was already seen in the last
+    7 day-epochs, processed in event-time order through key-hash-bucket
+    actors each holding ONE age-partitioned Bloom filter (bounded by
+    the window, not the stream). At fpp=1e-9 the sketch makes no false
+    drops on this input (deterministic — seeded hashes), so the result
+    EXACTLY matches the SQL anti-window-join oracle, per event type."""
+    from ray.data.aggregate import Count
+
+    from presto_bloomfilter_ray.pipelines import stream_dedup_window
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id", "event_type"])
+    kept, _stats = stream_dedup_window(
+        events, ["user_id", "event_type"], "ts", "event_id",
+        generations=7)
+
+    def flag(b: pa.Table) -> pa.Table:
+        hit = np.isin(np.asarray(b.column("event_id")), kept)
+        return b.filter(pa.array(hit)).select(["event_type"])
+
+    out = events.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    return out.groupby("event_type").aggregate(Count(alias_name="n_kept"))
+
+
 def _stream_windowed_events(sf_dir: str):
     """Watermark-finalized tumbling windows over the event stream
     (stateful per-bucket actors, bounded open-window state, late-event
@@ -3567,6 +3594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_hll_sources_by_lang": _salted_hll_sources_by_lang,
         "stream_aggregate_events": _stream_aggregate_events,
         "stream_windowed_events": _stream_windowed_events,
+        "stream_dedup_events": _stream_dedup_events,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "cm_join_size_estimate": _cm_join_size_estimate,
         "apbf_sliding_users": _apbf_sliding_users,
@@ -4766,6 +4794,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    TRUE AS distinct_users_within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stream_dedup_events": """
+            WITH e AS (SELECT event_id, user_id, event_type, ts,
+                              CAST(ts AS DATE) AS d FROM events)
+            SELECT e.event_type, count(*) AS n_kept FROM e
+            WHERE NOT EXISTS (SELECT 1 FROM e p
+                WHERE p.user_id = e.user_id
+                  AND p.event_type = e.event_type
+                  AND (p.ts < e.ts
+                       OR (p.ts = e.ts AND p.event_id < e.event_id))
+                  AND p.d > e.d - 7 AND p.d <= e.d)
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         "stream_windowed_events": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -261,3 +261,124 @@ def stream_aggregate(ds, key_col: str, value_col: str, distinct_col: str,
     for a in actors:
         ray.kill(a)
     return merged
+
+
+@ray.remote
+class DedupBucketState:
+    """Windowed stream-dedup state for one key-hash bucket.
+
+    Holds an :class:`~presto_bloomfilter_ray.sketches.apbf.
+    AgePartitionedBloom`: an event is KEPT iff its key was not seen in
+    the last ``generations`` epochs (including the current one), and
+    EVERY occurrence — kept or suppressed — is inserted into the
+    current epoch (suppression semantics: a key firing every epoch
+    stays suppressed after its first keep). Expired epochs are trimmed
+    as the stream's epoch advances, so state is bounded by the window —
+    the at-least-once-delivery dedup / alert-throttle shape at sketch
+    memory cost instead of a per-key set.
+    """
+
+    def __init__(self, generations: int, per_gen_insertions: int, fpp: float):
+        from ..sketches import AgePartitionedBloom
+
+        self.f = AgePartitionedBloom(generations, per_gen_insertions, fpp)
+        self.started = False
+
+    def ingest(self, epochs: np.ndarray, keys: np.ndarray,
+               ids: np.ndarray) -> np.ndarray:
+        """Process one batch slice (epochs non-decreasing = stream
+        order). Returns the kept ids."""
+        kept = []
+        for e in np.unique(epochs):  # ascending
+            e = int(e)
+            if not self.started or e > self.f.current:
+                self.f.advance(to_epoch=e)  # trims expired epochs
+                self.started = True
+            m = epochs == e
+            ks = keys[m]
+            eids = ids[m]
+            arr = pa.array(ks)
+            hit = self.f.contains_many(arr)
+            nh = np.flatnonzero(~hit)
+            # first occurrence per key within the slice wins; later
+            # repeats are duplicates even though they probed before
+            # the insert below
+            _, first = np.unique(ks[nh], return_index=True)
+            keep_rows = nh[np.sort(first)]
+            # EVERY occurrence (kept or suppressed) refreshes the
+            # window — suppression semantics: "seen in the last g
+            # epochs" means any sighting, so a key firing every epoch
+            # stays suppressed after its first keep. This is the shape
+            # an exact SQL anti-window-join expresses.
+            self.f.update_at(e, arr)
+            if keep_rows.size:
+                kept.append(eids[keep_rows])
+        return (np.concatenate(kept) if kept
+                else np.empty(0, dtype=ids.dtype))
+
+    def stats(self) -> Dict:
+        return {"epochs": sorted(self.f.stages),
+                "bytes": self.f.estimated_size_bytes()}
+
+
+def stream_dedup_window(ds, key_cols, ts_col: str, id_col: str,
+                        generations: int = 7,
+                        epoch: str = "day",
+                        per_gen_insertions: int = 100_000,
+                        fpp: float = 1e-9,
+                        n_buckets: int = 8, batch_size: int = 8192):
+    """Windowed streaming dedup: keep an event iff its key was NOT
+    seen in the previous ``generations`` epochs (day/hour buckets of
+    ``ts_col``), in event-time order.
+
+    The input is consumed as an ordered stream (sort by
+    ``(ts, id)`` upstream — this function does it); each batch splits
+    by key-hash bucket into stateful actors holding one
+    age-partitioned Bloom filter each, so all occurrences of a key
+    meet the same state in stream order and per-actor memory is
+    bounded by the window. At ``fpp=1e-9`` a false drop is ~never
+    (and deterministic for a fixed input — the hashes are seeded),
+    which is what lets the driver query oracle-match an exact SQL
+    anti-window-join.
+
+    Returns ``(kept_ids, stats)``: a sorted numpy array of kept
+    ``id_col`` values and the per-bucket state stats.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    div = 86_400_000_000 if epoch == "day" else 3_600_000_000
+    ds = ds.sort([ts_col, id_col])
+    actors = [DedupBucketState.remote(generations, per_gen_insertions, fpp)
+              for _ in range(n_buckets)]
+    try:
+        pending: List = []
+        for batch in ds.iter_batches(batch_size=batch_size,
+                                     batch_format="pyarrow"):
+            if batch.num_rows == 0:
+                continue
+            ts = np.asarray(batch.column(ts_col).cast(pa.timestamp("us"))
+                            .cast(pa.int64()))
+            epochs = ts // div
+            import pyarrow.compute as pc
+
+            parts = [batch.column(c).cast(pa.large_string()).combine_chunks()
+                     for c in key_cols]
+            key_arr = parts[0] if len(parts) == 1 else \
+                pc.binary_join_element_wise(
+                    *parts, pa.scalar("\x1f", type=pa.large_string()))
+            keys = np.asarray(key_arr)
+            ids = np.asarray(batch.column(id_col))
+            buckets = hash64(key_arr, 0xDEDB) % np.uint64(n_buckets)
+            for b in range(n_buckets):
+                sel = np.flatnonzero(buckets == b)
+                if sel.size:
+                    pending.append(actors[b].ingest.remote(
+                        epochs[sel], keys[sel], ids[sel]))
+        kept = [k for k in ray.get(pending) if k.size]
+        stats = ray.get([a.stats.remote() for a in actors])
+        out = np.sort(np.concatenate(kept)) if kept \
+            else np.empty(0, dtype=np.int64)
+        return out, stats
+    finally:
+        for a in actors:
+            ray.kill(a)
