@@ -129,6 +129,45 @@ def _cbf_delete_semijoin(sf_dir: str):
     return df[["o_orderstatus", "n_orders", "total_price"]]
 
 
+def _cuckoo_retract_semijoin(sf_dir: str):
+    """The CBF retraction query re-expressed on the cuckoo filter
+    (sketches/cuckoo.py — Fan et al. 2014): same deletion-without-
+    rebuild capability the reference's insert-only filter lacks, at a
+    fraction of the counting filter's 16-bit-per-position cost. The
+    base filter is built DISTRIBUTED over two nations' customers
+    (cuckoo merge re-inserts (bucket, fp) slots, membership is
+    merge-tree-invariant); the retract side's keys — the small side,
+    broadcast-scale by construction — are removed driver-side with
+    ``remove_arrow``. fp_bits=32 puts the FPP at 1.9e-9, so the
+    surviving semijoin is exactly the nation-5-only oracle; cuckoo
+    stores items (not bits), so the retained element count is asserted
+    EXACTLY, not estimated."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.engine import build_sketch, semi_join
+    from presto_bloomfilter_ray.sketches import CuckooFilter
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    both = cust.filter(expr="c_nationkey == 5").union(
+        cust.filter(expr="c_nationkey == 10"))
+    cf = build_sketch(both, "c_custkey", lambda: CuckooFilter(100_000, fp_bits=32),
+                      batch_size=100_000)
+    drop_keys = cust.filter(expr="c_nationkey == 10").select_columns(
+        ["c_custkey"]).to_pandas()["c_custkey"]
+    cf.remove_arrow(pa.array(drop_keys))
+    keep_n = cust.filter(expr="c_nationkey == 5").count()
+    assert cf.underflows == 0 and cf.approx_element_count() == keep_n
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    probed = semi_join(orders, "o_custkey", cf).map_batches(
+        _add_cents("o_totalprice"), batch_format="pyarrow")
+    agg = probed.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"), Sum("_cents", alias_name="_tp")
+    )
+    df = agg.to_pandas()
+    df["total_price"] = (df["_tp"] / 100.0).round(2)
+    return df[["o_orderstatus", "n_orders", "total_price"]]
+
+
 def _ams_f2_events(sf_dir: str):
     """Second frequency moment of the per-user event distribution via
     the AMS/count sketch (sketches/ams.py) — distributed build through
@@ -3492,6 +3531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_orders": _bloom_semijoin_orders,
         "bloom_antijoin_customer": _bloom_antijoin_customer,
         "cbf_delete_semijoin": _cbf_delete_semijoin,
+        "cuckoo_retract_semijoin": _cuckoo_retract_semijoin,
         "ams_f2_events": _ams_f2_events,
         "fd_embedding_spectrum": _fd_embedding_spectrum,
         "priority_sample_orders": _priority_sample_orders,
@@ -3636,6 +3676,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "cbf_delete_semijoin": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+            GROUP BY o_orderstatus
+        """,
+        "cuckoo_retract_semijoin": """
             SELECT o_orderstatus,
                    count(*) AS n_orders,
                    round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price

@@ -10,6 +10,7 @@ from .ams import AMSSketch
 from .apbf import AgePartitionedBloom
 from .bloom import DEFAULT_EXPECTED_INSERTIONS, DEFAULT_FPP, BloomFilter
 from .cbf import CountingBloomFilter
+from .cuckoo import CuckooFilter
 from .fd import FrequentDirections
 from .priority import PrioritySample
 from .countmin import CountMin
@@ -26,6 +27,7 @@ __all__ = [
     "Sketch",
     "BloomFilter",
     "CountingBloomFilter",
+    "CuckooFilter",
     "ScalableBloomFilter",
     "IBLT",
     "AgePartitionedBloom",
