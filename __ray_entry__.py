@@ -634,6 +634,46 @@ def _three_way_split(sf_dir: str):
     return agg
 
 
+def _leakage_safe_split(sf_dir: str):
+    """Cluster-aware train/val/test split (functions/sampling.py
+    cluster_split): every document is assigned a split by its
+    exact-duplicate cluster REPRESENTATIVE's hash band (rep = min
+    doc_id over the normalized-text group, attached scale-honest via
+    bucket_fold + tiered broadcast/join), so duplicate documents can
+    never straddle train/test — the eval-contamination failure mode of
+    row-wise splitting. The no-straddle property is audited in-engine
+    (per-rep min/max split-rank fold must agree); the oracle recomputes
+    the identical rep (window min over the same normalization) and the
+    identical hash bands."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import cluster_split
+    from presto_bloomfilter_ray.functions.fold import bucket_fold
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    split = cluster_split(
+        docs, [("train", 0.8), ("val", 0.9), ("test", 1.0)])
+
+    def code(b: pa.Table) -> pa.Table:
+        part = b.column("part")
+        pc_rank = pc.add(
+            pc.cast(pc.equal(part, "val"), pa.int64()),
+            pc.multiply(pc.cast(pc.equal(part, "test"), pa.int64()),
+                        pa.scalar(2, type=pa.int64())))
+        return pa.table({"rep": b.column("rep"), "_pc": pc_rank})
+
+    split = split.materialize()  # audit + aggregate share one pass
+    mm = bucket_fold(split.map_batches(code, batch_format="pyarrow",
+                                       batch_size=None),
+                     ["rep"], [("_pc", "min", "lo"), ("_pc", "max", "hi")])
+    straddles = mm.filter(expr="lo != hi").count()
+    assert straddles == 0, f"{straddles} clusters straddle splits"
+
+    agg = split.groupby(["lang", "part"]).aggregate(
+        Count(alias_name="n"), Sum("doc_id", alias_name="sum_ids"))
+    return agg
+
+
 def _custkey_set_ops(sf_dir: str):
     """Exact distributed set algebra (functions/features.py
     set_op_counts) over customer vs orders custkeys — the exact
@@ -3564,6 +3604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkey_set_ops": _custkey_set_ops,
         "left_join_order_counts": _left_join_order_counts,
         "three_way_split": _three_way_split,
+        "leakage_safe_split": _leakage_safe_split,
         "embedding_dim_stats": _embedding_dim_stats,
         "global_sort_orders": _global_sort_orders,
         "topk_orders_per_status": _topk_orders_per_status,
@@ -3850,6 +3891,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT lang, part, count(*) AS n FROM s GROUP BY lang, part
+        """,
+        "leakage_safe_split": """
+            WITH rep AS (
+                SELECT doc_id, lang,
+                       min(doc_id) OVER (
+                           PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                       ) AS rep
+                FROM documents
+            ), s AS (
+                SELECT lang, doc_id,
+                       CASE WHEN (rep * 2654435761) % 4294967296 <
+                                 CAST(0.8 * 4294967296 AS BIGINT)
+                            THEN 'train'
+                            WHEN (rep * 2654435761) % 4294967296 <
+                                 CAST(0.9 * 4294967296 AS BIGINT)
+                            THEN 'val' ELSE 'test' END AS part
+                FROM rep
+            )
+            SELECT lang, part, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM s GROUP BY lang, part
         """,
         "custkey_set_ops": """
             WITH l AS (SELECT DISTINCT c_custkey AS k FROM customer

@@ -65,10 +65,13 @@ from .dedup_index import (
     repair_index,
 )
 from .sampling import (
+    attach_dup_cluster,
+    cluster_split,
     hash_sample,
     mixture_sample,
     quantile_band_filter,
     sample_mask,
+    split_by_key,
     temperature_fractions,
 )
 from .packing import pack_sequences, pack_stats

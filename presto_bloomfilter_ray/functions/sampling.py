@@ -159,3 +159,120 @@ def quantile_band_filter(ds, col: str, lo_q: float = 0.05,
         return b.filter(pa.array((v >= lo_cut) & (v <= hi_cut)))
 
     return ds.map_batches(in_band, batch_format="pyarrow"), lo_cut, hi_cut, sketch
+
+
+def split_by_key(ds, key_col: str, bands, out_col: str = "part"):
+    """Deterministic dataset partitioning into named splits by disjoint
+    hash bands on a non-negative integer key column.
+
+    ``bands`` is ``[(name, cumulative_fraction), ...]`` with strictly
+    increasing fractions; keys hashing past the last band fall into a
+    final implicit band only if one entry has fraction 1.0 (pass it
+    explicitly — silent remainders hide mis-specified splits). The
+    band rule is :func:`sample_mask`'s multiplicative-hash threshold,
+    so the assignment is pure map-side, repartition-stable, and a SQL
+    engine can recompute the identical row→split mapping (the
+    ``leakage_safe_split`` driver oracle does).
+
+    Splitting on a CLUSTER representative key (see
+    :func:`attach_dup_cluster` / :func:`cluster_split`) is the
+    leakage-safe form: every member of a duplicate cluster shares its
+    representative's hash, so near-identical documents can never
+    straddle train/test — the classic eval-contamination failure of
+    row-wise splitting.
+    """
+    bands = list(bands)
+    if not bands or abs(bands[-1][1] - 1.0) > 1e-12:
+        raise ValueError("bands must end with cumulative fraction 1.0")
+    fracs = [f for _, f in bands]
+    if any(b >= a for a, b in zip(fracs[1:], fracs[:-1])):
+        raise ValueError("cumulative fractions must be strictly increasing")
+    names = [n for n, _ in bands]
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(key_col))
+        conds = [sample_mask(ids, f) for _, f in bands[:-1]]
+        part = np.select(conds, names[:-1], default=names[-1])
+        return b.append_column(out_col,
+                               pa.array(part.tolist(), type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def attach_dup_cluster(ds, id_col: str = "doc_id", text_col: str = "text",
+                       out_col: str = "rep",
+                       broadcast_limit: int = 2_000_000,
+                       num_buckets: int = 64,
+                       num_partitions: int = 32):
+    """Attach each row's exact-duplicate cluster representative: the
+    MINIMUM ``id_col`` over all rows sharing the same normalized text
+    (:func:`~presto_bloomfilter_ray.functions.dedup.normalize_text` —
+    lowercased, whitespace-collapsed; the same grouping
+    ``exact_dedup`` keeps winners by, so SQL can recompute it as
+    ``min(id) OVER (PARTITION BY lower(regexp_replace(text, '\\s+',
+    ' ', 'g')))``).
+
+    Two stages, both scale-honest:
+
+    1. winner table (group hash → min id) via
+       :func:`~presto_bloomfilter_ray.functions.fold.bucket_fold` —
+       map-side pre-fold, bucket-keyed exchange, never a per-group
+       reduce;
+    2. attach: at or below ``broadcast_limit`` distinct groups the
+       sorted (hash, rep) arrays ship once via ``ray.put`` and every
+       batch resolves its rep with one ``searchsorted`` (the
+       line-dedup broadcast pattern); above it, a hash-partitioned
+       Dataset join on the group hash (no driver state).
+    """
+    import ray
+
+    from .dedup import normalize_text
+    from .fold import bucket_fold
+    from ..sketches.hashing import hash64
+
+    _GH_SEED = 0xC1_05_7E12
+
+    def add_gh(b: pa.Table) -> pa.Table:
+        h = hash64(normalize_text(b.column(text_col)), _GH_SEED)
+        return b.append_column("_gh", pa.array(h.astype(np.int64)))
+
+    with_gh = ds.map_batches(add_gh, batch_format="pyarrow",
+                             batch_size=None)
+    winners = bucket_fold(
+        with_gh.select_columns(["_gh", id_col]), ["_gh"],
+        [(id_col, "min", out_col)], num_buckets=num_buckets,
+    ).materialize()
+
+    if winners.count() <= broadcast_limit:
+        wdf = winners.to_pandas()
+        order = np.argsort(wdf["_gh"].to_numpy())
+        ref = ray.put((wdf["_gh"].to_numpy()[order],
+                       wdf[out_col].to_numpy()[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            gh_sorted, reps = ray.get(ref)
+            h = np.asarray(b.column("_gh"))
+            i = np.searchsorted(gh_sorted, h)
+            return b.append_column(out_col, pa.array(reps[i]))
+
+        return with_gh.map_batches(attach, batch_format="pyarrow",
+                                   batch_size=None)
+
+    joined = with_gh.join(winners, "inner", num_partitions,
+                          on=("_gh",), right_on=("_gh",))
+    return joined
+
+
+def cluster_split(ds, bands, id_col: str = "doc_id",
+                  text_col: str = "text", out_col: str = "part",
+                  **attach_kwargs):
+    """Leakage-safe train/val/test split: assign every row to a split
+    by its duplicate-cluster REPRESENTATIVE's hash band, so exact
+    duplicates (and, with a caller-supplied cluster column, any
+    near-dup clustering) land in the same split. Returns the dataset
+    with ``rep`` and ``part`` columns attached; group-by ``part`` for
+    the audit counts."""
+    with_rep = attach_dup_cluster(ds, id_col=id_col, text_col=text_col,
+                                  **attach_kwargs)
+    return split_by_key(with_rep, attach_kwargs.get("out_col", "rep"),
+                        bands, out_col=out_col)
