@@ -3314,6 +3314,24 @@ def _quantiles_textlen(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _exact_quantiles_totalprice(sf_dir: str):
+    """EXACT distributed order statistics (functions/quantiles.py
+    exact_quantile): iterative histogram-narrowing selection — per
+    round one map-only n_bins histogram over the shrinking candidate
+    interval (partials bounded by block count), final np.partition
+    over a pulled interval of at most pull_limit rows. The exact
+    counterpart of the t-digest/KLL queries: no global sort, no value
+    shuffle, and the oracle IS DuckDB's quantile_disc, compared
+    value-exact. pull_limit=2000 forces real narrowing rounds at every
+    sf."""
+    from presto_bloomfilter_ray.functions import exact_quantile
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    p50, p90, p99 = exact_quantile(
+        orders, "o_totalprice", [0.5, 0.9, 0.99], pull_limit=2_000)
+    return pd.DataFrame({"p50": [p50], "p90": [p90], "p99": [p99]})
+
+
 def _topk_words_misra_gries(sf_dir: str):
     """Misra-Gries heavy hitters over the corpus's words, built through
     the distributed merge tree. Deterministic contract vs exact DuckDB
@@ -3680,6 +3698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_join_size_estimate": _cm_join_size_estimate,
         "apbf_sliding_users": _apbf_sliding_users,
         "quantiles_textlen": _quantiles_textlen,
+        "exact_quantiles_totalprice": _exact_quantiles_totalprice,
         "topk_words_misra_gries": _topk_words_misra_gries,
         "topk_words_by_lang": _topk_words_by_lang,
         "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
@@ -4945,6 +4964,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q,
                    TRUE AS td_within_bound, TRUE AS kll_within_bound
             FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)
+        """,
+        "exact_quantiles_totalprice": """
+            SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   quantile_disc(o_totalprice, 0.99) AS p99
+            FROM orders
         """,
         "grouped_quantiles_totalprice": """
             SELECT DISTINCT o_orderstatus,
