@@ -3314,6 +3314,45 @@ def _quantiles_textlen(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _ngram_novelty_documents(sf_dir: str):
+    """Memorization-risk screen (functions/decontaminate.py
+    novelty_scores): fraction of each corpus doc's token 5-grams
+    already present in a reference corpus (docs with doc_id % 29 == 0
+    play the 'previous training set'). The reference side uses the
+    EXACT broadcast tier (reference_gram_index — sorted uint64 gram
+    hashes, value-exact); the Bloom tier shares the same scoring path
+    for beyond-broadcast references. Scoring is a pure map stage; the
+    corpus never shuffles. Novelty is emitted in integer parts per
+    million ((sum_grams - sum_seen) * 1e6 // sum_grams) so the oracle
+    comparison is exact-integer, not float-rounding-dependent."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import (novelty_scores,
+                                                  reference_gram_index)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def part(keep_ref: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"))
+            m = (ids % 29 == 0) if keep_ref else (ids % 29 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    ref = docs.map_batches(part(True), batch_format="pyarrow")
+    corpus = docs.map_batches(part(False), batch_format="pyarrow")
+    idx = reference_gram_index(ref, ngram=5)
+    scored = novelty_scores(corpus, idx, ngram=5)
+    agg = scored.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_grams", alias_name="sum_grams"),
+        Sum("n_seen", alias_name="sum_seen"))
+    df = agg.to_pandas()
+    df["novelty_ppm"] = ((df["sum_grams"] - df["sum_seen"]) * 1_000_000
+                         // df["sum_grams"]).astype("int64")
+    return df[["lang", "n_docs", "sum_grams", "sum_seen", "novelty_ppm"]]
+
+
 def _exact_quantiles_totalprice(sf_dir: str):
     """EXACT distributed order statistics (functions/quantiles.py
     exact_quantile): iterative histogram-narrowing selection — per
@@ -3699,6 +3738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apbf_sliding_users": _apbf_sliding_users,
         "quantiles_textlen": _quantiles_textlen,
         "exact_quantiles_totalprice": _exact_quantiles_totalprice,
+        "ngram_novelty_documents": _ngram_novelty_documents,
         "topk_words_misra_gries": _topk_words_misra_gries,
         "topk_words_by_lang": _topk_words_by_lang,
         "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
@@ -4970,6 +5010,42 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.9) AS p90,
                    quantile_disc(o_totalprice, 0.99) AS p99
             FROM orders
+        """,
+        "ngram_novelty_documents": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), rg AS (
+                SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+                FROM toks,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+                WHERE doc_id % 29 = 0 AND len(t) >= 1
+            ), cg AS (
+                SELECT doc_id, lang, array_to_string(t[i:i+4], ' ') AS gram
+                FROM toks,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+                WHERE doc_id % 29 <> 0 AND len(t) >= 1
+            ), per_doc AS (
+                SELECT doc_id, lang, count(*) AS n_grams,
+                       sum(CASE WHEN gram IN (SELECT gram FROM rg)
+                                THEN 1 ELSE 0 END) AS n_seen
+                FROM cg GROUP BY doc_id, lang
+            )
+            SELECT d.lang,
+                   count(*) AS n_docs,
+                   CAST(coalesce(sum(p.n_grams), 0) AS BIGINT) AS sum_grams,
+                   CAST(coalesce(sum(p.n_seen), 0) AS BIGINT) AS sum_seen,
+                   CAST(((coalesce(sum(p.n_grams), 0) -
+                          coalesce(sum(p.n_seen), 0)) * 1000000)
+                        // coalesce(sum(p.n_grams), 0) AS BIGINT)
+                       AS novelty_ppm
+            FROM (SELECT doc_id, lang FROM documents
+                  WHERE doc_id % 29 <> 0) d
+            LEFT JOIN per_doc p USING (doc_id)
+            GROUP BY d.lang
         """,
         "grouped_quantiles_totalprice": """
             SELECT DISTINCT o_orderstatus,

@@ -5,6 +5,8 @@ from .decontaminate import (
     explode_lines,
     explode_token_ngrams,
     flag_contaminated,
+    novelty_scores,
+    reference_gram_index,
 )
 from .dedup import (
     add_content_hash,

@@ -224,3 +224,93 @@ def decontaminate(ds, bench_ds, text_col: str = "text",
         return b.filter(pc.invert(mask)).drop_columns(["__contaminated"])
 
     return flagged.map_batches(drop_flagged, batch_format="pyarrow")
+
+
+def reference_gram_index(ref_ds, text_col: str = "text",
+                         ngram: int = 8) -> np.ndarray:
+    """Sorted unique uint64 gram-hash array of a reference corpus —
+    the EXACT membership tier of :func:`novelty_scores` for reference
+    sides that fit a broadcast (8 bytes per distinct gram; a 10M-gram
+    reference is an 80 MB array). Per-block uniques stream to the
+    driver, so the pull is bounded by distinct grams, never rows.
+    Above the broadcast budget use
+    :func:`benchmark_bloom(..., unit="ngram")` instead — same scoring
+    path, Bloom membership."""
+    def grams(b: pa.Table) -> pa.Table:
+        g, _ = _doc_grams(b.column(text_col), b.num_rows, ngram)
+        return pa.table({"g": pa.array(np.unique(g))})
+
+    parts = ref_ds.map_batches(grams, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(parts["g"].to_numpy().astype(np.uint64))
+
+
+def novelty_scores(ds, ref, text_col: str = "text", ngram: int = 8,
+                   concurrency: Optional[int] = None):
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    memorization-risk screen of an LLM data pipeline (what fraction of
+    a doc's token n-grams has the model's training set already seen?):
+
+    * ``n_grams``: the doc's token-``ngram`` window count (GPT-3-style
+      lowercased alnum tokens, whole-doc gram for short docs — the
+      exact decontamination unit of :func:`explode_token_ngrams`);
+    * ``n_seen``: windows whose gram is in ``ref`` — either the exact
+      sorted index from :func:`reference_gram_index` (value-exact,
+      broadcast tier) or a Bloom filter from
+      :func:`benchmark_bloom(..., unit="ngram")` (constant memory at
+      any reference size);
+    * ``novelty``: ``1 - n_seen/n_grams`` (null for token-free docs).
+
+    Scale shape is decontamination's: the reference membership
+    structure broadcasts once (``ray.put`` + per-worker cache),
+    scoring is a pure map stage — the corpus never shuffles. With the
+    Bloom tier, false positives only UNDER-state novelty (the safe
+    direction for a memorization screen); false negatives are
+    impossible, so ``novelty == 1`` guarantees no reference window
+    matches.
+    """
+    import ray
+
+    from ..engine.ops import get_or_load
+
+    exact = isinstance(ref, np.ndarray)
+    if exact:
+        handle = ray.put(np.ascontiguousarray(ref, dtype=np.uint64))
+    else:
+        handle = ray.put(ref if isinstance(ref, bytes) else ref.serialize())
+
+    def score(b: pa.Table) -> pa.Table:
+        from .text import set_column
+
+        n_docs = b.num_rows
+        grams, parents = _doc_grams(b.column(text_col), n_docs, ngram)
+        n_grams = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        if len(grams):
+            if exact:
+                idx = ray.get(handle)
+                i = np.searchsorted(idx, grams)
+                hit = np.zeros(len(grams), dtype=bool)
+                inb = i < idx.size
+                hit[inb] = idx[i[inb]] == grams[inb]
+            else:
+                bf = get_or_load(ray.get(handle))
+                hit = bf.contains_many(pa.array(grams).cast(pa.string()))
+            n_seen = np.bincount(parents[hit],
+                                 minlength=n_docs).astype(np.int64)
+        else:
+            n_seen = np.zeros(n_docs, dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nov = 1.0 - n_seen / n_grams
+        novelty = pa.array(np.where(n_grams > 0, nov, np.nan))
+        novelty = pc.if_else(pa.array(n_grams > 0), novelty,
+                             pa.scalar(None, type=pa.float64()))
+        out = set_column(b, "n_grams", pa.array(n_grams))
+        out = set_column(out, "n_seen", pa.array(n_seen))
+        return set_column(out, "novelty", novelty)
+
+    kwargs = {"batch_format": "pyarrow"}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(score, **kwargs)
