@@ -3314,6 +3314,24 @@ def _quantiles_textlen(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _containment_pairs_documents(sf_dir: str):
+    """Size-asymmetric near-dup detection (functions/containment.py):
+    document pairs whose directional shingle containment
+    inter/min(|A|,|B|) ≥ 0.8 — the quoted-article/wrapped-repost case
+    Jaccard-based MinHash misses by construction. Exact tier
+    (sample_mod=1); hot-shingle caps are asserted untriggered, so the
+    pair set is EXACT and the oracle is a plain distinct-shingle
+    self-join over the same window slices. cont_ppm is integer math on
+    both sides."""
+    from presto_bloomfilter_ray.functions import containment_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs, stats = containment_pairs(docs, k=5, tau=0.8)
+    assert stats["capped_grams"] == 0, stats
+    return pairs.to_pandas()[["a", "b", "inter", "size_a", "size_b",
+                              "cont_ppm"]]
+
+
 def _ngram_novelty_documents(sf_dir: str):
     """Memorization-risk screen (functions/decontaminate.py
     novelty_scores): fraction of each corpus doc's token 5-grams
@@ -3739,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_textlen": _quantiles_textlen,
         "exact_quantiles_totalprice": _exact_quantiles_totalprice,
         "ngram_novelty_documents": _ngram_novelty_documents,
+        "containment_pairs_documents": _containment_pairs_documents,
         "topk_words_misra_gries": _topk_words_misra_gries,
         "topk_words_by_lang": _topk_words_by_lang,
         "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
@@ -5010,6 +5029,37 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.9) AS p90,
                    quantile_disc(o_totalprice, 0.99) AS p99
             FROM orders
+        """,
+        "containment_pairs_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), g0 AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+4], ' ') AS gram
+                FROM toks,
+                     unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS r(i)
+                WHERE len(t) >= 1
+            ), sz AS (
+                SELECT doc_id, count(*) AS s FROM g0 GROUP BY doc_id
+            ), pr AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM g0 x JOIN g0 y
+                  ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT p.a, p.b, p.inter,
+                   CAST(sa.s AS BIGINT) AS size_a,
+                   CAST(sb.s AS BIGINT) AS size_b,
+                   CAST((p.inter * 1000000) // least(sa.s, sb.s) AS BIGINT)
+                       AS cont_ppm
+            FROM pr p
+            JOIN sz sa ON sa.doc_id = p.a
+            JOIN sz sb ON sb.doc_id = p.b
+            WHERE (p.inter * 1000000) // least(sa.s, sb.s) >= 800000
         """,
         "ngram_novelty_documents": """
             WITH toks AS (

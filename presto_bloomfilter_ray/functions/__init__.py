@@ -8,6 +8,7 @@ from .decontaminate import (
     novelty_scores,
     reference_gram_index,
 )
+from .containment import containment_pairs
 from .dedup import (
     add_content_hash,
     cap_per_key,
