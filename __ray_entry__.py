@@ -3314,6 +3314,32 @@ def _quantiles_textlen(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _planned_join_orders(sf_dir: str):
+    """Sketch-driven join planning (functions/joinplan.py): one
+    mergeable-statistics pass per side (exact count + Theta distinct of
+    the key) picks the physical strategy — broadcast / Bloom-prefilter
+    / shuffle — exactly the optimizer role the reference's Bloom
+    filters play in Presto join pruning. customer is the small side at
+    every sf, so the plan must resolve to broadcast (asserted), the
+    join runs entirely map-side, and the result hash-matches the plain
+    SQL inner join."""
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import planned_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    out, plan = planned_join(orders, "o_custkey", cust, "c_custkey")
+    assert plan["strategy"] == "broadcast", plan
+    out = out.map_batches(_add_cents("o_totalprice"), batch_format="pyarrow")
+    agg = out.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("_cents", alias_name="_tp"))
+    df = agg.to_pandas()
+    df["total_price"] = (df["_tp"] / 100.0).round(2)
+    df["c_nationkey"] = df["c_nationkey"].astype("int32")  # parquet dtype
+    return df[["c_nationkey", "n_orders", "total_price"]]
+
+
 def _containment_pairs_documents(sf_dir: str):
     """Size-asymmetric near-dup detection (functions/containment.py):
     document pairs whose directional shingle containment
@@ -3758,6 +3784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles_totalprice": _exact_quantiles_totalprice,
         "ngram_novelty_documents": _ngram_novelty_documents,
         "containment_pairs_documents": _containment_pairs_documents,
+        "planned_join_orders": _planned_join_orders,
         "topk_words_misra_gries": _topk_words_misra_gries,
         "topk_words_by_lang": _topk_words_by_lang,
         "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
@@ -5029,6 +5056,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.9) AS p90,
                    quantile_disc(o_totalprice, 0.99) AS p99
             FROM orders
+        """,
+        "planned_join_orders": """
+            SELECT c_nationkey,
+                   count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "containment_pairs_documents": """
             WITH toks AS (
