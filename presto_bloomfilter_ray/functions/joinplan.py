@@ -52,6 +52,18 @@ def _side_stats(ds, key: str, theta_k: int) -> Tuple[int, object]:
     return n, sk
 
 
+#: bits per key of a Bloom filter at the prefilter FPP (0.01); the
+#: classic -ln(p)/(ln 2)^2
+_PREFILTER_BITS_PER_KEY = 9.57
+#: every map task emits a FULL-SIZE dense Bloom partial (a bitset's
+#: size is fixed by (n, p), not by how many keys a block held), so the
+#: build exchange is ~n_blocks × filter_bytes — the dominant and
+#: easily-underestimated cost of prefiltering. Measured: two 32M-key
+#: filters at 64 blocks cost 166 s vs the 19 s shuffle they tried to
+#: save (PERF §38).
+_FILTER_BLOCKS_FALLBACK = 32
+
+
 def sketch_join_plan(left, lkey: str, right, rkey: str, *,
                      broadcast_limit: int = 1_000_000,
                      prefilter_below: float = 0.5,
@@ -61,12 +73,17 @@ def sketch_join_plan(left, lkey: str, right, rkey: str, *,
     Decision rule (in order):
 
     1. ``min(rows) <= broadcast_limit`` → ``"broadcast"``;
-    2. predicted survivor fraction
-       ``max(inter/d_left, inter/d_right) <= prefilter_below`` →
-       ``"bloom_prefilter"`` (most keys on BOTH sides are partnerless;
-       Theta's intersection RSE is a few percent at k=4096, and the
-       cost of a wrong call is only a wasted map pass, never a wrong
-       result);
+    2. ``"bloom_prefilter"`` when BOTH hold — most keys on both sides
+       are partnerless (``max(inter/d) <= prefilter_below``) AND the
+       byte-cost model says pruning pays: prefiltering saves
+       ``(1 - surv) × side_bytes`` of shuffle exchange per side but
+       spends ``~4 × filter_bytes`` building/merging each Bloom
+       envelope. On narrow rows (a 16-byte key pair) the filters cost
+       more than the whole shuffle — selectivity alone is NOT a reason
+       to prefilter; on wide rows (documents) the same selectivity
+       saves gigabytes. Theta's intersection RSE is a few percent at
+       k=4096 and a wrong call only wastes a map pass, never changes
+       the answer;
     3. else ``"shuffle"``.
     """
     n_l, sk_l = _side_stats(left, lkey, theta_k)
@@ -76,19 +93,35 @@ def sketch_join_plan(left, lkey: str, right, rkey: str, *,
     inter = sk_l.intersection_estimate(sk_r)
     surv_l = min(1.0, inter / d_l)
     surv_r = min(1.0, inter / d_r)
+    bytes_l = max(int(left.size_bytes() or 0), 16 * n_l)
+    bytes_r = max(int(right.size_bytes() or 0), 16 * n_r)
+    try:
+        n_blocks = max(int(left.num_blocks() or 0),
+                       int(right.num_blocks() or 0),
+                       1)
+    except Exception:
+        n_blocks = _FILTER_BLOCKS_FALLBACK
+    filter_bytes = (_PREFILTER_BITS_PER_KEY / 8.0) * 1.2 * (d_l + d_r)
+    est_shuffle = float(bytes_l + bytes_r)
+    est_prefilter = (n_blocks * filter_bytes
+                     + surv_l * bytes_l + surv_r * bytes_r)
     if min(n_l, n_r) <= broadcast_limit:
         strategy = "broadcast"
-    elif max(surv_l, surv_r) <= prefilter_below:
+    elif (max(surv_l, surv_r) <= prefilter_below
+          and est_prefilter < 0.8 * est_shuffle):
         strategy = "bloom_prefilter"
     else:
         strategy = "shuffle"
     return {
         "strategy": strategy,
         "n_left": int(n_l), "n_right": int(n_r),
+        "bytes_left": int(bytes_l), "bytes_right": int(bytes_r),
         "distinct_left_est": float(d_l), "distinct_right_est": float(d_r),
         "intersection_est": float(inter),
         "survival_left_est": float(surv_l),
         "survival_right_est": float(surv_r),
+        "est_shuffle_mb": round(est_shuffle / 2**20, 1),
+        "est_prefilter_mb": round(est_prefilter / 2**20, 1),
         "theta_rse": float(sk_l.relative_error_bound()),
     }
 
@@ -110,7 +143,7 @@ def _broadcast_join(big, big_key: str, small, small_key: str,
         lb = pl.from_arrow(b)
         rb = pl.from_arrow(st)
         out = lb.join(rb, left_on=big_key, right_on=small_key,
-                      how="inner")
+                      how="inner", suffix="_r")
         return out.to_arrow()
 
     return big.map_batches(join_batch, batch_format="pyarrow",
@@ -121,7 +154,7 @@ def planned_join(left, lkey: str, right, rkey: str, *,
                  broadcast_limit: int = 1_000_000,
                  prefilter_below: float = 0.5,
                  theta_k: int = 4096,
-                 bloom_fpp: float = 1e-6,
+                 bloom_fpp: float = 1e-2,
                  num_partitions: int = 32,
                  plan: Optional[Dict] = None):
     """Execute the sketch-chosen inner join. Returns ``(ds, plan)``.
@@ -150,8 +183,9 @@ def planned_join(left, lkey: str, right, rkey: str, *,
         return out, plan
 
     if strategy == "bloom_prefilter":
-        # size each filter by the other side's distinct estimate (the
-        # probe-side estimate is what bounds insertions)
+        # prefilter FPP is deliberately loose (1e-2 default): a false
+        # positive only admits a row that finds no join partner, so the
+        # filter can be ~3x smaller than an exactness-grade one
         n_bl = max(1024, int(plan["distinct_left_est"] * 1.2))
         n_br = max(1024, int(plan["distinct_right_est"] * 1.2))
         bf_l = build_sketch(left, lkey,
@@ -160,12 +194,28 @@ def planned_join(left, lkey: str, right, rkey: str, *,
         bf_r = build_sketch(right, rkey,
                             lambda: BloomFilter(n_br, bloom_fpp),
                             batch_size=None)
-        left_kept = semi_join(left, lkey, bf_r)
-        right_kept = semi_join(right, rkey, bf_l)
+        left_kept = semi_join(left, lkey, bf_r).materialize()
+        right_kept = semi_join(right, rkey, bf_l).materialize()
+        # pruning often shrinks a side under the broadcast budget —
+        # finish map-side instead of shuffling the survivors
+        n_lk, n_rk = left_kept.count(), right_kept.count()
+        plan = dict(plan, survivors_left=int(n_lk),
+                    survivors_right=int(n_rk))
+        if min(n_lk, n_rk) <= broadcast_limit:
+            plan["finish"] = "broadcast"
+            if n_rk <= n_lk:
+                out = _broadcast_join(left_kept, lkey, right_kept, rkey,
+                                      n_rk)
+            else:
+                out = _broadcast_join(right_kept, rkey, left_kept, lkey,
+                                      n_lk)
+            return out, plan
+        plan["finish"] = "shuffle"
         out = left_kept.join(right_kept, "inner", num_partitions,
-                             on=(lkey,), right_on=(rkey,))
+                             on=(lkey,), right_on=(rkey,),
+                             right_suffix="_r")
         return out, plan
 
     out = left.join(right, "inner", num_partitions,
-                    on=(lkey,), right_on=(rkey,))
+                    on=(lkey,), right_on=(rkey,), right_suffix="_r")
     return out, plan

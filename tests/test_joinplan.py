@@ -86,3 +86,19 @@ def test_theta_estimates_close_to_truth(ray_session):
     assert abs(plan["distinct_left_est"] - 100_000) < 10_000
     assert abs(plan["intersection_est"] - 50_000) < 10_000
     assert 0.35 < plan["survival_left_est"] < 0.65
+
+
+def test_colliding_columns_suffixed_all_strategies(ray_session):
+    # both sides carry a "payload" column; every strategy must
+    # disambiguate with the same _r suffix instead of crashing
+    l = _ds(pa.table({"k": np.arange(500, dtype=np.int64),
+                      "payload": np.arange(500, dtype=np.int64)}))
+    r = _ds(pa.table({"k2": np.arange(250, 750, dtype=np.int64),
+                      "payload": np.arange(500, dtype=np.int64)}))
+    base = sketch_join_plan(l, "k", r, "k2")
+    for strat in ["broadcast", "bloom_prefilter", "shuffle"]:
+        out, _ = planned_join(l, "k", r, "k2", num_partitions=2,
+                              plan=dict(base, strategy=strat))
+        df = out.to_pandas()
+        assert len(df) == 250, strat
+        assert {"payload", "payload_r"} <= set(df.columns), strat
