@@ -3358,6 +3358,25 @@ def _containment_pairs_documents(sf_dir: str):
                               "cont_ppm"]]
 
 
+def _grouped_exact_quantiles_status(sf_dir: str):
+    """Per-group EXACT order statistics (functions/quantiles.py
+    grouped_exact_quantile): every o_orderstatus group narrows
+    SIMULTANEOUSLY in shared map-only histogram passes (per round: ONE
+    pass for all groups × both quantiles) — no per-group rescans, no
+    sort, values never shuffle. Group membership across rounds is the
+    recomputed integer bin path, exact by float-op identity.
+    pull_limit=2000 forces real narrowing at every sf; the oracle is
+    DuckDB quantile_disc GROUP BY, value-exact."""
+    from presto_bloomfilter_ray.functions import grouped_exact_quantile
+
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus",
+                                              "o_totalprice"])
+    df = grouped_exact_quantile(orders, "o_totalprice", [0.5, 0.95],
+                                "o_orderstatus", pull_limit=2_000)
+    df = df.rename(columns={"q_0.5": "p50", "q_0.95": "p95"})
+    return df[["o_orderstatus", "p50", "p95"]]
+
+
 def _ngram_novelty_documents(sf_dir: str):
     """Memorization-risk screen (functions/decontaminate.py
     novelty_scores): fraction of each corpus doc's token 5-grams
@@ -3783,6 +3802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_textlen": _quantiles_textlen,
         "exact_quantiles_totalprice": _exact_quantiles_totalprice,
         "ngram_novelty_documents": _ngram_novelty_documents,
+        "grouped_exact_quantiles_status": _grouped_exact_quantiles_status,
         "containment_pairs_documents": _containment_pairs_documents,
         "planned_join_orders": _planned_join_orders,
         "topk_words_misra_gries": _topk_words_misra_gries,
@@ -5094,6 +5114,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = p.a
             JOIN sz sb ON sb.doc_id = p.b
             WHERE (p.inter * 1000000) // least(sa.s, sb.s) >= 800000
+        """,
+        "grouped_exact_quantiles_status": """
+            SELECT o_orderstatus,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.95) AS p95
+            FROM orders GROUP BY o_orderstatus
         """,
         "ngram_novelty_documents": """
             WITH toks AS (

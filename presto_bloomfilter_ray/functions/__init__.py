@@ -79,7 +79,7 @@ from .sampling import (
     temperature_fractions,
 )
 from .packing import pack_sequences, pack_stats
-from .quantiles import exact_quantile
+from .quantiles import exact_quantile, grouped_exact_quantile
 from .features import (
     explode_list,
     mad_outliers_by_key,

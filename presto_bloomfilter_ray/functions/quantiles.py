@@ -43,7 +43,7 @@ from typing import List, Sequence, Union
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["exact_quantile"]
+__all__ = ["exact_quantile", "grouped_exact_quantile"]
 
 
 def _minmax_count(ds, col: str):
@@ -162,3 +162,203 @@ def exact_quantile(ds, col: str, q: Union[float, Sequence[float]], *,
                 f"pulled={vals.size} (q={qq}, k={k}, below={below})")
         out.append(float(np.partition(vals, r - 1)[r - 1]))
     return out[0] if np.isscalar(q) else out
+
+
+def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
+                           n_bins: int = 1024,
+                           pull_limit: int = 200_000,
+                           max_rounds: int = 16,
+                           max_keys: int = 65_536):
+    """Exact per-group ``quantile_disc`` — every group narrows
+    SIMULTANEOUSLY in the same map-only passes (one histogram pass per
+    round covers all groups × all quantiles), instead of re-scanning
+    the dataset once per group the way a naive loop over
+    :func:`exact_quantile` would.
+
+    Float discipline differs from the scalar path: instead of
+    filtering by narrowed ``[lo, hi]`` floats (whose ulp-level
+    disagreement with binning can drop boundary rows), each group's
+    state is its original ``(lo0, hi0)`` plus the integer BIN PATH
+    chosen so far. A row's membership is "recomputing every round's
+    bin with the identical float expression reproduces the path" — the
+    same ops on the same floats give the same bits everywhere, so
+    membership is exact by construction.
+
+    ``key_col`` cardinality must be ≤ ``max_keys`` (driver state is
+    ``groups × quantiles`` small arrays + one ``groups × n_bins``
+    histogram per round — the bounded-key-cardinality contract, like
+    every GROUP BY quantile). Returns a pandas DataFrame with
+    ``key_col`` and one ``q_<quantile>`` column per requested
+    quantile; group ranks use the same ``ceil(q·n)`` rule as
+    :func:`exact_quantile`.
+    """
+    import math
+
+    import pandas as pd
+
+    from .fold import bucket_fold
+
+    qs = [float(q)] if np.isscalar(q) else [float(x) for x in q]
+    if any(not (0.0 <= x <= 1.0) for x in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+
+    def clean(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column(col), dtype=np.float64)
+        ok = ~np.isnan(v)
+        import pyarrow.compute as pc
+        ok &= ~np.asarray(pc.is_null(b.column(key_col)).combine_chunks()
+                          if isinstance(b.column(key_col), pa.ChunkedArray)
+                          else pc.is_null(b.column(key_col)))
+        return pa.table({"k": b.column(key_col).filter(pa.array(ok)),
+                         "v": pa.array(v[ok])})
+
+    kv = ds.map_batches(clean, batch_format="pyarrow",
+                        batch_size=None).materialize()
+    stats = bucket_fold(kv, ["k"], [("v", "min", "lo"), ("v", "max", "hi"),
+                                    (None, "count", "n")]).to_pandas()
+    K = len(stats)
+    if K == 0:
+        raise ValueError(f"grouped_exact_quantile: no non-null rows")
+    if K > max_keys:
+        raise ValueError(
+            f"grouped_exact_quantile: {K} groups exceeds max_keys="
+            f"{max_keys}; this operator's driver state is per-group")
+    stats = stats.sort_values("k").reset_index(drop=True)
+    keys_sorted = stats["k"].to_numpy()
+    _kindex = pd.Index(keys_sorted)  # C-speed hash lookup (string keys
+    # through np.searchsorted would fall back to per-row PyObject
+    # comparisons — the hot-path ban)
+    lo0 = stats["lo"].to_numpy(dtype=np.float64)
+    hi0 = stats["hi"].to_numpy(dtype=np.float64)
+    n_g = stats["n"].to_numpy(dtype=np.int64)
+
+    Q = len(qs)
+    T = K * Q  # track (g, j) = group g, quantile j
+    k_rank = np.maximum(
+        1, np.ceil(np.multiply.outer(n_g.astype(np.float64), qs))
+    ).astype(np.int64).reshape(T)
+    below = np.zeros(T, dtype=np.int64)
+    inside = np.repeat(n_g, Q)
+    # bin path per track; -1 = inactive depth
+    paths = np.full((T, max_rounds), -1, dtype=np.int32)
+    depth = np.zeros(T, dtype=np.int32)
+    t_lo = np.repeat(lo0, Q)
+    t_hi = np.repeat(hi0, Q)
+
+    def _row_bins(v, g_idx, j, upto):
+        """Recompute the bin path of rows for quantile-track j of their
+        group, to depth ``upto`` per track. Returns (match_mask, bins
+        at final depth, per-row lo/hi at final depth)."""
+        t = g_idx * Q + j
+        cur_lo = lo0[g_idx].copy()
+        cur_hi = hi0[g_idx].copy()
+        alive = (v >= cur_lo) & (v <= cur_hi)
+        d_of = upto[t]
+        bins = np.zeros(v.size, dtype=np.int32)
+        for d in range(int(d_of.max(initial=0))):
+            need = alive & (d_of > d)
+            if not need.any():
+                break
+            w = (cur_hi - cur_lo) / n_bins
+            b = np.zeros(v.size, dtype=np.int32)
+            nz = need & (w > 0)
+            b[nz] = np.minimum(
+                ((v[nz] - cur_lo[nz]) / w[nz]).astype(np.int32),
+                n_bins - 1)
+            want = paths[t, d]
+            ok = b == want
+            alive &= np.where(d_of > d, ok, True)
+            step = need & alive
+            cur_lo = np.where(step, cur_lo + b * w, cur_lo)
+            cur_hi = np.where(step & (b < n_bins - 1),
+                              cur_lo + w, cur_hi)
+        return alive, cur_lo, cur_hi
+
+    rounds = 0
+    while (inside > pull_limit).any():
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"grouped_exact_quantile: {(inside > pull_limit).sum()} "
+                f"tracks still above pull_limit after {max_rounds} rounds")
+        active = inside > pull_limit
+        # degenerate intervals can't subdivide: all values equal
+        deg = active & ((t_hi - t_lo) <= 0)
+        if deg.any():
+            inside[deg] = 0
+            active = inside > pull_limit
+
+        def hist(b: pa.Table, depth=depth.copy(), active=active.copy(),
+                 t_lo=t_lo.copy(), t_hi=t_hi.copy()) -> pa.Table:
+            v = np.asarray(b.column("v"), dtype=np.float64)
+            g_idx = _kindex.get_indexer(np.asarray(b.column("k")))
+            out = np.zeros(T * n_bins, dtype=np.int64)
+            for j in range(Q):
+                t = g_idx * Q + j
+                match, _, _ = _row_bins(v, g_idx, j, depth)
+                m = match & active[t]
+                if not m.any():
+                    continue
+                w = (t_hi[t[m]] - t_lo[t[m]]) / n_bins
+                bins = np.minimum(((v[m] - t_lo[t[m]]) / w).astype(np.int64),
+                                  n_bins - 1)
+                np.add.at(out, t[m] * n_bins + bins, 1)
+            return pa.table({"h": pa.array([out.tolist()],
+                                           type=pa.list_(pa.int64()))})
+
+        parts = kv.map_batches(hist, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        total = np.zeros(T * n_bins, dtype=np.int64)
+        for row in parts["h"]:
+            total += np.asarray(row, dtype=np.int64)
+        hmat = total.reshape(T, n_bins)
+        for t in np.flatnonzero(active):
+            cum = below[t] + np.cumsum(hmat[t])
+            b_i = int(np.searchsorted(cum, k_rank[t], side="left"))
+            if b_i > 0:
+                below[t] = int(cum[b_i - 1])
+            paths[t, depth[t]] = b_i
+            depth[t] += 1
+            w = (t_hi[t] - t_lo[t]) / n_bins
+            new_lo = t_lo[t] + b_i * w
+            if b_i < n_bins - 1:
+                t_hi[t] = new_lo + w
+            t_lo[t] = new_lo
+            inside[t] = int(hmat[t, b_i])
+
+    # pull phase: per track, collect surviving values
+    def pull(b: pa.Table, depth=depth.copy()) -> pa.Table:
+        v = np.asarray(b.column("v"), dtype=np.float64)
+        g_idx = _kindex.get_indexer(np.asarray(b.column("k")))
+        ts, vs = [], []
+        for j in range(Q):
+            t = g_idx * Q + j
+            match, _, _ = _row_bins(v, g_idx, j, depth)
+            ts.append(t[match])
+            vs.append(v[match])
+        return pa.table({"t": pa.array(np.concatenate(ts)),
+                         "v": pa.array(np.concatenate(vs))})
+
+    pulled = kv.map_batches(pull, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    res = np.full(T, np.nan)
+    order = np.argsort(pulled["t"].to_numpy(), kind="stable")
+    pt = pulled["t"].to_numpy()[order]
+    pv = pulled["v"].to_numpy()[order]
+    starts = np.searchsorted(pt, np.arange(T))
+    ends = np.searchsorted(pt, np.arange(T) + 1)
+    for t in range(T):
+        vals = pv[starts[t]:ends[t]]
+        r = k_rank[t] - below[t]
+        if vals.size == 0 and inside[t] == 0:
+            res[t] = t_lo[t]  # degenerate all-equal interval
+            continue
+        if not (1 <= r <= vals.size):
+            raise RuntimeError(
+                f"grouped_exact_quantile rank error: track {t}, r={r}, "
+                f"pulled={vals.size}")
+        res[t] = np.partition(vals, r - 1)[r - 1]
+    out = pd.DataFrame({key_col: keys_sorted})
+    for j, qq in enumerate(qs):
+        out[f"q_{qq}"] = res[j::Q] if Q > 1 else res
+    return out

@@ -105,3 +105,68 @@ def test_integer_column(ray_session):
     ds = rd.from_arrow(t).repartition(8)
     got = exact_quantile(ds, "x", [0.5, 0.95], pull_limit=500)
     assert got == [_duck_disc(vals, 0.5), _duck_disc(vals, 0.95)]
+
+
+# -------------------------------------------------- grouped variant
+from presto_bloomfilter_ray.functions import grouped_exact_quantile
+
+
+def _duck_group(df_t, qs):
+    cols = ", ".join(f"quantile_disc(x, {q}) AS q{i}"
+                     for i, q in enumerate(qs))
+    return duckdb.sql(
+        f"SELECT g, {cols} FROM df_t GROUP BY g ORDER BY g").df()
+
+
+def test_grouped_matches_duckdb_mixed_distributions(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    n = 100_000
+    keys = rng.choice(["a", "b", "c", "dd"], size=n)
+    vals = np.where(keys == "a", rng.lognormal(0, 2, n),
+                    rng.normal(100, 30, n))
+    df_t = pd.DataFrame({"g": keys, "x": vals})
+    ds = rd.from_arrow(pa.Table.from_pandas(df_t)).repartition(8)
+    qs = [0.0, 0.5, 0.95, 1.0]
+    got = grouped_exact_quantile(ds, "x", qs, "g", pull_limit=300) \
+        .sort_values("g").reset_index(drop=True)
+    exp = _duck_group(df_t, qs)
+    for i, q in enumerate(qs):
+        assert (got[f"q_{q}"].to_numpy() == exp[f"q{i}"].to_numpy()).all(), q
+
+
+def test_grouped_integer_keys_and_degenerate_group(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(22)
+    df_t = pd.DataFrame({
+        "g": np.r_[np.zeros(5_000, dtype=np.int64),
+                   np.ones(5_000, dtype=np.int64),
+                   np.full(3_000, 2, dtype=np.int64)],
+        "x": np.r_[rng.uniform(0, 1, 5_000), rng.normal(5, 1, 5_000),
+                   np.full(3_000, 7.25)],  # all-equal group
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df_t)).repartition(4)
+    got = grouped_exact_quantile(ds, "x", 0.5, "g", pull_limit=100) \
+        .sort_values("g").reset_index(drop=True)
+    exp = _duck_group(df_t, [0.5])
+    assert (got["q_0.5"].to_numpy() == exp["q0"].to_numpy()).all()
+    assert got["q_0.5"].iloc[2] == 7.25
+
+
+def test_grouped_nulls_and_guards(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"g": pa.array(["a", "a", None, "b"]),
+                  "x": pa.array([1.0, None, 3.0, 2.0])})
+    got = grouped_exact_quantile(rd.from_arrow(t), "x", 1.0, "g")
+    got = got.sort_values("g").reset_index(drop=True)
+    assert got["q_1.0"].tolist() == [1.0, 2.0]
+    with pytest.raises(ValueError, match="max_keys"):
+        big = rd.from_arrow(pa.table({
+            "g": pa.array(np.arange(100, dtype=np.int64)),
+            "x": pa.array(np.arange(100, dtype=np.float64))}))
+        grouped_exact_quantile(big, "x", 0.5, "g", max_keys=10)
