@@ -3358,6 +3358,33 @@ def _containment_pairs_documents(sf_dir: str):
                               "cont_ppm"]]
 
 
+def _drift_events_hourly(sf_dir: str):
+    """Snapshot drift gate (functions/drift.py categorical_drift):
+    per-hour-of-day total-variation distance between the event-type
+    mixes of two deterministic event halves (event_id parity plays the
+    old/new crawl). Counts exchange vocabulary-bounded via bucket_fold;
+    TV is exact integer rational arithmetic (ppm), so the DuckDB mirror
+    recomputes the identical value with HUGEINT math — no float
+    rounding in the oracle."""
+    from presto_bloomfilter_ray.functions import categorical_drift
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def prep(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("event_id"))
+            m = ids % 2 == parity
+            t = b.filter(pa.array(m))
+            hour = pc.hour(t.column("ts")).cast(pa.int64())
+            return pa.table({"hour": hour,
+                             "event_type": t.column("event_type")})
+        return f
+
+    a = ev.map_batches(prep(0), batch_format="pyarrow")
+    b = ev.map_batches(prep(1), batch_format="pyarrow")
+    return categorical_drift(a, b, "hour", "event_type")
+
+
 def _grouped_exact_quantiles_status(sf_dir: str):
     """Per-group EXACT order statistics (functions/quantiles.py
     grouped_exact_quantile): every o_orderstatus group narrows
@@ -3803,6 +3830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles_totalprice": _exact_quantiles_totalprice,
         "ngram_novelty_documents": _ngram_novelty_documents,
         "grouped_exact_quantiles_status": _grouped_exact_quantiles_status,
+        "drift_events_hourly": _drift_events_hourly,
         "containment_pairs_documents": _containment_pairs_documents,
         "planned_join_orders": _planned_join_orders,
         "topk_words_misra_gries": _topk_words_misra_gries,
@@ -5114,6 +5142,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = p.a
             JOIN sz sb ON sb.doc_id = p.b
             WHERE (p.inter * 1000000) // least(sa.s, sb.s) >= 800000
+        """,
+        "drift_events_hourly": """
+            WITH a AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                       event_type AS e, count(*) AS c
+                FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+            ), b AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                       event_type AS e, count(*) AS c
+                FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+            ), cells AS (
+                SELECT h, e FROM a UNION SELECT h, e FROM b
+            ), j AS (
+                SELECT k.h, k.e,
+                       coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+                FROM cells k
+                LEFT JOIN a ON a.h = k.h AND a.e = k.e
+                LEFT JOIN b ON b.h = k.h AND b.e = k.e
+            ), n AS (
+                SELECT h, sum(ca) AS na, sum(cb) AS nb FROM j GROUP BY h
+            )
+            SELECT j.h AS hour,
+                   CAST(n.na AS BIGINT) AS n_a,
+                   CAST(n.nb AS BIGINT) AS n_b,
+                   CASE WHEN n.na = 0 OR n.nb = 0 THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(sum(abs(CAST(j.ca AS HUGEINT) * n.nb
+                                          - CAST(j.cb AS HUGEINT) * n.na))
+                                  * 1000000
+                                  // (2 * CAST(n.na AS HUGEINT) * n.nb)
+                                  AS BIGINT)
+                   END AS tv_ppm
+            FROM j JOIN n ON n.h = j.h
+            GROUP BY j.h, n.na, n.nb
         """,
         "grouped_exact_quantiles_status": """
             SELECT o_orderstatus,

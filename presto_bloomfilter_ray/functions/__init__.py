@@ -9,6 +9,7 @@ from .decontaminate import (
     reference_gram_index,
 )
 from .containment import containment_pairs
+from .drift import categorical_drift
 from .joinplan import planned_join, sketch_join_plan
 from .dedup import (
     add_content_hash,
