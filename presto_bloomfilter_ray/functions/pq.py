@@ -1,0 +1,225 @@
+"""Product quantization (PQ) — compressed embeddings + asymmetric-distance ANN.
+
+At 10^10+ vectors the exact path (:func:`.similarity.topk_cosine`) and
+the IVF path both still ship / store full float32 vectors: 64-dim
+float32 = 256 B/vector → 2.5 TB per 10^10 rows just for the column. PQ
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) cuts that 32×: split each vector into ``m``
+subspaces, k-means each subspace to ``2**nbits`` centroids, and store
+only the per-subspace centroid ids (``m`` bytes at nbits=8). Search
+never decodes: a query builds one ``(m, 2**nbits)`` inner-product
+lookup table (LUT) and scores a code by summing ``m`` table lookups —
+the *asymmetric distance computation* (ADC) from the paper, exact on
+the query side, quantized only on the database side.
+
+Ray-Data mapping — every stage is a vectorized ``map_batches``:
+
+- :func:`pq_train`: codebooks fit on the driver from a BOUNDED corpus
+  sample (same absolute-row-budget discipline as IVF centroid
+  sampling, `similarity.py:_bounded_sample_matrix`); driver state is
+  ``m × 2**nbits × d/m`` floats (64 KB at d=64/m=8/nbits=8) no matter
+  the corpus size.
+- :func:`pq_encode`: one streaming pass; per batch the subspace
+  assignment is ``m`` small matmuls + argmax, codes leave as a
+  ``FixedSizeList<uint8>[m]`` column — 8 B/row on the wire instead of
+  256 B. The float column never needs to exist downstream.
+- :func:`pq_search`: broadcast the (tiny) LUT via closure; per batch
+  score = ``lut[j, code_j]`` summed across subspaces (one fancy-index
+  gather, no matmul, no decode), local top-k per batch, driver merges
+  ``blocks × k`` rows.
+- :func:`pq_search_refined`: standard shortlist-then-rerank — ADC
+  shortlist of ``rerank`` ids, then exact cosine on just those rows
+  (broadcast id set, one filtered pass). With ``rerank ≥ n`` the
+  result is exactly the exact top-k by construction (test-pinned).
+
+Vectors are L2-normalized first (``normalize=True``) so maximizing the
+summed inner-product LUT ranks identically to cosine — the metric the
+rest of the similarity family uses.
+
+Reference scope note: the reference repo (RobinUS2/presto-bloomfilter)
+has no vector ops; this module is part of the training-data-pipeline
+surface the brief requires beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .similarity import _batch_matrix, _bounded_sample_matrix, _l2norm
+
+__all__ = ["pq_train", "pq_encode", "pq_search", "pq_search_refined"]
+
+
+def _check_dims(d: int, m: int) -> int:
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
+    return d // m
+
+
+def pq_train(ds, vec_col: str = "embedding", m: int = 8, nbits: int = 8, *,
+             sample_fraction: float = 0.5, max_sample_rows: int = 65_536,
+             iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Fit PQ codebooks on a bounded corpus sample.
+
+    Returns ``codebooks`` with shape ``(m, ksub, d/m)`` float32 where
+    ``ksub = min(2**nbits, sample_rows)``. Plain k-means (Lloyd) per
+    subspace on the driver — the sample is capped at an absolute row
+    budget, so training is constant driver memory at any corpus size.
+    Deterministic for a given (input, seed).
+    """
+    if nbits < 1 or nbits > 8:
+        raise ValueError(f"nbits must be in [1, 8] (uint8 codes), got {nbits}")
+    sample = _bounded_sample_matrix(ds, vec_col, sample_fraction,
+                                    max_sample_rows, seed)
+    n, d = sample.shape
+    dsub = _check_dims(d, m)
+    ksub = min(1 << nbits, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub])
+        c = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            # L2 assignment: argmin ||x - c||² = argmax (x·c - ||c||²/2)
+            scores = sub @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)[None, :]
+            assign = np.argmax(scores, axis=1)
+            for ci in range(ksub):
+                sel = sub[assign == ci]
+                if len(sel):
+                    c[ci] = sel.mean(axis=0)
+                # empty cells keep their centroid (bounded sample; rare)
+        books[j] = c
+    return books
+
+
+def _encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float32 → (n, m) uint8 codes. Vectorized per subspace."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        c = books[j]
+        scores = sub @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)[None, :]
+        codes[:, j] = np.argmax(scores, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id", *,
+              keep_cols: Sequence[str] = ()) -> "ray.data.Dataset":
+    """Encode every vector to its ``m``-byte PQ code.
+
+    One streaming ``map_batches`` pass; output schema is
+    ``(id_col, code: FixedSizeList<uint8>[m], *keep_cols)``. The
+    codebooks ride to workers once via ``ray.put`` (64 KB), not per
+    batch.
+    """
+    m = codebooks.shape[0]
+    bref = ray.put(np.ascontiguousarray(codebooks))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        books = ray.get(bref)
+        mat = _l2norm(_batch_matrix(batch, vec_col))
+        if mat.shape[0] == 0:
+            empty = pa.FixedSizeListArray.from_arrays(
+                pa.array([], type=pa.uint8()), m)
+            return pa.table({id_col: batch.column(id_col), "code": empty})
+        codes = _encode_matrix(mat, books)
+        code_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel()), m)
+        cols = {id_col: batch.column(id_col), "code": code_arr}
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
+def _query_lut(query: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(m, ksub) inner-product lookup table for one normalized query."""
+    m, ksub, dsub = books.shape
+    q = _l2norm(np.asarray(query, dtype=np.float32).reshape(1, -1)).ravel()
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    lut = np.empty((m, ksub), dtype=np.float32)
+    for j in range(m):
+        lut[j] = books[j] @ q[j * dsub:(j + 1) * dsub]
+    return lut
+
+
+def pq_search(codes_ds, codebooks: np.ndarray, query: np.ndarray,
+              k: int = 10, id_col: str = "vec_id"):
+    """ADC top-k over an encoded dataset.
+
+    Per batch: gather ``lut[j, code_j]`` and sum across subspaces —
+    no decode, no matmul; local top-k per batch; the driver merges
+    ``blocks × k`` candidate rows. Returns a pandas DataFrame
+    ``(id_col, adc_score)`` sorted by (-score, id) — deterministic
+    ties.
+    """
+    lut = _query_lut(query, codebooks)
+    m = codebooks.shape[0]
+    lref = ray.put(lut)
+    jidx = np.arange(m)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        table = ray.get(lref)
+        col = batch.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "adc_score": pa.array([], type=pa.float64())})
+        codes = np.asarray(col.flatten()).reshape(n, m)
+        scores = table[jidx[None, :], codes].sum(axis=1).astype(np.float64)
+        ids = np.asarray(batch.column(id_col))
+        top = min(k, n)
+        part = np.argpartition(-scores, top - 1)[:top]
+        return pa.table({id_col: pa.array(ids[part]),
+                         "adc_score": pa.array(scores[part])})
+
+    partials = codes_ds.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    partials = partials.sort_values(["adc_score", id_col],
+                                    ascending=[False, True])
+    return partials.head(k).reset_index(drop=True)
+
+
+def pq_search_refined(ds, codes_ds, codebooks: np.ndarray,
+                      query: np.ndarray, k: int = 10, *,
+                      rerank: Optional[int] = None,
+                      vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Shortlist-then-rerank: ADC shortlist of ``rerank`` ids from the
+    compressed codes, then EXACT cosine on just those rows of the
+    original dataset (broadcast id set → one filtered pass). With
+    ``rerank ≥ n`` this returns exactly the exact top-k.
+
+    ``ds`` is the float-vector dataset, ``codes_ds`` its
+    :func:`pq_encode` output. Returns ``(id_col, score)`` like
+    :func:`.similarity.topk_cosine`.
+    """
+    from .similarity import topk_cosine
+
+    rerank = max(k, rerank if rerank is not None else 8 * k)
+    shortlist = pq_search(codes_ds, codebooks, query, k=rerank,
+                          id_col=id_col)
+    ids = set(shortlist[id_col].tolist())
+    idref = ray.put(np.array(sorted(ids), dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(idref)
+        got = np.asarray(batch.column(id_col))
+        pos = np.searchsorted(wanted, got)
+        pos[pos >= wanted.size] = 0
+        mask = wanted[pos] == got
+        return batch.filter(pa.array(mask))
+
+    survivors = ds.map_batches(keep, batch_format="pyarrow",
+                               batch_size=None)
+    return topk_cosine(survivors, query, k=k, vec_col=vec_col,
+                       id_col=id_col)

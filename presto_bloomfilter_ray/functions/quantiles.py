@@ -228,6 +228,7 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
     _kindex = pd.Index(keys_sorted)  # C-speed hash lookup (string keys
     # through np.searchsorted would fall back to per-row PyObject
     # comparisons — the hot-path ban)
+
     def _gidx(b: pa.Table) -> np.ndarray:
         """Per-batch group index of every row. Dictionary-encode the
         key column first (Arrow C++ hash over native buffers) and
@@ -242,6 +243,18 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
         enc = pc.dictionary_encode(kcol)
         uniq = _kindex.get_indexer(enc.dictionary.to_pandas())
         return uniq[np.asarray(enc.indices)]
+
+    # Re-materialize as (g int32, v float64): the group index is
+    # resolved ONCE here instead of once per histogram round, and the
+    # string key column stops crossing every subsequent pass.
+    def add_g(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(_gidx(b).astype(np.int32)),
+            "v": b.column("v"),
+        })
+
+    kv = kv.map_batches(add_g, batch_format="pyarrow",
+                        batch_size=None).materialize()
 
     lo0 = stats["lo"].to_numpy(dtype=np.float64)
     hi0 = stats["hi"].to_numpy(dtype=np.float64)
@@ -259,35 +272,86 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
     depth = np.zeros(T, dtype=np.int32)
     t_lo = np.repeat(lo0, Q)
     t_hi = np.repeat(hi0, Q)
+    # interval history: the (lo, hi) the histogram used at each depth
+    h_lo = np.zeros((T, max_rounds), dtype=np.float64)
+    h_hi = np.zeros((T, max_rounds), dtype=np.float64)
 
-    def _row_bins(v, g_idx, j, upto):
-        """Recompute the bin path of rows for quantile-track j of their
-        group, to depth ``upto`` per track. Returns (match_mask, bins
-        at final depth, per-row lo/hi at final depth)."""
-        t = g_idx * Q + j
-        cur_lo = lo0[g_idx].copy()
-        cur_hi = hi0[g_idx].copy()
-        alive = (v >= cur_lo) & (v <= cur_hi)
-        d_of = upto[t]
-        bins = np.zeros(v.size, dtype=np.int32)
-        for d in range(int(d_of.max(initial=0))):
-            need = alive & (d_of > d)
-            if not need.any():
+    # Survivor set per track = rows whose bin at EVERY recorded depth
+    # equals the chosen bin, with bins computed in the identical float
+    # expression the histogram used. Each per-depth bin function is
+    # monotone non-decreasing in v (trunc of an increasing affine map,
+    # then a min-clip), so the bin VECTOR is lexicographically
+    # monotone in v and the all-equal set is exactly one float
+    # interval [A_t, B_t]. The driver bisects those two endpoints over
+    # the float lattice (ordered-uint64 trick) — workers then test
+    # membership with two compares instead of replaying the path
+    # (which cost O(depth) full-array passes per round: the measured
+    # dominant cost, quadratic in rounds).
+    def _f2o(f):
+        i = np.asarray(f, dtype=np.float64).view(np.uint64)
+        neg = (i >> np.uint64(63)).astype(bool)
+        return np.where(neg, ~i, i | np.uint64(1 << 63))
+
+    def _o2f(o):
+        o = np.asarray(o, dtype=np.uint64)
+        pos = (o >> np.uint64(63)).astype(bool)
+        bits = np.where(pos, o & np.uint64((1 << 63) - 1), ~o)
+        return bits.view(np.float64)
+
+    A = np.repeat(lo0, Q)
+    B = np.repeat(hi0, Q)
+
+    def _lex_cmp(tr, vals, side):
+        """For each track tr[i], compare binvec(vals[i]) against its
+        recorded path lexicographically. side='ge' → binvec >= path;
+        side='le' → binvec <= path. Undecided (all equal) → True."""
+        m_ = tr.size
+        und = np.ones(m_, dtype=bool)
+        res = np.zeros(m_, dtype=bool)
+        d_of = depth[tr]
+        with np.errstate(invalid="ignore", over="ignore"):
+            for d in range(int(d_of.max(initial=0))):
+                lev = und & (d_of > d)
+                if not lev.any():
+                    break
+                lo = h_lo[tr, d]
+                w = (h_hi[tr, d] - lo) / n_bins
+                b = np.minimum(((vals - lo) / w).astype(np.int64),
+                               n_bins - 1)
+                want = paths[tr, d]
+                gt = lev & (b > want)
+                lt = lev & (b < want)
+                res |= gt if side == "ge" else lt
+                und &= ~(gt | lt)
+        return res | und
+
+    def _refit_bounds(tr):
+        """Exact float endpoints of each track's survivor interval —
+        vectorized bisection over the ordered-uint64 float lattice."""
+        lo_o = _f2o(lo0[tr // Q])
+        hi_o = _f2o(hi0[tr // Q])
+        # left edge: smallest v with binvec >= path
+        L, H = lo_o.copy(), hi_o.copy()
+        while True:
+            open_ = L < H
+            if not open_.any():
                 break
-            w = (cur_hi - cur_lo) / n_bins
-            b = np.zeros(v.size, dtype=np.int32)
-            nz = need & (w > 0)
-            b[nz] = np.minimum(
-                ((v[nz] - cur_lo[nz]) / w[nz]).astype(np.int32),
-                n_bins - 1)
-            want = paths[t, d]
-            ok = b == want
-            alive &= np.where(d_of > d, ok, True)
-            step = need & alive
-            cur_lo = np.where(step, cur_lo + b * w, cur_lo)
-            cur_hi = np.where(step & (b < n_bins - 1),
-                              cur_lo + w, cur_hi)
-        return alive, cur_lo, cur_hi
+            M = L + (H - L) // np.uint64(2)
+            p = _lex_cmp(tr, _o2f(M), "ge")
+            H = np.where(open_ & p, M, H)
+            L = np.where(open_ & ~p, M + np.uint64(1), L)
+        A[tr] = _o2f(L)
+        # right edge: largest v with binvec <= path
+        L, H = lo_o.copy(), hi_o.copy()
+        while True:
+            open_ = L < H
+            if not open_.any():
+                break
+            M = L + (H - L + np.uint64(1)) // np.uint64(2)
+            p = _lex_cmp(tr, _o2f(M), "le")
+            L = np.where(open_ & p, M, L)
+            H = np.where(open_ & ~p, M - np.uint64(1), H)
+        B[tr] = _o2f(L)
 
     rounds = 0
     while (inside > pull_limit).any():
@@ -303,21 +367,23 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
             inside[deg] = 0
             active = inside > pull_limit
 
-        def hist(b: pa.Table, depth=depth.copy(), active=active.copy(),
-                 t_lo=t_lo.copy(), t_hi=t_hi.copy()) -> pa.Table:
+        def hist(b: pa.Table, active=active.copy(), A=A.copy(),
+                 B=B.copy(), t_lo=t_lo.copy(), t_hi=t_hi.copy()
+                 ) -> pa.Table:
             v = np.asarray(b.column("v"), dtype=np.float64)
-            g_idx = _gidx(b)
+            g_idx = np.asarray(b.column("g"), dtype=np.int64)
             out = np.zeros(T * n_bins, dtype=np.int64)
             for j in range(Q):
                 t = g_idx * Q + j
-                match, _, _ = _row_bins(v, g_idx, j, depth)
-                m = match & active[t]
+                m = active[t] & (v >= A[t]) & (v <= B[t])
                 if not m.any():
                     continue
-                w = (t_hi[t[m]] - t_lo[t[m]]) / n_bins
-                bins = np.minimum(((v[m] - t_lo[t[m]]) / w).astype(np.int64),
+                tm = t[m]
+                lo = t_lo[tm]
+                w = (t_hi[tm] - lo) / n_bins
+                bins = np.minimum(((v[m] - lo) / w).astype(np.int64),
                                   n_bins - 1)
-                out += np.bincount(t[m] * n_bins + bins,
+                out += np.bincount(tm * n_bins + bins,
                                    minlength=T * n_bins)
             return pa.table({"h": pa.array([out.tolist()],
                                            type=pa.list_(pa.int64()))})
@@ -328,11 +394,14 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
         for row in parts["h"]:
             total += np.asarray(row, dtype=np.int64)
         hmat = total.reshape(T, n_bins)
-        for t in np.flatnonzero(active):
+        act = np.flatnonzero(active)
+        for t in act:
             cum = below[t] + np.cumsum(hmat[t])
             b_i = int(np.searchsorted(cum, k_rank[t], side="left"))
             if b_i > 0:
                 below[t] = int(cum[b_i - 1])
+            h_lo[t, depth[t]] = t_lo[t]
+            h_hi[t, depth[t]] = t_hi[t]
             paths[t, depth[t]] = b_i
             depth[t] += 1
             w = (t_hi[t] - t_lo[t]) / n_bins
@@ -341,17 +410,18 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
                 t_hi[t] = new_lo + w
             t_lo[t] = new_lo
             inside[t] = int(hmat[t, b_i])
+        _refit_bounds(act)
 
     # pull phase: per track, collect surviving values
-    def pull(b: pa.Table, depth=depth.copy()) -> pa.Table:
+    def pull(b: pa.Table, A=A.copy(), B=B.copy()) -> pa.Table:
         v = np.asarray(b.column("v"), dtype=np.float64)
-        g_idx = _gidx(b)
+        g_idx = np.asarray(b.column("g"), dtype=np.int64)
         ts, vs = [], []
         for j in range(Q):
             t = g_idx * Q + j
-            match, _, _ = _row_bins(v, g_idx, j, depth)
-            ts.append(t[match])
-            vs.append(v[match])
+            m = (v >= A[t]) & (v <= B[t])
+            ts.append(t[m])
+            vs.append(v[m])
         return pa.table({"t": pa.array(np.concatenate(ts)),
                          "v": pa.array(np.concatenate(vs))})
 

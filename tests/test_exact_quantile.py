@@ -170,3 +170,28 @@ def test_grouped_nulls_and_guards(ray_session):
             "g": pa.array(np.arange(100, dtype=np.int64)),
             "x": pa.array(np.arange(100, dtype=np.float64))}))
         grouped_exact_quantile(big, "x", 0.5, "g", max_keys=10)
+
+
+def test_grouped_negative_spanning_forced_rounds(ray_session):
+    """Groups whose values straddle the float sign boundary, with a
+    tiny pull_limit to force several narrowing rounds — exercises the
+    survivor-interval bisection over the ordered-float lattice on both
+    sides of zero (negative floats order reversed in raw bits)."""
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    n = 60_000
+    keys = rng.choice(["neg", "mix", "tiny"], size=n)
+    vals = np.where(
+        keys == "neg", -rng.lognormal(0, 3, n),          # all negative, heavy tail
+        np.where(keys == "mix", rng.normal(0, 1e-3, n),  # straddles zero, tiny scale
+                 rng.uniform(-5e-308, 5e-308, n)))        # subnormal-range straddle
+    df_t = pd.DataFrame({"g": keys, "x": vals})
+    ds = rd.from_arrow(pa.Table.from_pandas(df_t)).repartition(6)
+    qs = [0.01, 0.5, 0.99]
+    got = grouped_exact_quantile(ds, "x", qs, "g", pull_limit=50) \
+        .sort_values("g").reset_index(drop=True)
+    exp = _duck_group(df_t, qs)
+    for i, q in enumerate(qs):
+        assert (got[f"q_{q}"].to_numpy() == exp[f"q{i}"].to_numpy()).all(), q
