@@ -2893,6 +2893,74 @@ def _ann_topk_cosine(sf_dir: str):
     return top[["vec_id"]]
 
 
+def _pq_topk_refined(sf_dir: str):
+    """Product-quantization ANN (functions/pq.py): train codebooks on
+    a bounded sample, encode every vector to m uint8 codes (32×
+    compression), ADC-shortlist, exact-cosine rerank. With rerank ≥ n
+    the result is EXACTLY the exact top-k by construction, so the
+    oracle is the same SQL as ann_topk_cosine."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import (
+        pq_encode,
+        pq_search_refined,
+        pq_train,
+    )
+
+    q = np.array(
+        duckdb.sql(
+            f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id=0"
+        ).fetchone()[0],
+        dtype=np.float64,
+    )
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(emb, m=8, nbits=8, seed=7)
+    codes = pq_encode(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), books)
+    n = int(emb.count())
+    top = pq_search_refined(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        codes, books, q, k=10, rerank=n)
+    return top[["vec_id"]]
+
+
+def _pq_adc_recall(sf_dir: str):
+    """Raw ADC search over the compressed codes only (floats never
+    read at query time): deterministic recall statement vs the exact
+    top-k — the quantized scorer isn't SQL-expressible, so the oracle
+    checks the derived booleans."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import (
+        pq_encode,
+        pq_search,
+        pq_train,
+        topk_cosine,
+    )
+
+    q = np.array(
+        duckdb.sql(
+            f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id=0"
+        ).fetchone()[0],
+        dtype=np.float64,
+    )
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact_ids = set(topk_cosine(emb, q, k=10)["vec_id"].astype(int))
+    books = pq_train(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        m=8, nbits=8, seed=7)
+    codes = pq_encode(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), books)
+    adc = pq_search(codes, books, q, k=100)
+    got = set(adc["vec_id"].astype(int))
+    return pd.DataFrame({
+        "k": [10],
+        "shortlist": [100],
+        "recall_ge_8_of_10": [bool(len(got & exact_ids) >= 8)],
+        "code_bytes_per_vec": [8],
+    })
+
+
 def _embedding_neardup(sf_dir: str):
     from presto_bloomfilter_ray.functions import cosine_neardup_pairs
 
@@ -3809,6 +3877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist_filter": _url_blocklist_filter,
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
+        "pq_topk_refined": _pq_topk_refined,
+        "pq_adc_recall": _pq_adc_recall,
         "embedding_neardup": _embedding_neardup,
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_av_pipeline": _multimodal_av_pipeline,
@@ -4960,6 +5030,20 @@ def oracle_sql() -> dict[str, str]:
                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
                 FROM embeddings ORDER BY s DESC, vec_id ASC LIMIT 10
             )
+        """,
+        "pq_topk_refined": """
+            SELECT vec_id FROM (
+                SELECT vec_id, list_cosine_similarity(
+                    embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
+                FROM embeddings ORDER BY s DESC, vec_id ASC LIMIT 10
+            )
+        """,
+        "pq_adc_recall": """
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(100 AS BIGINT) AS shortlist,
+                   TRUE AS recall_ge_8_of_10,
+                   CAST(8 AS BIGINT) AS code_bytes_per_vec
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b
