@@ -96,15 +96,26 @@ def pq_train(ds, vec_col: str = "embedding", m: int = 8, nbits: int = 8, *,
     return books
 
 
-def _encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """(n, d) float32 → (n, m) uint8 codes. Vectorized per subspace."""
+def _encode_matrix(mat: np.ndarray, books: np.ndarray,
+                   chunk: int = 8192) -> np.ndarray:
+    """(n, d) float32 → (n, m) uint8 codes.
+
+    Row-chunked so each subspace's (chunk, ksub) score matrix stays
+    cache-resident: the matmul here has inner dim dsub (tiny), so the
+    cost is score-matrix memory traffic, not FLOPs — full-block scores
+    spill to RAM and run ~4-5× slower (measured at 125k-row blocks)."""
     m, ksub, dsub = books.shape
-    codes = np.empty((mat.shape[0], m), dtype=np.uint8)
-    for j in range(m):
-        sub = mat[:, j * dsub:(j + 1) * dsub]
-        c = books[j]
-        scores = sub @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)[None, :]
-        codes[:, j] = np.argmax(scores, axis=1).astype(np.uint8)
+    n = mat.shape[0]
+    mat = np.ascontiguousarray(mat)
+    bias = 0.5 * np.einsum("mkd,mkd->mk", books, books)
+    codes = np.empty((n, m), dtype=np.uint8)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        part = mat[lo:hi]
+        for j in range(m):
+            s = part[:, j * dsub:(j + 1) * dsub] @ books[j].T
+            s -= bias[j][None, :]
+            codes[lo:hi, j] = np.argmax(s, axis=1)
     return codes
 
 
