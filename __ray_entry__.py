@@ -2961,6 +2961,40 @@ def _pq_adc_recall(sf_dir: str):
     })
 
 
+def _ivfpq_topk_refined(sf_dir: str):
+    """IVF + residual-PQ index (functions/pq.py IVFPQIndex): coarse
+    route → residual ADC over 8-byte codes → exact rerank. Probing
+    every bucket with rerank ≥ n recovers the exact top-k by
+    construction, so the oracle is the exact-cosine SQL."""
+    import shutil
+    import uuid
+
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import IVFPQIndex
+
+    q = np.array(
+        duckdb.sql(
+            f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id=0"
+        ).fetchone()[0],
+        dtype=np.float64,
+    )
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = int(emb.count())
+    root = f"/tmp/ivfpq-{uuid.uuid4().hex[:8]}"
+    try:
+        idx = IVFPQIndex(root, ncentroids=8, m=8, nbits=8).build(
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+        top = idx.search(
+            q, k=10, nprobe=8,
+            refine_ds=_read(sf_dir, "embeddings",
+                            columns=["vec_id", "embedding"]),
+            rerank=n)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return top[["vec_id"]]
+
+
 def _embedding_neardup(sf_dir: str):
     from presto_bloomfilter_ray.functions import cosine_neardup_pairs
 
@@ -3878,6 +3912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "ann_topk_cosine": _ann_topk_cosine,
         "pq_topk_refined": _pq_topk_refined,
+        "ivfpq_topk_refined": _ivfpq_topk_refined,
         "pq_adc_recall": _pq_adc_recall,
         "embedding_neardup": _embedding_neardup,
         "multimodal_image_features": _multimodal_image_features,
@@ -5032,6 +5067,14 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "pq_topk_refined": """
+            SELECT vec_id FROM (
+                SELECT vec_id, list_cosine_similarity(
+                    embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
+                FROM embeddings ORDER BY s DESC, vec_id ASC LIMIT 10
+            )
+        """,
+        "ivfpq_topk_refined": """
             SELECT vec_id FROM (
                 SELECT vec_id, list_cosine_similarity(
                     embedding,

@@ -24,7 +24,7 @@ from .dedup import (
     simhash_candidate_pairs,
     simhash_candidates,
 )
-from .pq import pq_encode, pq_search, pq_search_refined, pq_train
+from .pq import IVFPQIndex, pq_encode, pq_search, pq_search_refined, pq_train
 from .similarity import (
     IVFIndex,
     cosine_neardup_pairs,

@@ -51,7 +51,8 @@ import ray
 
 from .similarity import _batch_matrix, _bounded_sample_matrix, _l2norm
 
-__all__ = ["pq_train", "pq_encode", "pq_search", "pq_search_refined"]
+__all__ = ["IVFPQIndex", "pq_train", "pq_encode", "pq_search",
+           "pq_search_refined"]
 
 
 def _check_dims(d: int, m: int) -> int:
@@ -234,3 +235,186 @@ def pq_search_refined(ds, codes_ds, codebooks: np.ndarray,
                                batch_size=None)
     return topk_cosine(survivors, query, k=k, vec_col=vec_col,
                        id_col=id_col)
+
+
+class IVFPQIndex:
+    """IVF + residual product quantization (Jégou et al. 2011 §IV) —
+    the canonical 10^10-vector ANN layout.
+
+    ``build``: coarse centroids from a bounded sample (driver Lloyd,
+    like :class:`.similarity.IVFIndex`), then PQ codebooks trained on
+    the sample's RESIDUALS ``x − c(x)`` (residuals are far more
+    quantizable than raw vectors: the coarse term removes the
+    between-cluster variance, so the same m bytes spend their
+    resolution on the within-cluster structure a flat PQ wastes on
+    cluster identity). One streaming pass assigns buckets, encodes
+    residual codes, and writes ``(id, code)`` partitioned parquet per
+    bucket — the float column never leaves the build pass.
+
+    ``search``: rank centroids by ``q·c``, read only the ``nprobe``
+    closest code partitions (8 B/row), and ADC-score
+    ``q·x ≈ q·c_b + Σ_j lut[j, code_j]`` — the per-bucket bias plus a
+    residual-LUT gather; no floats are read at query time. Optional
+    ``refine_ds`` reranks the shortlist with true cosine over the
+    original vectors (one broadcast-id filtered pass), matching
+    :func:`pq_search_refined` semantics.
+    """
+
+    def __init__(self, root: str, ncentroids: int = 16, m: int = 8,
+                 nbits: int = 8):
+        self.root = root
+        self.ncentroids = ncentroids
+        self.m = m
+        self.nbits = nbits
+        self.centroids: Optional[np.ndarray] = None
+        self.codebooks: Optional[np.ndarray] = None
+
+    # ---------------------------------------------------------- build
+    def build(self, ds, vec_col: str = "embedding", id_col: str = "vec_id",
+              sample_fraction: float = 0.5, iters: int = 8, seed: int = 7,
+              max_sample_rows: int = 65_536):
+        import os
+
+        from .similarity import _lloyd
+
+        if self.nbits < 1 or self.nbits > 8:
+            raise ValueError(f"nbits must be in [1, 8], got {self.nbits}")
+        sample = _bounded_sample_matrix(ds, vec_col, sample_fraction,
+                                        max_sample_rows, seed)
+        n, d = sample.shape
+        dsub = _check_dims(d, self.m)
+        cents = _lloyd(sample, self.ncentroids, iters, seed)
+        assign = np.argmax(sample @ cents.T, axis=1)
+        resid = sample - cents[assign]
+        ksub = min(1 << self.nbits, n)
+        rng = np.random.default_rng(seed)
+        books = np.empty((self.m, ksub, dsub), dtype=np.float32)
+        for j in range(self.m):
+            sub = np.ascontiguousarray(resid[:, j * dsub:(j + 1) * dsub])
+            c = sub[rng.choice(n, size=ksub, replace=False)].copy()
+            for _ in range(iters):
+                scores = sub @ c.T - 0.5 * np.einsum(
+                    "ij,ij->i", c, c)[None, :]
+                a = np.argmax(scores, axis=1)
+                for ci in range(ksub):
+                    sel = sub[a == ci]
+                    if len(sel):
+                        c[ci] = sel.mean(axis=0)
+            books[j] = c
+        self.centroids, self.codebooks = cents, books
+        cref = ray.put(np.ascontiguousarray(cents))
+        bref = ray.put(np.ascontiguousarray(books))
+        m_ = self.m
+
+        def encode(batch: pa.Table) -> pa.Table:
+            cc, bb = ray.get(cref), ray.get(bref)
+            mat = _l2norm(_batch_matrix(batch, vec_col))
+            if mat.shape[0] == 0:
+                empty = pa.FixedSizeListArray.from_arrays(
+                    pa.array([], type=pa.uint8()), m_)
+                return pa.table({id_col: batch.column(id_col),
+                                 "code": empty,
+                                 "bucket": pa.array([], type=pa.int32())})
+            bkt = np.argmax(mat @ cc.T, axis=1)
+            codes = _encode_matrix(mat - cc[bkt], bb)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel()), m_),
+                "bucket": pa.array(bkt.astype(np.int32)),
+            })
+
+        ds.map_batches(encode, batch_format="pyarrow",
+                       batch_size=None).write_parquet(
+            self.root, partition_cols=["bucket"])
+        np.save(os.path.join(self.root, "centroids.npy"), cents)
+        np.save(os.path.join(self.root, "codebooks.npy"), books)
+        return self
+
+    def _load(self):
+        import os
+
+        if self.centroids is None:
+            self.centroids = np.load(
+                os.path.join(self.root, "centroids.npy"))
+        if self.codebooks is None:
+            self.codebooks = np.load(
+                os.path.join(self.root, "codebooks.npy"))
+        return self.centroids, self.codebooks
+
+    # --------------------------------------------------------- search
+    def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id", refine_ds=None,
+               vec_col: str = "embedding", rerank: Optional[int] = None):
+        import glob as _glob
+        import os
+
+        import pandas as pd
+        import ray.data as rd
+
+        cents, books = self._load()
+        q = _l2norm(np.asarray(query, dtype=np.float32).reshape(1, -1)).ravel()
+        if q.size != cents.shape[1]:
+            raise ValueError(
+                f"query dim {q.size} != index dim {cents.shape[1]}")
+        qc = (cents @ q).astype(np.float32)          # per-bucket bias q·c_b
+        order = np.argsort(-qc)[: min(nprobe, len(cents))]
+        paths = []
+        for b in order:
+            paths.extend(sorted(_glob.glob(
+                os.path.join(self.root, f"bucket={int(b)}", "*.parquet"))))
+        if not paths:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        lut = _query_lut(q, books)                    # residual LUT
+        m_ = books.shape[0]
+        lref = ray.put(lut)
+        qcref = ray.put(qc)
+        kk = max(k, rerank or 0)
+        jidx = np.arange(m_)
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            table, bias = ray.get(lref), ray.get(qcref)
+            col = batch.column("code")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            if n == 0:
+                return pa.table({id_col: pa.array([], type=pa.int64()),
+                                 "adc_score": pa.array(
+                                     [], type=pa.float64())})
+            codes = np.asarray(col.flatten()).reshape(n, m_)
+            bkt = np.asarray(batch.column("bucket"), dtype=np.int64)
+            scores = (bias[bkt]
+                      + table[jidx[None, :], codes].sum(axis=1)
+                      ).astype(np.float64)
+            ids = np.asarray(batch.column(id_col))
+            top = min(kk, n)
+            part = np.argpartition(-scores, top - 1)[:top]
+            return pa.table({id_col: pa.array(ids[part]),
+                             "adc_score": pa.array(scores[part])})
+
+        partials = rd.read_parquet(paths).map_batches(
+            local_topk, batch_format="pyarrow",
+            batch_size=None).to_pandas()
+        partials = partials.sort_values(
+            ["adc_score", id_col], ascending=[False, True]).head(kk)
+        if refine_ds is None:
+            return partials.head(k).reset_index(drop=True)
+        from .similarity import topk_cosine
+
+        ids = np.array(sorted(set(partials[id_col].tolist())),
+                       dtype=np.int64)
+        idref = ray.put(ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(idref)
+            got = np.asarray(batch.column(id_col))
+            pos = np.searchsorted(wanted, got)
+            pos[pos >= wanted.size] = 0
+            return batch.filter(pa.array(wanted[pos] == got))
+
+        survivors = refine_ds.map_batches(keep, batch_format="pyarrow",
+                                          batch_size=None)
+        return topk_cosine(survivors, q, k=k, vec_col=vec_col,
+                           id_col=id_col)

@@ -103,3 +103,37 @@ def test_validation_errors(ray_session):
     books = pq_train(ds, m=5, nbits=4)
     with pytest.raises(ValueError, match="query dim"):
         pq_search(pq_encode(ds, books), books, np.zeros(31), k=3)
+
+
+def test_ivfpq_build_search_refine(ray_session, tmp_path):
+    from presto_bloomfilter_ray.functions import IVFPQIndex
+
+    ds, mat = _emb_ds(n=900, clusters=6)
+    root = str(tmp_path / "ivfpq")
+    idx = IVFPQIndex(root, ncentroids=6, m=8, nbits=8).build(ds)
+    q = mat[42]
+    exact = topk_cosine(ds, q, k=10)
+    exact_ids = set(exact["vec_id"].astype(int))
+    # ADC-only: shortlist of 60 probing half the buckets captures the
+    # true neighborhood (residual codes resolve intra-cluster structure
+    # far better than flat PQ)
+    adc = idx.search(q, k=60, nprobe=3)
+    assert len(adc) == 60
+    assert len(set(adc["vec_id"].astype(int)) & exact_ids) >= 8
+    # refined with a full-corpus rerank budget: exact top-k
+    got = idx.search(q, k=10, nprobe=6, refine_ds=ds, rerank=900)
+    assert got["vec_id"].tolist() == exact["vec_id"].tolist()
+
+
+def test_ivfpq_persisted_reload(ray_session, tmp_path):
+    from presto_bloomfilter_ray.functions import IVFPQIndex
+
+    ds, mat = _emb_ds(n=300, clusters=3)
+    root = str(tmp_path / "ivfpq2")
+    IVFPQIndex(root, ncentroids=3, m=4, nbits=6).build(ds)
+    # fresh object: loads centroids + codebooks from disk
+    idx2 = IVFPQIndex(root, ncentroids=3, m=4, nbits=6)
+    r = idx2.search(mat[5], k=5, nprobe=3)
+    assert len(r) == 5 and "adc_score" in r.columns
+    with pytest.raises(ValueError, match="query dim"):
+        idx2.search(np.zeros(31), k=5)
