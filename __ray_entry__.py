@@ -2877,6 +2877,29 @@ def _multimodal_real_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------- similarity
+def _token_budget_by_lang(sf_dir: str):
+    """Per-domain token-budget selection (functions/budget.py): keep
+    each language's largest deterministic-hash-order prefix whose
+    n_chars total fits the budget. The cutoff is found by weighted
+    histogram narrowing over the hash-position axis (map-only passes,
+    rows never shuffle); the oracle recomputes the identical rule as a
+    window cumsum."""
+    from presto_bloomfilter_ray.functions import token_budget_select
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    kept, _ = token_budget_select(
+        docs, "doc_id", "lang", "n_chars", 200_000, pull_limit=500)
+    from presto_bloomfilter_ray.functions.fold import bucket_fold
+
+    out = bucket_fold(kept, ["lang"],
+                      [(None, "count", "n_kept"),
+                       ("n_chars", "sum", "chars_kept")]).to_pandas()
+    out = out.sort_values("lang").reset_index(drop=True)
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["chars_kept"] = out["chars_kept"].astype("int64")
+    return out[["lang", "n_kept", "chars_kept"]]
+
+
 def _ann_topk_cosine(sf_dir: str):
     import duckdb
 
@@ -3910,6 +3933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_hll_users": _sliding_hll_users,
         "url_blocklist_filter": _url_blocklist_filter,
         "events_sessions": _events_sessions,
+        "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
         "pq_topk_refined": _pq_topk_refined,
         "ivfpq_topk_refined": _ivfpq_topk_refined,
@@ -5057,6 +5081,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(max(session_id) AS BIGINT) AS max_session_id
             FROM sessions GROUP BY user_id
+        """,
+        "token_budget_by_lang": """
+            WITH c AS (
+                SELECT lang, doc_id, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id
+                       ) AS cum
+                FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM c WHERE cum <= 200000
+            GROUP BY lang ORDER BY lang
         """,
         "ann_topk_cosine": """
             SELECT vec_id FROM (
