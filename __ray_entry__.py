@@ -2877,6 +2877,34 @@ def _multimodal_real_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------- similarity
+def _shuffled_export_order(sf_dir: str):
+    """Deterministic global shuffle export (functions/shuffle.py):
+    hash-range sharded write, concatenated shard files ARE the global
+    pseudo-random order. Returns the first 20 rows WITH their rank so
+    the driver's sorted compare still pins the order; the oracle
+    recomputes the identical permutation as a window row_number."""
+    import shutil
+    import uuid
+
+    from presto_bloomfilter_ray.functions import (
+        read_shuffled,
+        shuffled_export,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = f"/tmp/shuf-export-{uuid.uuid4().hex[:8]}"
+    try:
+        shuffled_export(docs, out, "doc_id", n_shards=16)
+        head = read_shuffled(out).take(20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pd.DataFrame({
+        "rank": np.arange(1, 21, dtype=np.int64),
+        "doc_id": [int(r["doc_id"]) for r in head],
+        "lang": [r["lang"] for r in head],
+    })
+
+
 def _token_budget_by_lang(sf_dir: str):
     """Per-domain token-budget selection (functions/budget.py): keep
     each language's largest deterministic-hash-order prefix whose
@@ -3933,6 +3961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_hll_users": _sliding_hll_users,
         "url_blocklist_filter": _url_blocklist_filter,
         "events_sessions": _events_sessions,
+        "shuffled_export_order": _shuffled_export_order,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
         "pq_topk_refined": _pq_topk_refined,
@@ -5081,6 +5110,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(max(session_id) AS BIGINT) AS max_session_id
             FROM sessions GROUP BY user_id
+        """,
+        "shuffled_export_order": """
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) AS BIGINT) AS rank,
+                   doc_id, lang
+            FROM documents
+            ORDER BY rank LIMIT 20
         """,
         "token_budget_by_lang": """
             WITH c AS (

@@ -25,6 +25,7 @@ from .dedup import (
     simhash_candidates,
 )
 from .budget import token_budget_cutoffs, token_budget_select
+from .shuffle import read_shuffled, shuffled_export
 from .pq import IVFPQIndex, pq_encode, pq_search, pq_search_refined, pq_train
 from .similarity import (
     IVFIndex,

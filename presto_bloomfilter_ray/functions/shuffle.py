@@ -1,0 +1,111 @@
+"""Deterministic global shuffle for training-order export.
+
+Training runs read the final mix in (pseudo-)random document order.
+``Dataset.random_shuffle`` gives a different order per run and ships
+every row through one opaque exchange; pipelines need the SAME order
+on every rerun (resume mid-epoch, audit, bitwise-reproducible runs).
+The shuffle key here is the same Knuth multiplicative hash as
+:mod:`.sampling`:
+
+    order = ((id · 2654435761) mod 2^32, id)
+
+a fixed pseudo-random permutation of the corpus, recomputable by any
+SQL engine (``ORDER BY (id*2654435761)%4294967296, id``).
+
+:func:`shuffled_export` range-partitions the HASH axis into
+``n_shards`` contiguous slices (shard ``s`` holds hashes in
+``[s·2^32/n, (s+1)·2^32/n)``), sorts within each shard, and writes
+one parquet file per shard plus a manifest. Reading the shard files
+in shard order therefore yields the exact global shuffle order —
+the one unavoidable all-to-all for a true shuffle, but with
+deterministic placement, resumable output (each shard is a
+self-contained range; a crashed export redoes only missing shards'
+writes) and shard size = corpus/n_shards chosen to fit a worker.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .sampling import SAMPLE_MULT, _MOD
+
+__all__ = ["shuffled_export", "read_shuffled"]
+
+
+def shuffled_export(ds, out_dir: str, id_col: str, *,
+                    n_shards: int = 64) -> dict:
+    """Write ``ds`` in deterministic global shuffle order.
+
+    Returns the manifest dict (``n_shards``, ``rows``). Rows are
+    placed by hash-range (shard = h·n_shards // 2^32) and each shard
+    file is sorted by ``(h, id)``; concatenating files shard-by-shard
+    IS the global order. One ``groupby`` exchange — inherent to any
+    true shuffle — with bounded per-group size.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        if (ids < 0).any():
+            raise ValueError("shuffled_export requires non-negative ids")
+        h = (ids * SAMPLE_MULT) % _MOD
+        shard = (h * n_shards // _MOD).astype(np.int64)
+        return b.append_column("_h", pa.array(h)) \
+                .append_column("_shard", pa.array(shard))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"shard": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        s = int(g.column("_shard")[0].as_py())
+        h = np.asarray(g.column("_h"))
+        ids = np.asarray(g.column(id_col))
+        order = np.lexsort((ids, h))
+        g = g.take(pa.array(order)).drop_columns(["_h", "_shard"])
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(out_dir, f".shard-{s:05d}.tmp")
+        pq.write_table(g, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"shard-{s:05d}.parquet"))
+        return pa.table({"shard": pa.array([s], type=pa.int64()),
+                         "rows": pa.array([g.num_rows], type=pa.int64())})
+
+    stats = (ds.map_batches(assign, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("_shard")
+             .map_groups(write_shard, batch_format="pyarrow")
+             .to_pandas())
+    manifest = {"n_shards": n_shards,
+                "rows": int(stats["rows"].sum()),
+                "shards_written": sorted(int(s) for s in stats["shard"])}
+    tmp = os.path.join(out_dir, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def read_shuffled(out_dir: str, columns: Optional[list] = None):
+    """Read a :func:`shuffled_export` directory back as a Dataset in
+    the exact global shuffle order (shard files in shard order; rows
+    within a file are already sorted)."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    paths = sorted(_glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    if len(paths) != len(manifest["shards_written"]):
+        raise FileNotFoundError(
+            f"shuffled export at {out_dir} is incomplete: "
+            f"{len(paths)} files vs manifest "
+            f"{len(manifest['shards_written'])}")
+    return rd.read_parquet(paths)
