@@ -2877,6 +2877,52 @@ def _multimodal_real_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------- similarity
+def _minhash_join_crawls(sf_dir: str):
+    """Cross-corpus fuzzy join (functions/dedup.py minhash_join):
+    split documents into 'existing corpus' (doc_id % 3 != 0) and 'new
+    crawl' (doc_id % 3 == 0) and find near-dup pairs ACROSS the split.
+    Deterministic checks: every exact cross duplicate (identical
+    normalized text on both sides) must be found (est = 1 ≥
+    threshold), every returned pair crosses the split, estimates ≥
+    threshold."""
+    import duckdb
+
+    from presto_bloomfilter_ray.functions import minhash_join
+
+    def _side(rem_zero: bool):
+        def pick(t):
+            ids = np.asarray(t.column("doc_id"))
+            m = (ids % 3 == 0) if rem_zero else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+        return pick
+
+    a = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _side(False), batch_format="pyarrow", batch_size=None)
+    b = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _side(True), batch_format="pyarrow", batch_size=None)
+    pairs = minhash_join(a, b, threshold=0.9).to_pandas()
+    got = set(zip(pairs["a_id"].astype(int), pairs["b_id"].astype(int))) \
+        if len(pairs) else set()
+    exact = duckdb.sql(f"""
+        WITH n AS (SELECT doc_id,
+                          lower(regexp_replace(text, '\\s+', ' ', 'g')) t
+                   FROM '{sf_dir}/documents.parquet')
+        SELECT x.doc_id a_id, y.doc_id b_id
+        FROM n x JOIN n y ON x.t = y.t
+        WHERE x.doc_id % 3 != 0 AND y.doc_id % 3 = 0
+    """).df()
+    exact_pairs = set(zip(exact["a_id"].astype(int),
+                          exact["b_id"].astype(int)))
+    cross_ok = bool(all(ai % 3 != 0 and bi % 3 == 0 for ai, bi in got))
+    return pd.DataFrame({
+        "n_exact_cross_dups": [len(exact_pairs)],
+        "exact_all_found": [bool(exact_pairs <= got)],
+        "pairs_cross_split": [cross_ok],
+        "est_ge_threshold": [bool((pairs["est_jaccard"] >= 0.9).all())
+                             if len(pairs) else True],
+    })
+
+
 def _shuffled_export_order(sf_dir: str):
     """Deterministic global shuffle export (functions/shuffle.py):
     hash-range sharded write, concatenated shard files ARE the global
@@ -3961,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_hll_users": _sliding_hll_users,
         "url_blocklist_filter": _url_blocklist_filter,
         "events_sessions": _events_sessions,
+        "minhash_join_crawls": _minhash_join_crawls,
         "shuffled_export_order": _shuffled_export_order,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -5110,6 +5157,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(max(session_id) AS BIGINT) AS max_session_id
             FROM sessions GROUP BY user_id
+        """,
+        "minhash_join_crawls": """
+            WITH n AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')) t
+                       FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_cross_dups,
+                   TRUE AS exact_all_found,
+                   TRUE AS pairs_cross_split,
+                   TRUE AS est_ge_threshold
+            FROM n x JOIN n y ON x.t = y.t
+            WHERE x.doc_id % 3 != 0 AND y.doc_id % 3 = 0
         """,
         "shuffled_export_order": """
             SELECT CAST(ROW_NUMBER() OVER (

@@ -19,6 +19,7 @@ from .dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
+    minhash_join,
     ngram_jaccard,
     simhash64,
     simhash_candidate_pairs,

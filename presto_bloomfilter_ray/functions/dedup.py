@@ -1320,3 +1320,55 @@ def cap_per_key(ds, key_col: str, order_col: str, k: int):
 
     return pruned.groupby(key_col).map_groups(final_cap,
                                               batch_format="pandas")
+
+
+def minhash_join(a_ds, b_ds, *, threshold: float = 0.8,
+                 num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_parts: int = 64):
+    """Cross-corpus near-duplicate JOIN: pairs ``(a_id, b_id,
+    est_jaccard ≥ threshold)`` with ``a_id`` from ``a_ds`` and
+    ``b_id`` from ``b_ds`` only — the "which docs in the new crawl
+    near-duplicate the existing corpus" question (fuzzy record
+    linkage). Returns a Dataset; nothing materializes on the driver.
+
+    Implementation is pure reuse of the single-corpus LSH machinery:
+    ids are parity-tagged (A → 2·id, B → 2·id+1), the tagged union
+    runs :func:`lsh_candidate_pairs`, and a map-side filter keeps only
+    cross-parity pairs before untagging — same shuffle volume as one
+    LSH pass over |A|+|B|, no new exchange. Identical normalized texts
+    always pair (est_jaccard = 1): no false negatives for exact
+    cross-corpus duplicates.
+    """
+    def _tag(offset: int):
+        def tag(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            if (ids < 0).any():
+                raise ValueError("minhash_join requires non-negative ids")
+            return b.drop_columns([id_col]).append_column(
+                "_tid", pa.array(ids * 2 + offset))
+        return tag
+
+    a_t = a_ds.map_batches(_tag(0), batch_format="pyarrow",
+                           batch_size=None)
+    b_t = b_ds.map_batches(_tag(1), batch_format="pyarrow",
+                           batch_size=None)
+    pairs = lsh_candidate_pairs(
+        a_t.union(b_t), num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, text_col=text_col, id_col="_tid",
+        n_parts=n_parts)
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        x = np.asarray(b.column("a"), dtype=np.int64)
+        y = np.asarray(b.column("b"), dtype=np.int64)
+        est = np.asarray(b.column("est_jaccard"), dtype=np.float64)
+        m = ((x ^ y) & 1).astype(bool) & (est >= threshold)
+        x, y, est = x[m], y[m], est[m]
+        a_id = np.where((x & 1) == 0, x, y) >> 1
+        b_id = np.where((x & 1) == 1, x, y) >> 1
+        return pa.table({"a_id": pa.array(a_id),
+                         "b_id": pa.array(b_id),
+                         "est_jaccard": pa.array(est)})
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow",
+                             batch_size=None)
