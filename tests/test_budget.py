@@ -93,3 +93,36 @@ def test_id_guard(ray_session):
                   "tl": pa.array([5], type=pa.int64())})
     with pytest.raises(Exception, match="2\\^22|collide"):
         token_budget_cutoffs(rd.from_arrow(t), "doc_id", "lang", "tl", 1)
+
+
+def test_property_random_weights_budgets(ray_session):
+    """Hypothesis: arbitrary weights/budgets/partitionings — the
+    narrowing cutoff rule must equal the SQL window-cumsum prefix
+    exactly, including budgets landing exactly on a prefix sum."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n=st.integers(10, 400),
+        seed=st.integers(0, 10_000),
+        budget=st.integers(0, 50_000),
+        nparts=st.integers(1, 6),
+    )
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(n, seed, budget, nparts):
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame({
+            "doc_id": rng.choice(5000, n, replace=False).astype(np.int64),
+            "lang": rng.choice(["a", "b"], n),
+            "tl": rng.integers(0, 500, n).astype(np.int64),
+        })
+        got, _ = token_budget_select(
+            _ray_ds(df).repartition(nparts), "doc_id", "lang", "tl",
+            budget, pull_limit=7, n_bins=16)
+        g = got.to_pandas()
+        g_ids = sorted(g["doc_id"]) if len(g) else []
+        exp = _oracle(df, budget)
+        assert g_ids == sorted(exp["doc_id"])
+
+    run()
