@@ -3058,6 +3058,43 @@ def _pq_adc_recall(sf_dir: str):
     })
 
 
+def _pq_multiquery_consistency(sf_dir: str):
+    """Batched ADC (functions/pq.py pq_search_many): one pass scores
+    ALL queries per code batch (k-NN-join building block; PERF §44
+    measures 11× over per-query rescans at 16M codes). Deterministic
+    check: the batched result must equal per-query pq_search for
+    every query."""
+    from presto_bloomfilter_ray.functions import (
+        pq_encode,
+        pq_search,
+        pq_search_many,
+        pq_train,
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(emb, m=8, nbits=8, seed=7)
+    codes = pq_encode(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        books).materialize()
+    import duckdb
+
+    qrows = duckdb.sql(
+        f"select embedding from '{sf_dir}/embeddings.parquet' "
+        f"where vec_id in (0, 1, 2) order by vec_id").fetchall()
+    qs = np.array([r[0] for r in qrows], dtype=np.float64)
+    many = pq_search_many(codes, books, qs, k=10)
+    ok = True
+    for qi in range(3):
+        solo = pq_search(codes, books, qs[qi], k=10)
+        sub = many[many["query_idx"] == qi]
+        ok &= sub["vec_id"].tolist() == solo["vec_id"].tolist()
+    return pd.DataFrame({
+        "n_queries": [3],
+        "k": [10],
+        "batched_equals_per_query": [bool(ok)],
+    })
+
+
 def _ivfpq_topk_refined(sf_dir: str):
     """IVF + residual-PQ index (functions/pq.py IVFPQIndex): coarse
     route → residual ADC over 8-byte codes → exact rerank. Probing
@@ -4013,6 +4050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": _ann_topk_cosine,
         "pq_topk_refined": _pq_topk_refined,
         "ivfpq_topk_refined": _ivfpq_topk_refined,
+        "pq_multiquery_consistency": _pq_multiquery_consistency,
         "pq_adc_recall": _pq_adc_recall,
         "embedding_neardup": _embedding_neardup,
         "multimodal_image_features": _multimodal_image_features,
@@ -5206,6 +5244,11 @@ def oracle_sql() -> dict[str, str]:
                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s
                 FROM embeddings ORDER BY s DESC, vec_id ASC LIMIT 10
             )
+        """,
+        "pq_multiquery_consistency": """
+            SELECT CAST(3 AS BIGINT) AS n_queries,
+                   CAST(10 AS BIGINT) AS k,
+                   TRUE AS batched_equals_per_query
         """,
         "ivfpq_topk_refined": """
             SELECT vec_id FROM (

@@ -27,7 +27,14 @@ from .dedup import (
 )
 from .budget import token_budget_cutoffs, token_budget_select
 from .shuffle import read_shuffled, shuffled_export
-from .pq import IVFPQIndex, pq_encode, pq_search, pq_search_refined, pq_train
+from .pq import (
+    IVFPQIndex,
+    pq_encode,
+    pq_search,
+    pq_search_many,
+    pq_search_refined,
+    pq_train,
+)
 from .similarity import (
     IVFIndex,
     cosine_neardup_pairs,

@@ -52,7 +52,7 @@ import ray
 from .similarity import _batch_matrix, _bounded_sample_matrix, _l2norm
 
 __all__ = ["IVFPQIndex", "pq_train", "pq_encode", "pq_search",
-           "pq_search_refined"]
+           "pq_search_many", "pq_search_refined"]
 
 
 def _check_dims(d: int, m: int) -> int:
@@ -418,3 +418,74 @@ class IVFPQIndex:
                                           batch_size=None)
         return topk_cosine(survivors, q, k=k, vec_col=vec_col,
                            id_col=id_col)
+
+
+def pq_search_many(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+                   k: int = 10, id_col: str = "vec_id",
+                   row_chunk: int = 65_536):
+    """Batched ADC top-k: score ALL queries against each code batch in
+    one pass — the building block of k-NN joins and batch retrieval
+    (per-query passes would rescan the code table Q times).
+
+    ``queries`` is ``(Q, d)``. Per batch, per subspace j, one fancy
+    gather ``lut[:, j, code_j]`` accumulates a ``(Q, chunk)`` score
+    block (row-chunked so it stays cache-resident, same discipline as
+    :func:`_encode_matrix`); per-batch top-k per query ships
+    ``blocks × Q × k`` candidate rows to the driver. Returns a pandas
+    DataFrame ``(query_idx, vec_id, adc_score)`` with k rows per
+    query, sorted by (query_idx, -score, id) — deterministic ties.
+    """
+    import pandas as pd
+
+    qs = np.asarray(queries, dtype=np.float32)
+    if qs.ndim != 2:
+        raise ValueError(f"queries must be (Q, d), got shape {qs.shape}")
+    m, ksub, dsub = codebooks.shape
+    if qs.shape[1] != m * dsub:
+        raise ValueError(
+            f"query dim {qs.shape[1]} != codebook dim {m * dsub}")
+    Q = qs.shape[0]
+    qn = _l2norm(qs)
+    # (Q, m, ksub) LUT stack: lut[q, j] = books[j] @ q_sub
+    luts = np.einsum("mkd,qmd->qmk", codebooks,
+                     qn.reshape(Q, m, dsub)).astype(np.float32)
+    lref = ray.put(np.ascontiguousarray(luts))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lref)
+        col = batch.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({
+                "query_idx": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "adc_score": pa.array([], type=pa.float64())})
+        codes = np.asarray(col.flatten()).reshape(n, m)
+        ids = np.asarray(batch.column(id_col))
+        qi_out, id_out, sc_out = [], [], []
+        for lo in range(0, n, row_chunk):
+            hi = min(lo + row_chunk, n)
+            part = codes[lo:hi]
+            scores = np.zeros((Q, hi - lo), dtype=np.float32)
+            for j in range(m):
+                scores += lut[:, j, part[:, j]]
+            top = min(k, hi - lo)
+            sel = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            qi_out.append(np.repeat(np.arange(Q, dtype=np.int64), top))
+            id_out.append(ids[lo:hi][sel].ravel())
+            sc_out.append(np.take_along_axis(scores, sel, axis=1)
+                          .astype(np.float64).ravel())
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(qi_out)),
+            id_col: pa.array(np.concatenate(id_out)),
+            "adc_score": pa.array(np.concatenate(sc_out))})
+
+    partials = codes_ds.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    partials = partials.sort_values(
+        ["query_idx", "adc_score", id_col],
+        ascending=[True, False, True])
+    return partials.groupby("query_idx", sort=True).head(k) \
+                   .reset_index(drop=True)

@@ -137,3 +137,24 @@ def test_ivfpq_persisted_reload(ray_session, tmp_path):
     assert len(r) == 5 and "adc_score" in r.columns
     with pytest.raises(ValueError, match="query dim"):
         idx2.search(np.zeros(31), k=5)
+
+
+def test_search_many_matches_per_query(ray_session):
+    ds, mat = _emb_ds(n=700, clusters=5)
+    books = pq_train(ds, m=8, nbits=6)
+    codes = pq_encode(ds, books).materialize()
+    from presto_bloomfilter_ray.functions import pq_search_many
+
+    qs = mat[[3, 50, 200]]
+    many = pq_search_many(codes, books, qs, k=12)
+    assert len(many) == 3 * 12
+    for qi in range(3):
+        solo = pq_search(codes, books, qs[qi], k=12)
+        sub = many[many["query_idx"] == qi]
+        assert sub["vec_id"].tolist() == solo["vec_id"].tolist(), qi
+        assert np.allclose(sub["adc_score"].to_numpy(),
+                           solo["adc_score"].to_numpy(), atol=1e-5)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_search_many(codes, books, np.zeros((2, 31)), k=3)
+    with pytest.raises(ValueError, match="\\(Q, d\\)"):
+        pq_search_many(codes, books, np.zeros(32), k=3)
