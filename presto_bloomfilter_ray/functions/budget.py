@@ -140,6 +140,11 @@ def token_budget_cutoffs(ds, id_col: str, key_col: str, weight_col: str,
                 step = (width + n_bins - 1) // n_bins
                 bins = ((pm - lo[gm]) // step).astype(np.int64)
                 flat = gm * (2 * n_bins) + bins
+                # float64 bincount of integer weights is EXACT while
+                # every per-bin partial sum < 2^53 — i.e. total corpus
+                # weight below ~9·10^15 (100T tokens ≈ 10^14: fine).
+                # Beyond that, split the weight column into hi/lo
+                # int32 halves and run two bincounts.
                 ws = np.bincount(flat, weights=wm.astype(np.float64),
                                  minlength=K * 2 * n_bins)
                 cs = np.bincount(flat + n_bins, minlength=K * 2 * n_bins)

@@ -214,6 +214,12 @@ def pq_search_refined(ds, codes_ds, codebooks: np.ndarray,
     ``ds`` is the float-vector dataset, ``codes_ds`` its
     :func:`pq_encode` output. Returns ``(id_col, score)`` like
     :func:`.similarity.topk_cosine`.
+
+    Scale contract: the rerank filter is one streaming pass over
+    ``ds`` — at 100 TB store the float column as id-sorted partitioned
+    parquet and pass a pre-pruned ``ds`` (read only the id ranges the
+    shortlist touches) so the rerank reads row groups, not the corpus;
+    the shortlist itself never needs the floats.
     """
     from .similarity import topk_cosine
 
@@ -434,6 +440,12 @@ def pq_search_many(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     ``blocks × Q × k`` candidate rows to the driver. Returns a pandas
     DataFrame ``(query_idx, vec_id, adc_score)`` with k rows per
     query, sorted by (query_idx, -score, id) — deterministic ties.
+
+    Sizing: worker memory per batch is ``Q × row_chunk × 4`` bytes of
+    scores plus the ``Q × m × ksub`` LUT stack (8 MB per 1k queries at
+    m=8/ksub=256). For ~10^5+ queries, chunk the QUERY axis on the
+    caller side and union the results — the code table is cheap to
+    rescan once per few-thousand-query chunk.
     """
     import pandas as pd
 
