@@ -3697,6 +3697,26 @@ def _exact_quantiles_totalprice(sf_dir: str):
     return pd.DataFrame({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
+def _exact_topk_words(sf_dir: str):
+    """Certified exact heavy hitters (functions/heavy.py): Misra–Gries
+    candidate pass + broadcast exact recount, provably the true top-k
+    when the k-th count clears the sketch's unseen-item bound. Words
+    never shuffle; the oracle is the plain GROUP BY — value-exact."""
+    from presto_bloomfilter_ray.functions import exact_heavy_hitters
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w = pc.list_flatten(pc.split_pattern_regex(b.column("text"), r"\s+"))
+        return pa.table({"word": w.filter(pc.not_equal(w, ""))})
+
+    ds = docs.map_batches(words, batch_format="pyarrow", batch_size=None)
+    got = exact_heavy_hitters(ds, "word", k=20, capacity=2000)
+    out = got.rename(columns={"item": "word"})[["word", "n"]]
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def _topk_words_misra_gries(sf_dir: str):
     """Misra-Gries heavy hitters over the corpus's words, built through
     the distributed merge tree. Deterministic contract vs exact DuckDB
@@ -4077,6 +4097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs_documents": _containment_pairs_documents,
         "planned_join_orders": _planned_join_orders,
         "topk_words_misra_gries": _topk_words_misra_gries,
+        "exact_topk_words": _exact_topk_words,
         "topk_words_by_lang": _topk_words_by_lang,
         "bottomk_sample_orderkeys": _bottomk_sample_orderkeys,
         "hll_per_host": _hll_per_host,
@@ -5579,6 +5600,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_check": """
             SELECT TRUE AS n_verified_pairs_gt0,
                    TRUE AS est_within_binomial_bound
+        """,
+        "exact_topk_words": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+                FROM documents)
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
         """,
         "topk_words_misra_gries": """
             SELECT CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)

@@ -1,0 +1,56 @@
+"""Exact certified heavy hitters: matches GROUP BY oracle, certifies
+honestly, raises on uncertifiable flat distributions."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from presto_bloomfilter_ray.functions import exact_heavy_hitters
+
+
+def _zipf_ds(n=60_000, n_items=2_000, seed=4, s=1.3):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    p = 1.0 / np.arange(1, n_items + 1) ** s
+    p /= p.sum()
+    items = np.array([f"item{i:05d}" for i in range(n_items)])
+    vals = items[rng.choice(n_items, n, p=p)]
+    df = pd.DataFrame({"w": vals})
+    return rd.from_arrow(pa.Table.from_pandas(df)).repartition(8), df
+
+
+def test_matches_exact_groupby(ray_session):
+    ds, df = _zipf_ds()
+    got = exact_heavy_hitters(ds, "w", k=15)
+    exp = duckdb.sql("""
+        SELECT w AS item, count(*) AS n FROM df
+        GROUP BY w ORDER BY n DESC, w ASC LIMIT 15""").df()
+    assert got["item"].tolist() == exp["item"].tolist()
+    assert got["n"].tolist() == exp["n"].astype(int).tolist()
+    assert got["certified"].all()
+
+
+def test_flat_distribution_raises_or_flags(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = np.array([f"u{i}" for i in range(5_000)])[
+        rng.integers(0, 5_000, 20_000)]
+    ds = rd.from_arrow(pa.table({"w": pa.array(vals)})).repartition(4)
+    with pytest.raises(RuntimeError, match="certify"):
+        exact_heavy_hitters(ds, "w", k=10, capacity=20)
+    soft = exact_heavy_hitters(ds, "w", k=10, capacity=20, strict=False)
+    assert not soft["certified"].any()
+
+
+def test_fewer_distinct_than_k(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"w": pa.array(["a", "b", "a", "a", "b",
+                                                "c"])}))
+    got = exact_heavy_hitters(ds, "w", k=10)
+    assert got["item"].tolist() == ["a", "b", "c"]
+    assert got["n"].tolist() == [3, 2, 1]
+    assert got["certified"].all()
