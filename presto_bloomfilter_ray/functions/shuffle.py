@@ -18,9 +18,11 @@ SQL engine (``ORDER BY (id*2654435761)%4294967296, id``).
 one parquet file per shard plus a manifest. Reading the shard files
 in shard order therefore yields the exact global shuffle order —
 the one unavoidable all-to-all for a true shuffle, but with
-deterministic placement, resumable output (each shard is a
-self-contained range; a crashed export redoes only missing shards'
-writes) and shard size = corpus/n_shards chosen to fit a worker.
+deterministic placement and shard size = corpus/n_shards chosen to
+fit a worker. Crash safety is detect-and-redo: every shard file and
+the manifest are written atomically (tmp + rename, manifest LAST), so
+:func:`read_shuffled` refuses a torn export loudly and a rerun —
+byte-identical by determinism — simply overwrites it.
 """
 
 from __future__ import annotations
