@@ -90,8 +90,14 @@ def token_budget_cutoffs(ds, id_col: str, key_col: str, weight_col: str,
     def budget_of(k):
         if isinstance(budgets, dict):
             b = budgets.get(k)
-            return None if b is None else int(b)
-        return int(budgets)
+            b = None if b is None else int(b)
+        else:
+            b = int(budgets)
+        if b is not None and b < 0:
+            raise ValueError(
+                f"negative budget {b} for domain {k!r} — a depleted "
+                "budget must be 0 (keep nothing), not negative")
+        return b
 
     lo = np.zeros(K, dtype=np.int64)
     hi = np.full(K, top, dtype=np.int64)
@@ -113,6 +119,24 @@ def token_budget_cutoffs(ds, id_col: str, key_col: str, weight_col: str,
                         for k in enc.dictionary.to_pylist()], dtype=np.int64)
         return lut[np.asarray(enc.indices)]
 
+    # Resolve keys and hash positions ONCE into a numeric table (the
+    # same discipline as grouped_exact_quantile's add_g pass): every
+    # narrowing/pull round then reads (g, pos, w) int columns instead
+    # of re-hashing strings per round.
+    def numify(b: pa.Table) -> pa.Table:
+        g = gidx(b)
+        m = g >= 0
+        return pa.table({
+            "g": pa.array(g[m].astype(np.int32)),
+            "pos": pa.array(_positions(np.asarray(b.column(id_col))[m])),
+            "w": pa.array(np.asarray(b.column(weight_col),
+                                     dtype=np.int64)[m]),
+        })
+
+    if active.any():
+        kvg = ds.map_batches(numify, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
     rounds = 0
     while active.any():
         rounds += 1
@@ -126,13 +150,10 @@ def token_budget_cutoffs(ds, id_col: str, key_col: str, weight_col: str,
         if narrow_keys.size:
             def hist(b: pa.Table, lo=lo.copy(), hi=hi.copy(),
                      act=(active & (ndocs > pull_limit)).copy()) -> pa.Table:
-                g = gidx(b)
-                ids = np.asarray(b.column(id_col))
-                w = np.asarray(b.column(weight_col), dtype=np.int64)
-                pos = _positions(ids)
-                m = (g >= 0) & act[np.clip(g, 0, None)]
-                m &= (pos >= lo[np.clip(g, 0, None)]) & \
-                     (pos < hi[np.clip(g, 0, None)])
+                g = np.asarray(b.column("g"), dtype=np.int64)
+                w = np.asarray(b.column("w"), dtype=np.int64)
+                pos = np.asarray(b.column("pos"), dtype=np.int64)
+                m = act[g] & (pos >= lo[g]) & (pos < hi[g])
                 gm, pm, wm = g[m], pos[m], w[m]
                 width = hi[gm] - lo[gm]
                 # integer bin via ceil-step divide: exact, and never
@@ -152,8 +173,8 @@ def token_budget_cutoffs(ds, id_col: str, key_col: str, weight_col: str,
                     [np.concatenate([ws, cs]).astype(np.int64).tolist()],
                     type=pa.list_(pa.int64()))})
 
-            parts = ds.map_batches(hist, batch_format="pyarrow",
-                                   batch_size=None).to_pandas()
+            parts = kvg.map_batches(hist, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
             tot = np.zeros(2 * K * 2 * n_bins, dtype=np.int64)
             for row in parts["h"]:
                 tot += np.asarray(row, dtype=np.int64)
@@ -183,19 +204,17 @@ def token_budget_cutoffs(ds, id_col: str, key_col: str, weight_col: str,
             pk = set(int(x) for x in pull_keys)
 
             def pull(b: pa.Table, lo=lo.copy(), hi=hi.copy()) -> pa.Table:
-                g = gidx(b)
-                ids = np.asarray(b.column(id_col))
-                w = np.asarray(b.column(weight_col), dtype=np.int64)
-                pos = _positions(ids)
+                g = np.asarray(b.column("g"), dtype=np.int64)
+                w = np.asarray(b.column("w"), dtype=np.int64)
+                pos = np.asarray(b.column("pos"), dtype=np.int64)
                 m = np.isin(g, np.array(sorted(pk), dtype=np.int64))
-                m &= (pos >= lo[np.clip(g, 0, None)]) & \
-                     (pos < hi[np.clip(g, 0, None)])
+                m &= (pos >= lo[g]) & (pos < hi[g])
                 return pa.table({"g": pa.array(g[m]),
                                  "pos": pa.array(pos[m]),
                                  "w": pa.array(w[m])})
 
-            rows = ds.map_batches(pull, batch_format="pyarrow",
-                                  batch_size=None).to_pandas()
+            rows = kvg.map_batches(pull, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
             for t in pull_keys:
                 sub = rows[rows["g"] == t].sort_values("pos")
                 cum = base[t] + sub["w"].to_numpy(dtype=np.int64).cumsum()

@@ -1325,7 +1325,7 @@ def cap_per_key(ds, key_col: str, order_col: str, k: int):
 def minhash_join(a_ds, b_ds, *, threshold: float = 0.8,
                  num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                  text_col: str = "text", id_col: str = "doc_id",
-                 n_parts: int = 64):
+                 n_parts: int = 64, pair_cutoff: int = 64):
     """Cross-corpus near-duplicate JOIN: pairs ``(a_id, b_id,
     est_jaccard ≥ threshold)`` with ``a_id`` from ``a_ds`` and
     ``b_id`` from ``b_ds`` only — the "which docs in the new crawl
@@ -1336,9 +1336,17 @@ def minhash_join(a_ds, b_ds, *, threshold: float = 0.8,
     ids are parity-tagged (A → 2·id, B → 2·id+1), the tagged union
     runs :func:`lsh_candidate_pairs`, and a map-side filter keeps only
     cross-parity pairs before untagging — same shuffle volume as one
-    LSH pass over |A|+|B|, no new exchange. Identical normalized texts
-    always pair (est_jaccard = 1): no false negatives for exact
-    cross-corpus duplicates.
+    LSH pass over |A|+|B|, no new exchange.
+
+    Completeness contract: identical normalized texts always share
+    every band, so duplicate CLUSTERS are always discovered — but
+    buckets larger than ``pair_cutoff`` degrade to star edges around
+    the bucket-min id (the hot-bucket guard against quadratic pair
+    expansion), and a star edge whose hub lands on the same side as a
+    member emits no cross pair for that member. All pairs are
+    complete for clusters ≤ ``pair_cutoff``; raise it when exhaustive
+    pairing of mega-clusters (e.g. boilerplate duplicated 10^5×)
+    matters more than the quadratic blowup it costs.
     """
     def _tag(offset: int):
         def tag(b: pa.Table) -> pa.Table:
@@ -1356,7 +1364,7 @@ def minhash_join(a_ds, b_ds, *, threshold: float = 0.8,
     pairs = lsh_candidate_pairs(
         a_t.union(b_t), num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, text_col=text_col, id_col="_tid",
-        n_parts=n_parts)
+        n_parts=n_parts, pair_cutoff=pair_cutoff)
 
     def cross_only(b: pa.Table) -> pa.Table:
         x = np.asarray(b.column("a"), dtype=np.int64)

@@ -60,6 +60,13 @@ def exact_heavy_hitters(ds, col: str, k: int = 10, *,
     cand = [w for w, _ in sk.top(C)]
     n_total = int(sk.total)
     if not cand:
+        if n_total > 0:
+            # non-empty stream but MG decrements emptied the summary
+            # (all-equal pathological streams): nothing is provable
+            if strict:
+                raise RuntimeError(
+                    f"exact_heavy_hitters: summary empty after "
+                    f"evictions over N={n_total} — raise capacity")
         return pd.DataFrame({"item": pd.Series([], dtype=object),
                              "n": pd.Series([], dtype=np.int64),
                              "certified": pd.Series([], dtype=bool)})
@@ -90,14 +97,26 @@ def exact_heavy_hitters(ds, col: str, k: int = 10, *,
     top_n = total[order[:take]]
     # certification: an item absent from the summary has true
     # frequency ≤ the sketch's own Misra–Gries bound (N/C, preserved
-    # under the merge tree)
+    # under the merge tree). With take == k the k-th exact count must
+    # clear that bound. With take < k (MG evictions depleted the
+    # summary below k) the result is only provably COMPLETE when no
+    # eviction can have happened at all — N < C implies fewer than C
+    # distinct items were ever seen, so the summary is exact; a
+    # depleted summary over a large stream proves nothing about the
+    # missing slots (any unseen item would qualify for them).
     bound = sk.error_bound()
-    certified = bool(take < k or float(top_n[-1]) > bound)
+    if take == k:
+        certified = bool(float(top_n[-1]) > bound)
+        why = (f"k-th count {int(top_n[-1])} ≤ unseen-item bound "
+               f"{bound} (N={n_total}, capacity={C})")
+    else:
+        certified = bool(n_total < C)
+        why = (f"summary holds only {take} < k={k} items after "
+               f"evictions over N={n_total} ≥ capacity={C} — the "
+               f"remaining top-k slots are unprovable")
     if strict and not certified:
         raise RuntimeError(
-            f"exact_heavy_hitters: k-th count {int(top_n[-1])} ≤ "
-            f"unseen-item bound {bound} (N={n_total}, capacity={C}) — "
-            f"raise capacity to certify")
+            f"exact_heavy_hitters: {why} — raise capacity to certify")
     return pd.DataFrame({"item": top_items,
                          "n": top_n.astype(np.int64),
                          "certified": np.full(take, certified)})

@@ -76,6 +76,13 @@ def pq_train(ds, vec_col: str = "embedding", m: int = 8, nbits: int = 8, *,
         raise ValueError(f"nbits must be in [1, 8] (uint8 codes), got {nbits}")
     sample = _bounded_sample_matrix(ds, vec_col, sample_fraction,
                                     max_sample_rows, seed)
+    return _fit_codebooks(sample, m, nbits, iters, seed)
+
+
+def _fit_codebooks(sample: np.ndarray, m: int, nbits: int, iters: int,
+                   seed: int) -> np.ndarray:
+    """Per-subspace Lloyd over a sample matrix (raw vectors for flat
+    PQ, residuals for IVFPQ). Returns (m, ksub, d/m) float32."""
     n, d = sample.shape
     dsub = _check_dims(d, m)
     ksub = min(1 << nbits, n)
@@ -139,7 +146,10 @@ def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
         if mat.shape[0] == 0:
             empty = pa.FixedSizeListArray.from_arrays(
                 pa.array([], type=pa.uint8()), m)
-            return pa.table({id_col: batch.column(id_col), "code": empty})
+            cols = {id_col: batch.column(id_col), "code": empty}
+            for c in keep_cols:  # schema must match non-empty batches
+                cols[c] = batch.column(c)
+            return pa.table(cols)
         codes = _encode_matrix(mat, books)
         code_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(codes.ravel()), m)
@@ -232,6 +242,8 @@ def pq_search_refined(ds, codes_ds, codebooks: np.ndarray,
     def keep(batch: pa.Table) -> pa.Table:
         wanted = ray.get(idref)
         got = np.asarray(batch.column(id_col))
+        if wanted.size == 0 or got.size == 0:
+            return batch.slice(0, 0)
         pos = np.searchsorted(wanted, got)
         pos[pos >= wanted.size] = 0
         mask = wanted[pos] == got
@@ -287,26 +299,11 @@ class IVFPQIndex:
             raise ValueError(f"nbits must be in [1, 8], got {self.nbits}")
         sample = _bounded_sample_matrix(ds, vec_col, sample_fraction,
                                         max_sample_rows, seed)
-        n, d = sample.shape
-        dsub = _check_dims(d, self.m)
+        _check_dims(sample.shape[1], self.m)
         cents = _lloyd(sample, self.ncentroids, iters, seed)
         assign = np.argmax(sample @ cents.T, axis=1)
         resid = sample - cents[assign]
-        ksub = min(1 << self.nbits, n)
-        rng = np.random.default_rng(seed)
-        books = np.empty((self.m, ksub, dsub), dtype=np.float32)
-        for j in range(self.m):
-            sub = np.ascontiguousarray(resid[:, j * dsub:(j + 1) * dsub])
-            c = sub[rng.choice(n, size=ksub, replace=False)].copy()
-            for _ in range(iters):
-                scores = sub @ c.T - 0.5 * np.einsum(
-                    "ij,ij->i", c, c)[None, :]
-                a = np.argmax(scores, axis=1)
-                for ci in range(ksub):
-                    sel = sub[a == ci]
-                    if len(sel):
-                        c[ci] = sel.mean(axis=0)
-            books[j] = c
+        books = _fit_codebooks(resid, self.m, self.nbits, iters, seed)
         self.centroids, self.codebooks = cents, books
         cref = ray.put(np.ascontiguousarray(cents))
         bref = ray.put(np.ascontiguousarray(books))
@@ -376,6 +373,11 @@ class IVFPQIndex:
         m_ = books.shape[0]
         lref = ray.put(lut)
         qcref = ray.put(qc)
+        # with a rerank stage, shortlist 8·k by default (matching
+        # pq_search_refined) so exact rerank can RECOVER ADC misses,
+        # not just reorder the k ADC winners
+        if refine_ds is not None and rerank is None:
+            rerank = 8 * k
         kk = max(k, rerank or 0)
         jidx = np.arange(m_)
 
@@ -416,6 +418,8 @@ class IVFPQIndex:
         def keep(batch: pa.Table) -> pa.Table:
             wanted = ray.get(idref)
             got = np.asarray(batch.column(id_col))
+            if wanted.size == 0 or got.size == 0:
+                return batch.slice(0, 0)
             pos = np.searchsorted(wanted, got)
             pos[pos >= wanted.size] = 0
             return batch.filter(pa.array(wanted[pos] == got))

@@ -316,8 +316,12 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
                     break
                 lo = h_lo[tr, d]
                 w = (h_hi[tr, d] - lo) / n_bins
-                b = np.minimum(((vals - lo) / w).astype(np.int64),
-                               n_bins - 1)
+                # clip BOTH ends, same expression as hist: a survivor
+                # can sit one ulp below its track's lo once intervals
+                # narrow near float resolution, and the two sides must
+                # bin it identically for the interval argument to hold
+                b = np.clip(((vals - lo) / w).astype(np.int64),
+                            0, n_bins - 1)
                 want = paths[tr, d]
                 gt = lev & (b > want)
                 lt = lev & (b < want)
@@ -381,8 +385,12 @@ def grouped_exact_quantile(ds, col: str, q, key_col: str, *,
                 tm = t[m]
                 lo = t_lo[tm]
                 w = (t_hi[tm] - lo) / n_bins
-                bins = np.minimum(((v[m] - lo) / w).astype(np.int64),
-                                  n_bins - 1)
+                # clip both ends (matching _lex_cmp): [A, B] membership
+                # admits rows an ulp outside [t_lo, t_hi] when widths
+                # approach float resolution; a negative quotient must
+                # land in bin 0, not crash the bincount
+                bins = np.clip(((v[m] - lo) / w).astype(np.int64),
+                               0, n_bins - 1)
                 out += np.bincount(tm * n_bins + bins,
                                    minlength=T * n_bins)
             return pa.table({"h": pa.array([out.tolist()],

@@ -52,6 +52,18 @@ def shuffled_export(ds, out_dir: str, id_col: str, *,
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     os.makedirs(out_dir, exist_ok=True)
+    # Invalidate any previous export FIRST (manifest before shards):
+    # a rerun that crashes mid-write must leave the directory loudly
+    # unreadable, never a silent mix of old and new shard files —
+    # count-only validation would accept stale files under an old
+    # manifest otherwise.
+    import glob as _glob
+
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    for stale in _glob.glob(os.path.join(out_dir, "shard-*.parquet")):
+        os.remove(stale)
 
     def assign(b: pa.Table) -> pa.Table:
         ids = np.asarray(b.column(id_col), dtype=np.int64)

@@ -126,3 +126,12 @@ def test_property_random_weights_budgets(ray_session):
         assert g_ids == sorted(exp["doc_id"])
 
     run()
+
+
+def test_negative_budget_rejected(ray_session):
+    df = _corpus(n=500)
+    with pytest.raises(ValueError, match="negative budget"):
+        token_budget_select(_ray_ds(df), "doc_id", "lang", "tl", -5)
+    with pytest.raises(ValueError, match="negative budget"):
+        token_budget_select(_ray_ds(df), "doc_id", "lang", "tl",
+                            {"en": -1})

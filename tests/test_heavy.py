@@ -54,3 +54,21 @@ def test_fewer_distinct_than_k(ray_session):
     assert got["item"].tolist() == ["a", "b", "c"]
     assert got["n"].tolist() == [3, 2, 1]
     assert got["certified"].all()
+
+
+def test_depleted_summary_not_certified(ray_session):
+    """MG evictions can shrink the summary below k; that must NOT be
+    read as 'fewer than k distinct items exist'."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    # near-uniform over many items with tiny capacity: summary depletes
+    vals = np.array([f"x{i}" for i in range(3_000)])[
+        rng.integers(0, 3_000, 30_000)]
+    ds = rd.from_arrow(pa.table({"w": pa.array(vals)})).repartition(4)
+    soft = exact_heavy_hitters(ds, "w", k=50, capacity=60, strict=False)
+    # whether or not the summary kept 50 items, nothing here can be
+    # certified (N >> capacity and counts hug the bound)
+    assert not soft["certified"].any()
+    with pytest.raises(RuntimeError):
+        exact_heavy_hitters(ds, "w", k=50, capacity=60)

@@ -60,3 +60,20 @@ def test_negative_id_rejected(ray_session, tmp_path):
     t = pa.table({"doc_id": pa.array([-1], type=pa.int64())})
     with pytest.raises(Exception, match="non-negative"):
         shuffled_export(rd.from_arrow(t), str(tmp_path / "x"), "doc_id")
+
+
+def test_rerun_invalidates_before_writing(ray_session, tmp_path):
+    """A rerun removes the old manifest before any writes: a crash
+    mid-rerun leaves the dir loudly unreadable, never a stale mix. A
+    completed rerun with FEWER shards must not leave orphan files."""
+    import os
+
+    ds, df = _ds(n=800)
+    out = str(tmp_path / "shuf-re")
+    shuffled_export(ds, out, "doc_id", n_shards=8)
+    ds2, _ = _ds(n=800)
+    shuffled_export(ds2, out, "doc_id", n_shards=4)   # fewer shards
+    files = [p for p in os.listdir(out) if p.startswith("shard-")]
+    assert len(files) == 4                             # no orphans
+    back = read_shuffled(out).to_pandas()
+    assert back["doc_id"].tolist() == _expected_order(df)
