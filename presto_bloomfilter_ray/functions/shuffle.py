@@ -109,7 +109,15 @@ def shuffled_export(ds, out_dir: str, id_col: str, *,
 def read_shuffled(out_dir: str, columns: Optional[list] = None):
     """Read a :func:`shuffled_export` directory back as a Dataset in
     the exact global shuffle order (shard files in shard order; rows
-    within a file are already sorted)."""
+    within a file are already sorted).
+
+    Ray's streaming executor reorders completed blocks under load
+    unless ``preserve_order`` is on — and order IS this dataset's
+    contract — so this sets
+    ``DataContext.execution_options.preserve_order = True`` for the
+    session (sticky; ordered consumption is the point of the export,
+    and the flag only constrains scheduling, not correctness, for
+    everything else)."""
     import glob as _glob
 
     import ray.data as rd
@@ -122,4 +130,5 @@ def read_shuffled(out_dir: str, columns: Optional[list] = None):
             f"shuffled export at {out_dir} is incomplete: "
             f"{len(paths)} files vs manifest "
             f"{len(manifest['shards_written'])}")
-    return rd.read_parquet(paths)
+    rd.DataContext.get_current().execution_options.preserve_order = True
+    return rd.read_parquet(paths, columns=columns)
