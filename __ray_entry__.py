@@ -2877,6 +2877,31 @@ def _multimodal_real_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------- similarity
+def _trigram_search_documents(sf_dir: str):
+    """Trigram substring index (functions/trigram.py TrigramIndex):
+    sharded byte-trigram postings; a query reads only its own
+    trigrams' shards, intersects posting lists (never a false
+    negative), and verifies candidates exactly. Oracle is the plain
+    LIKE scan — value-exact doc ids."""
+    import shutil
+    import uuid
+
+    from presto_bloomfilter_ray.functions import TrigramIndex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    root = f"/tmp/tri-index-{uuid.uuid4().hex[:8]}"
+    try:
+        idx = TrigramIndex(root, n_shards=16).build(docs)
+        got = idx.search(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            "merge batch").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = got.sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _minhash_join_crawls(sf_dir: str):
     """Cross-corpus fuzzy join (functions/dedup.py minhash_join):
     split documents into 'existing corpus' (doc_id % 3 != 0) and 'new
@@ -4064,6 +4089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_hll_users": _sliding_hll_users,
         "url_blocklist_filter": _url_blocklist_filter,
         "events_sessions": _events_sessions,
+        "trigram_search_documents": _trigram_search_documents,
         "minhash_join_crawls": _minhash_join_crawls,
         "shuffled_export_order": _shuffled_export_order,
         "token_budget_by_lang": _token_budget_by_lang,
@@ -5216,6 +5242,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(max(session_id) AS BIGINT) AS max_session_id
             FROM sessions GROUP BY user_id
+        """,
+        "trigram_search_documents": """
+            SELECT doc_id FROM documents
+            WHERE text LIKE '%merge batch%' ORDER BY doc_id
         """,
         "minhash_join_crawls": """
             WITH n AS (SELECT doc_id,

@@ -28,6 +28,7 @@ from .dedup import (
 from .budget import token_budget_cutoffs, token_budget_select
 from .heavy import exact_heavy_hitters
 from .shuffle import read_shuffled, shuffled_export
+from .trigram import TrigramIndex
 from .pq import (
     IVFPQIndex,
     pq_encode,

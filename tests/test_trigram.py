@@ -1,0 +1,68 @@
+"""Trigram substring index: exact LIKE parity, no false negatives,
+short-needle fallback, rebuild invalidation."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from presto_bloomfilter_ray.functions import TrigramIndex
+
+
+def _docs(n=800, seed=6):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "bravo", "charlie", "delta", "needle", "haystack",
+             "quantum", "ray", "data", "searchable", "xylophone"]
+    texts = [" ".join(rng.choice(words, rng.integers(3, 30)))
+             for _ in range(n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts})
+    return rd.from_arrow(pa.Table.from_pandas(df)).repartition(5), df
+
+
+@pytest.mark.parametrize("needle", ["needle", "quantum ray",
+                                    "xylophone", "zzz-not-there"])
+def test_matches_like_oracle(ray_session, tmp_path, needle):
+    ds, df = _docs()
+    idx = TrigramIndex(str(tmp_path / "tri"), n_shards=8).build(ds)
+    got = idx.search(ds, needle).to_pandas()
+    ids = sorted(got["doc_id"]) if len(got) else []
+    exp = duckdb.sql(
+        "SELECT doc_id FROM df WHERE text LIKE '%' || ? || '%' "
+        "ORDER BY doc_id", params=[needle]).df()
+    assert ids == exp["doc_id"].astype(int).tolist()
+
+
+def test_candidates_are_superset(ray_session, tmp_path):
+    ds, df = _docs(n=300)
+    idx = TrigramIndex(str(tmp_path / "tri2"), n_shards=4).build(ds)
+    cand = idx.candidates("searchable")
+    truth = set(df[df["text"].str.contains("searchable")]["doc_id"])
+    assert truth <= set(cand.tolist())
+
+
+def test_short_needle_full_scan(ray_session, tmp_path):
+    ds, df = _docs(n=200)
+    idx = TrigramIndex(str(tmp_path / "tri3"), n_shards=4).build(ds)
+    assert idx.candidates("ab") is None
+    got = idx.search(ds, "ra").to_pandas()
+    exp = df[df["text"].str.contains("ra")]["doc_id"]
+    assert sorted(got["doc_id"]) == sorted(exp)
+
+
+def test_rebuild_invalidates(ray_session, tmp_path):
+    import os
+
+    ds, _ = _docs(n=100)
+    root = str(tmp_path / "tri4")
+    TrigramIndex(root, n_shards=8).build(ds)
+    n_files_1 = len([p for p in os.listdir(root) if p.startswith("tri-")])
+    ds2, df2 = _docs(n=100, seed=99)
+    idx = TrigramIndex(root, n_shards=2).build(ds2)
+    files = [p for p in os.listdir(root) if p.startswith("tri-")]
+    assert len(files) <= 2 < n_files_1
+    got = idx.search(ds2, "needle").to_pandas()
+    exp = df2[df2["text"].str.contains("needle")]["doc_id"]
+    assert sorted(got["doc_id"]) == sorted(exp)
