@@ -104,6 +104,33 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_grep(args) -> int:
+    """Substring-search a documents table through the trigram posting
+    index: builds the index at --index if absent (or --rebuild), then
+    prints matching ids — reads only the needle's posting shards plus
+    candidate docs, never full-scans the corpus."""
+    import os
+
+    import ray.data as rd
+
+    from .functions import TrigramIndex
+
+    idx = TrigramIndex(args.index, n_shards=args.shards)
+    docs = rd.read_parquet(args.input, columns=[args.id_col,
+                                                args.text_col])
+    if args.rebuild or not os.path.exists(
+            os.path.join(args.index, "manifest.json")):
+        idx.build(docs, text_col=args.text_col, id_col=args.id_col)
+        docs = rd.read_parquet(args.input, columns=[args.id_col,
+                                                    args.text_col])
+    hits = idx.search(docs, args.needle, text_col=args.text_col,
+                      id_col=args.id_col).to_pandas()
+    ids = sorted(int(x) for x in hits[args.id_col]) if len(hits) else []
+    print(json.dumps({"needle": args.needle, "n_hits": len(ids),
+                      "ids": ids[: args.limit]}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve a sketch store over the reference persist-service wire
     protocol (PUT/GET /bloomfilter/<key>) for non-engine clients."""
@@ -199,6 +226,19 @@ def main(argv=None) -> int:
                    help="IBLT cells; must exceed ~1.4x the expected diff")
     f.add_argument("--output", required=True)
     f.set_defaults(fn=cmd_diff)
+
+    q = sub.add_parser("grep", help="substring-search documents via "
+                       "the trigram posting index")
+    q.add_argument("--input", required=True, help="documents parquet")
+    q.add_argument("--index", required=True, help="index directory")
+    q.add_argument("--needle", required=True)
+    q.add_argument("--text-col", default="text")
+    q.add_argument("--id-col", default="doc_id")
+    q.add_argument("--shards", type=int, default=64)
+    q.add_argument("--rebuild", action="store_true")
+    q.add_argument("--limit", type=int, default=100,
+                   help="max ids printed")
+    q.set_defaults(fn=cmd_grep)
 
     t = sub.add_parser("stats", help="introspect a sketch store")
     t.add_argument("--store", required=True)
