@@ -2902,6 +2902,30 @@ def _trigram_search_documents(sf_dir: str):
     return out
 
 
+def _trigram_regex_documents(sf_dir: str):
+    """Regex search through the trigram index (Cox-style literal
+    extraction): 'merge (batch|sort)' must contain the literal
+    'merge ', so posting candidates prune the corpus before the RE2
+    verify. Oracle is the plain regexp scan — value-exact doc ids."""
+    import shutil
+    import uuid
+
+    from presto_bloomfilter_ray.functions import TrigramIndex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    root = f"/tmp/tri-re-{uuid.uuid4().hex[:8]}"
+    try:
+        idx = TrigramIndex(root, n_shards=16).build(docs)
+        got = idx.search_regex(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            "merge (batch|sort)").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = got.sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _minhash_join_crawls(sf_dir: str):
     """Cross-corpus fuzzy join (functions/dedup.py minhash_join):
     split documents into 'existing corpus' (doc_id % 3 != 0) and 'new
@@ -4090,6 +4114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist_filter": _url_blocklist_filter,
         "events_sessions": _events_sessions,
         "trigram_search_documents": _trigram_search_documents,
+        "trigram_regex_documents": _trigram_regex_documents,
         "minhash_join_crawls": _minhash_join_crawls,
         "shuffled_export_order": _shuffled_export_order,
         "token_budget_by_lang": _token_budget_by_lang,
@@ -5242,6 +5267,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(max(session_id) AS BIGINT) AS max_session_id
             FROM sessions GROUP BY user_id
+        """,
+        "trigram_regex_documents": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, 'merge (batch|sort)')
+            ORDER BY doc_id
         """,
         "trigram_search_documents": """
             SELECT doc_id FROM documents

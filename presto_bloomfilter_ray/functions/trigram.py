@@ -195,3 +195,75 @@ class TrigramIndex:
 
         return ds.map_batches(verify, batch_format="pyarrow",
                               batch_size=None)
+
+
+def _required_literal(pattern: str):
+    """Longest literal byte-string that EVERY match of ``pattern``
+    must contain, or None. Conservative subset of Cox's trigram query
+    planning: walk only the top-level concatenation; literal chars
+    extend the current run; anything optional or branching (alt,
+    star, ?, classes, anchors are run breaks) just breaks the run, so
+    a returned literal is sound — a match cannot avoid it."""
+    import re as _re
+
+    try:
+        parsed = _re.sre_parse.parse(pattern) if hasattr(_re, "sre_parse") \
+            else __import__("re._parser", fromlist=["parse"]).parse(pattern)
+    except Exception:
+        return None
+    best, cur = "", ""
+    for op, av in parsed:
+        name = str(op)
+        if name == "LITERAL":
+            try:
+                cur += chr(av)
+            except ValueError:
+                cur = ""
+            continue
+        if name == "MAX_REPEAT":
+            lo, _hi, sub = av
+            # a once-or-more repeat of a pure literal contributes one
+            # mandatory copy; anything else breaks the run
+            if lo >= 1 and all(str(o) == "LITERAL" for o, _ in sub):
+                cur += "".join(chr(a) for _, a in sub)
+                if len(cur) > len(best):
+                    best = cur
+                cur = ""   # what follows the repeat isn't contiguous
+                continue
+        if len(cur) > len(best):
+            best = cur
+        cur = ""
+    if len(cur) > len(best):
+        best = cur
+    return best if len(best.encode("utf-8")) >= 3 else None
+
+
+def _search_regex(self, ds, pattern: str, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Regex search with trigram pruning: if the pattern has a
+    mandatory literal ≥ 3 bytes, prune to its posting candidates
+    first; verify with RE2 (``match_substring_regex``) either way.
+    Sound: candidates are a superset of true matches because every
+    match must contain the extracted literal."""
+    lit = _required_literal(pattern)
+    cand = self.candidates(lit) if lit is not None else None
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        if cand is not None:
+            if cand.size == 0:
+                return pa.table({id_col: pa.array([], type=pa.int64())})
+            pos = np.searchsorted(cand, ids)
+            pos[pos >= cand.size] = 0
+            keep = cand[pos] == ids
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+        hit = pc.match_substring_regex(b.column(text_col), pattern)
+        hit = pc.fill_null(hit, False)
+        return pa.table({id_col: pa.array(ids[np.asarray(hit)])})
+
+    return ds.map_batches(verify, batch_format="pyarrow",
+                          batch_size=None)
+
+
+TrigramIndex.search_regex = _search_regex

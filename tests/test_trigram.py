@@ -66,3 +66,38 @@ def test_rebuild_invalidates(ray_session, tmp_path):
     got = idx.search(ds2, "needle").to_pandas()
     exp = df2[df2["text"].str.contains("needle")]["doc_id"]
     assert sorted(got["doc_id"]) == sorted(exp)
+
+
+@pytest.mark.parametrize("pattern", [
+    "needle",                     # plain literal
+    "quantum (ray|data)",         # literal prefix, alternation tail
+    "xylo\\w+",                   # literal + word chars
+    "(alpha|bravo) charlie",      # alternation head: literal ' charlie'
+    "n[ae]edle",                  # class breaks the literal run
+])
+def test_regex_matches_oracle(ray_session, tmp_path, pattern):
+    ds, df = _docs(n=400)
+    idx = TrigramIndex(str(tmp_path / "trir"), n_shards=8).build(ds)
+    got = idx.search_regex(ds, pattern).to_pandas()
+    ids = sorted(got["doc_id"]) if len(got) else []
+    exp = df[df["text"].str.contains(pattern, regex=True)]["doc_id"]
+    assert ids == sorted(exp)
+
+
+def test_regex_literal_extraction_sound(ray_session):
+    from presto_bloomfilter_ray.functions.trigram import _required_literal
+
+    # every returned literal must appear in every match of the pattern
+    import re
+
+    cases = ["abc(d|e)fgh", "foo\\d+bar", "x{2,}yzw", "a?bcd", "ab|cd"]
+    rng = np.random.default_rng(0)
+    for pat in cases:
+        lit = _required_literal(pat)
+        if lit is None:
+            continue
+        # probe with generated matches where feasible
+        for probe in ["abcdfgh", "abcefgh", "foo7bar", "foo123bar",
+                      "xxyzw", "xxxyzw", "bcd", "abcd", "ab", "cd"]:
+            if re.fullmatch(pat, probe):
+                assert lit in probe, (pat, lit, probe)
