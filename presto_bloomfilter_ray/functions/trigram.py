@@ -70,15 +70,25 @@ def _needle_codes(needle: bytes) -> np.ndarray:
     return np.unique(tri)
 
 
+_CHUNK_RE_TMPL = r"tri-(\d{5})-g(\d{4})\.parquet$"
+
+
 class TrigramIndex:
-    """Build / query a sharded trigram posting index on disk."""
+    """Build / query / APPEND a sharded trigram posting index on disk.
+
+    Chunks are generation-tagged (``tri-<shard>-g<gen>.parquet``) with
+    the manifest's ``gen`` bump as the commit point — the same
+    crashed-append-is-invisible discipline as the MinHash and BM25
+    indexes (`dedup_index.py`, `search_index.py`): readers only load
+    chunks with gen ≤ manifest gen; :meth:`repair` drops newer debris.
+    """
 
     def __init__(self, root: str, n_shards: int = 64):
         self.root = root
         self.n_shards = n_shards
 
-    # ---------------------------------------------------------- build
-    def build(self, ds, text_col: str = "text", id_col: str = "doc_id"):
+    # -------------------------------------------------------- ingest
+    def _ingest(self, ds, gen: int, text_col: str, id_col: str):
         n_shards = self.n_shards
 
         def postings(b: pa.Table) -> pa.Table:
@@ -108,34 +118,74 @@ class TrigramIndex:
                             "doc": pa.array(doc[order])})
             import pyarrow.parquet as pq
 
-            tmp = os.path.join(self.root, f".tri-{s:05d}.tmp")
+            name = f"tri-{s:05d}-g{gen:04d}.parquet"
+            tmp = os.path.join(self.root, "." + name + ".tmp")
             pq.write_table(out, tmp)
-            os.replace(tmp, os.path.join(self.root,
-                                         f"tri-{s:05d}.parquet"))
+            os.replace(tmp, os.path.join(self.root, name))
             return pa.table({"shard": pa.array([s], type=pa.int64()),
                              "rows": pa.array([g.num_rows],
                                               type=pa.int64())})
 
+        return (ds.map_batches(postings, batch_format="pyarrow",
+                               batch_size=None)
+                .groupby("shard")
+                .map_groups(write_shard, batch_format="pyarrow")
+                .to_pandas())
+
+    def _manifest(self):
+        with open(os.path.join(self.root, "manifest.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m):
+        mpath = os.path.join(self.root, "manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, mpath)
+
+    # ---------------------------------------------------------- build
+    def build(self, ds, text_col: str = "text", id_col: str = "doc_id"):
         os.makedirs(self.root, exist_ok=True)
         mpath = os.path.join(self.root, "manifest.json")
         if os.path.exists(mpath):          # invalidate before rewrite
             os.remove(mpath)
         for stale in _glob.glob(os.path.join(self.root, "tri-*.parquet")):
             os.remove(stale)
-        stats = (ds.map_batches(postings, batch_format="pyarrow",
-                                batch_size=None)
-                 .groupby("shard")
-                 .map_groups(write_shard, batch_format="pyarrow")
-                 .to_pandas())
-        manifest = {"n_shards": self.n_shards,
-                    "postings": int(stats["rows"].sum()),
-                    "shards_written": sorted(int(s)
-                                             for s in stats["shard"])}
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, mpath)
+        stats = self._ingest(ds, 1, text_col, id_col)
+        self._write_manifest({
+            "n_shards": self.n_shards, "gen": 1,
+            "text_col": text_col, "id_col": id_col,
+            "postings": int(stats["rows"].sum())})
         return self
+
+    # --------------------------------------------------------- append
+    def append(self, ds):
+        """Index additional docs: one new chunk per touched shard,
+        manifest gen bump as the commit — a crash beforehand leaves
+        the index readable at the old generation (:meth:`repair`
+        removes the debris). Single writer at a time."""
+        m = self._manifest()
+        gen = m["gen"] + 1
+        stats = self._ingest(ds, gen, m["text_col"], m["id_col"])
+        m["postings"] += int(stats["rows"].sum())
+        m["gen"] = gen
+        self._write_manifest(m)
+        return self
+
+    def repair(self):
+        """Drop chunks newer than the manifest generation (crashed
+        appends). Returns removed paths."""
+        import re as _re
+
+        gen = self._manifest()["gen"]
+        removed = []
+        rx = _re.compile(_CHUNK_RE_TMPL)
+        for p in _glob.glob(os.path.join(self.root, "tri-*.parquet")):
+            mm = rx.search(os.path.basename(p))
+            if mm and int(mm.group(2)) > gen:
+                os.remove(p)
+                removed.append(p)
+        return removed
 
     # --------------------------------------------------------- search
     def candidates(self, needle: str) -> Optional[np.ndarray]:
@@ -146,19 +196,28 @@ class TrigramIndex:
         if len(nb) < 3:
             return None
         codes = _needle_codes(nb)
-        with open(os.path.join(self.root, "manifest.json")) as f:
-            manifest = json.load(f)
+        manifest = self._manifest()
+        cur_gen = manifest["gen"]
         shards = sorted(set(int(c % manifest["n_shards"]) for c in codes))
+        import re as _re
+
         import pyarrow.parquet as pq
 
+        rx = _re.compile(_CHUNK_RE_TMPL)
         per_doc = {}
         for s in shards:
-            p = os.path.join(self.root, f"tri-{s:05d}.parquet")
-            if not os.path.exists(p):
-                continue  # shard had no postings
             want = codes[codes % manifest["n_shards"] == s]
-            t = pq.read_table(p, filters=[("tri", "in",
-                                           [int(x) for x in want])])
+            parts = []
+            for p in sorted(_glob.glob(os.path.join(
+                    self.root, f"tri-{s:05d}-g*.parquet"))):
+                mm = rx.search(os.path.basename(p))
+                if mm is None or int(mm.group(2)) > cur_gen:
+                    continue  # crashed-append debris stays invisible
+                parts.append(pq.read_table(
+                    p, filters=[("tri", "in", [int(x) for x in want])]))
+            if not parts:
+                continue  # shard had no postings
+            t = pa.concat_tables(parts)
             doc = np.asarray(t.column("doc"))
             tri = np.asarray(t.column("tri"))
             # count DISTINCT matched trigrams per doc in this shard

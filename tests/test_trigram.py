@@ -101,3 +101,43 @@ def test_regex_literal_extraction_sound(ray_session):
                       "xxyzw", "xxxyzw", "bcd", "abcd", "ab", "cd"]:
             if re.fullmatch(pat, probe):
                 assert lit in probe, (pat, lit, probe)
+
+
+def test_append_and_crash_invisibility(ray_session, tmp_path):
+    """Appended docs become searchable only after the gen commit;
+    debris chunks above the manifest gen are invisible and repairable."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    root = str(tmp_path / "tri-app")
+    ds1, df1 = _docs(n=150, seed=1)
+    idx = TrigramIndex(root, n_shards=4).build(ds1)
+    # append a batch with DISTINCT ids containing a unique marker
+    df2 = pd.DataFrame({
+        "doc_id": np.arange(10_000, 10_050, dtype=np.int64),
+        "text": [f"fresh zeppelin doc {i}" for i in range(50)],
+    })
+    idx.append(rd.from_arrow(pa.Table.from_pandas(df2)).repartition(2))
+    both = rd.from_arrow(pa.Table.from_pandas(
+        pd.concat([df1, df2], ignore_index=True))).repartition(3)
+    got = idx.search(both, "zeppelin").to_pandas()
+    assert sorted(got["doc_id"]) == df2["doc_id"].tolist()
+    # old docs still found
+    got1 = idx.search(both, "needle").to_pandas()
+    exp1 = set(df1[df1["text"].str.contains("needle")]["doc_id"])
+    assert set(got1["doc_id"]) == exp1
+    # simulate a crashed append: hand-roll a gen-3 debris chunk
+    import pyarrow.parquet as pq2
+
+    debris = os.path.join(root, "tri-00001-g0003.parquet")
+    pq2.write_table(pa.table({"tri": pa.array([1], type=pa.int32()),
+                              "doc": pa.array([99], type=pa.int64())}),
+                    debris)
+    man = json.load(open(os.path.join(root, "manifest.json")))
+    assert man["gen"] == 2            # debris gen 3 > manifest gen 2
+    got2 = idx.search(both, "zeppelin").to_pandas()
+    assert sorted(got2["doc_id"]) == df2["doc_id"].tolist()  # unchanged
+    removed = idx.repair()
+    assert removed == [debris] and not os.path.exists(debris)
