@@ -123,8 +123,9 @@ def cmd_grep(args) -> int:
         idx.build(docs, text_col=args.text_col, id_col=args.id_col)
         docs = rd.read_parquet(args.input, columns=[args.id_col,
                                                     args.text_col])
-    hits = idx.search(docs, args.needle, text_col=args.text_col,
-                      id_col=args.id_col).to_pandas()
+    fn = idx.search_regex if args.regex else idx.search
+    hits = fn(docs, args.needle, text_col=args.text_col,
+              id_col=args.id_col).to_pandas()
     ids = sorted(int(x) for x in hits[args.id_col]) if len(hits) else []
     print(json.dumps({"needle": args.needle, "n_hits": len(ids),
                       "ids": ids[: args.limit]}))
@@ -236,6 +237,9 @@ def main(argv=None) -> int:
     q.add_argument("--id-col", default="doc_id")
     q.add_argument("--shards", type=int, default=64)
     q.add_argument("--rebuild", action="store_true")
+    q.add_argument("--regex", action="store_true",
+                   help="treat the needle as an RE2 regex "
+                        "(literal-pruned through the same postings)")
     q.add_argument("--limit", type=int, default=100,
                    help="max ids printed")
     q.set_defaults(fn=cmd_grep)
