@@ -71,6 +71,7 @@ def _needle_codes(needle: bytes) -> np.ndarray:
 
 
 _CHUNK_RE_TMPL = r"tri-(\d{5})-g(\d{4})\.parquet$"
+_CNT_RE_TMPL = r"cnt-(\d{5})-g(\d{4})\.parquet$"
 
 
 class TrigramIndex:
@@ -122,6 +123,17 @@ class TrigramIndex:
             tmp = os.path.join(self.root, "." + name + ".tmp")
             pq.write_table(out, tmp)
             os.replace(tmp, os.path.join(self.root, name))
+            # posting-count sidecar: (tri, n) per distinct trigram —
+            # the query planner's list-length table (Cox's planner
+            # keeps only the RAREST trigrams; hot stopword-class
+            # lists are never read). ≤ 2^24/n_shards rows per shard.
+            ut, un = np.unique(tri, return_counts=True)
+            cname = f"cnt-{s:05d}-g{gen:04d}.parquet"
+            ctmp = os.path.join(self.root, "." + cname + ".tmp")
+            pq.write_table(pa.table({"tri": pa.array(ut),
+                                     "n": pa.array(un.astype(np.int64))}),
+                           ctmp)
+            os.replace(ctmp, os.path.join(self.root, cname))
             return pa.table({"shard": pa.array([s], type=pa.int64()),
                              "rows": pa.array([g.num_rows],
                                               type=pa.int64())})
@@ -149,8 +161,9 @@ class TrigramIndex:
         mpath = os.path.join(self.root, "manifest.json")
         if os.path.exists(mpath):          # invalidate before rewrite
             os.remove(mpath)
-        for stale in _glob.glob(os.path.join(self.root, "tri-*.parquet")):
-            os.remove(stale)
+        for pat in ("tri-*.parquet", "cnt-*.parquet"):
+            for stale in _glob.glob(os.path.join(self.root, pat)):
+                os.remove(stale)
         stats = self._ingest(ds, 1, text_col, id_col)
         self._write_manifest({
             "n_shards": self.n_shards, "gen": 1,
@@ -179,42 +192,92 @@ class TrigramIndex:
 
         gen = self._manifest()["gen"]
         removed = []
-        rx = _re.compile(_CHUNK_RE_TMPL)
-        for p in _glob.glob(os.path.join(self.root, "tri-*.parquet")):
-            mm = rx.search(os.path.basename(p))
-            if mm and int(mm.group(2)) > gen:
-                os.remove(p)
-                removed.append(p)
+        for tmpl, pat in ((_CHUNK_RE_TMPL, "tri-*.parquet"),
+                          (_CNT_RE_TMPL, "cnt-*.parquet")):
+            rx = _re.compile(tmpl)
+            for p in _glob.glob(os.path.join(self.root, pat)):
+                mm = rx.search(os.path.basename(p))
+                if mm and int(mm.group(2)) > gen:
+                    os.remove(p)
+                    removed.append(p)
         return removed
 
     # --------------------------------------------------------- search
-    def candidates(self, needle: str) -> Optional[np.ndarray]:
-        """Doc ids containing EVERY trigram of ``needle`` (a superset
-        of true substring matches — never a false negative). Returns
-        None for needles under 3 bytes (no index pruning possible)."""
+    def _chunks(self, prefix: str, tmpl: str, shard: int, cur_gen: int):
+        """Committed chunk paths for one shard (gen ≤ manifest gen —
+        crashed-append debris stays invisible)."""
+        import re as _re
+
+        rx = _re.compile(tmpl)
+        out = []
+        for p in sorted(_glob.glob(os.path.join(
+                self.root, f"{prefix}-{shard:05d}-g*.parquet"))):
+            mm = rx.search(os.path.basename(p))
+            if mm is not None and int(mm.group(2)) <= cur_gen:
+                out.append(p)
+        return out
+
+    def _tri_counts(self, codes: np.ndarray, manifest) -> Optional[np.ndarray]:
+        """Total posting-list length per needle trigram, from the cnt
+        sidecars. Returns None (→ no pruning) on a legacy index whose
+        committed tri chunks lack matching cnt sidecars — an
+        undercount could wrongly early-exit to zero candidates."""
+        import pyarrow.parquet as pq
+
+        n_shards, cur_gen = manifest["n_shards"], manifest["gen"]
+        counts = np.zeros(codes.size, dtype=np.int64)
+        for s in set(int(c % n_shards) for c in codes):
+            tri_paths = self._chunks("tri", _CHUNK_RE_TMPL, s, cur_gen)
+            cnt_paths = self._chunks("cnt", _CNT_RE_TMPL, s, cur_gen)
+            if len(cnt_paths) < len(tri_paths):
+                return None
+            want = [int(x) for x in codes if x % n_shards == s]
+            for p in cnt_paths:
+                t = pq.read_table(p, filters=[("tri", "in", want)])
+                tri = np.asarray(t.column("tri"), dtype=np.int64)
+                idx = np.searchsorted(codes, tri)  # codes sorted (unique)
+                counts[idx] += np.asarray(t.column("n"))
+        return counts
+
+    def candidates(self, needle: str,
+                   max_tris: int = 8) -> Optional[np.ndarray]:
+        """Doc ids containing EVERY selected trigram of ``needle`` (a
+        superset of true substring matches — never a false negative).
+        Returns None for needles under 3 bytes (no pruning possible).
+
+        Planner (Cox): only the ``max_tris`` RAREST of the needle's
+        trigrams are read — intersecting over ANY subset is still a
+        superset of true matches (verification is exact), so hot
+        stopword-class posting lists (``" th"`` is O(corpus)) are
+        never pulled; cost is bounded by the rare-list sizes. A needle
+        trigram absent from the corpus short-circuits to zero
+        candidates without reading any posting list."""
         nb = needle.encode("utf-8")
         if len(nb) < 3:
             return None
         codes = _needle_codes(nb)
         manifest = self._manifest()
         cur_gen = manifest["gen"]
-        shards = sorted(set(int(c % manifest["n_shards"]) for c in codes))
-        import re as _re
+        n_shards = manifest["n_shards"]
+
+        counts = self._tri_counts(codes, manifest)
+        if counts is not None:
+            if (counts == 0).any():
+                return np.empty(0, dtype=np.int64)
+            if codes.size > max_tris:
+                codes = np.sort(codes[np.argsort(counts,
+                                                 kind="stable")[:max_tris]])
+        need = len(codes)
 
         import pyarrow.parquet as pq
 
-        rx = _re.compile(_CHUNK_RE_TMPL)
-        per_doc = {}
-        for s in shards:
-            want = codes[codes % manifest["n_shards"] == s]
-            parts = []
-            for p in sorted(_glob.glob(os.path.join(
-                    self.root, f"tri-{s:05d}-g*.parquet"))):
-                mm = rx.search(os.path.basename(p))
-                if mm is None or int(mm.group(2)) > cur_gen:
-                    continue  # crashed-append debris stays invisible
-                parts.append(pq.read_table(
-                    p, filters=[("tri", "in", [int(x) for x in want])]))
+        all_d, all_c = [], []
+        for s in sorted(set(int(c % n_shards) for c in codes)):
+            want = codes[codes % n_shards == s]
+            parts = [pq.read_table(p, filters=[("tri", "in",
+                                                [int(x) for x in want])])
+                     for p in self._chunks("tri", _CHUNK_RE_TMPL, s,
+                                           cur_gen)]
             if not parts:
                 continue  # shard had no postings
             t = pa.concat_tables(parts)
@@ -223,11 +286,14 @@ class TrigramIndex:
             # count DISTINCT matched trigrams per doc in this shard
             u = np.unique((doc << 24) | tri)
             d, c = np.unique(u >> 24, return_counts=True)
-            for dd, cc in zip(d, c):
-                per_doc[int(dd)] = per_doc.get(int(dd), 0) + int(cc)
-        need = len(codes)
-        return np.array(sorted(d for d, c in per_doc.items()
-                               if c == need), dtype=np.int64)
+            all_d.append(d)
+            all_c.append(c)
+        if not all_d:
+            return np.empty(0, dtype=np.int64)
+        d = np.concatenate(all_d)
+        ud, inv = np.unique(d, return_inverse=True)  # vectorized fold —
+        tot = np.bincount(inv, weights=np.concatenate(all_c))  # no dict
+        return ud[tot.astype(np.int64) == need]
 
     def search(self, ds, needle: str, text_col: str = "text",
                id_col: str = "doc_id"):
@@ -269,6 +335,13 @@ def _required_literal(pattern: str):
         parsed = _re.sre_parse.parse(pattern) if hasattr(_re, "sre_parse") \
             else __import__("re._parser", fromlist=["parse"]).parse(pattern)
     except Exception:
+        return None
+    # GLOBAL inline flags like '(?i)...' make every "literal" char
+    # case-variant — an extracted literal would prune docs containing
+    # only other casings (false negatives). Fall back to the unpruned
+    # full-verify scan. Scoped '(?i:...)' groups are already safe:
+    # they parse as SUBPATTERN, which breaks the literal run.
+    if parsed.state.flags & (_re.IGNORECASE | _re.LOCALE):
         return None
     best, cur = "", ""
     for op, av in parsed:

@@ -5,9 +5,12 @@ engine); these operators express the standard window shapes with the
 Dataset primitives, per the documented pattern: tumbling/sliding =
 vectorized window-key assignment inside ``map_batches`` + groupby
 (each event maps to its window keys map-side — the shuffle moves
-pre-keyed rows once); session = ``groupby(key).map_groups`` over
-ts-sorted per-key groups (ordering assumption: one group = one key,
-sorted here, stated per the guide).
+pre-keyed rows once); the per-key ordered family (lag / cumulative /
+transitions / session) = ``groupby(hash(key) % B).map_groups`` with
+ONE vectorized polars ``sort(key, ts) + over(key)`` pass per bucket —
+never a Ray group per key (Ray 2.49's per-GROUP reduce overhead is
+~100 s at 1M distinct keys; the bucket shape amortizes it to B
+groups, PERF.md §24/§48).
 
 Late data: a batch table has no lateness — all rows are present; the
 window assignment is deterministic, so re-runs are idempotent.
@@ -22,6 +25,41 @@ import pandas as pd
 import pyarrow as pa
 
 _US = 1_000_000
+
+
+def _with_bucket(ds, key_col: str, num_buckets: int):
+    """Append ``_b = mixed_hash(key) % num_buckets`` map-side.
+
+    The per-key window family groups by THIS small fixed-cardinality
+    column instead of the raw (possibly 10⁸-cardinality) key: Ray
+    2.49's sort-based reduce pays per-GROUP overhead (~100 s at 1M
+    distinct keys, PERF.md §24), while B buckets amortize it to B
+    groups and one vectorized polars ``sort + over(key)`` per bucket.
+    Exchange volume and key co-location are identical — every row of a
+    key lands in that key's bucket (the `functions/fold.py` pattern,
+    generalized to ordered windows)."""
+    import polars as pl
+
+    def add_b(b: pa.Table) -> pa.Table:
+        h = (pl.from_arrow(b.select([key_col]))
+             .select(pl.col(key_col).hash(seed=41).alias("h"))["h"]
+             .to_numpy())
+        # avalanche then bucket: sequential/clustered keys spread evenly
+        mixed = (h.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column(
+            "_b", pa.array((mixed % np.uint64(num_buckets)).astype(np.int64)))
+
+    return ds.map_batches(add_b, batch_format="pyarrow", batch_size=None)
+
+
+def _pl_us(t, ts_col: str):
+    """polars expression: the ts column as epoch-µs int64."""
+    import polars as pl
+
+    if isinstance(t.schema[ts_col], pl.Datetime):
+        return pl.col(ts_col).dt.epoch(time_unit="us")
+    return pl.col(ts_col).cast(pl.Int64)
 
 
 def _ts_us(col) -> np.ndarray:
@@ -97,88 +135,99 @@ def sliding_aggregate(ds, ts_col: str, key_cols: List[str], size_s: int,
 
 def lag_deltas(ds, ts_col: str, key_col: str,
                order_cols: Optional[List[str]] = None,
-               out_col: str = "delta_s"):
+               out_col: str = "delta_s", num_buckets: int = 64):
     """Per-key inter-event gaps in seconds — the ``epoch(ts) -
     epoch(lag(ts) OVER (PARTITION BY key ORDER BY ts[, order_cols]))``
     window shape; each key's first event gets NULL.
 
-    Same execution shape (and partitioning assumption) as
-    `session_windows` / `cumulative_aggregate`: one ``map_groups`` per
-    key, a vectorized sort + diff inside. Gap arithmetic runs on µs
-    int64 and divides by 1e6 exactly like the SQL mirror.
+    Scale shape (shared with `session_windows` / `cumulative_aggregate`
+    / `transition_counts`): group by ``hash(key) % num_buckets`` — NOT
+    the raw key — then ONE vectorized polars ``sort(key, ts) +
+    diff().over(key)`` per bucket. Order semantics are identical to the
+    per-key shape, but reduce overhead is amortized to ``num_buckets``
+    groups instead of one per key (~50× at 1M distinct keys, PERF.md
+    §24/§48). Gap arithmetic runs on µs int64 and divides by 1e6
+    exactly like the SQL mirror.
     """
-    sort_cols = [ts_col, *(order_cols or [])]
+    import polars as pl
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="stable")
-        us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        delta = np.full(len(g), np.nan)
-        if len(us) > 1:
-            delta[1:] = np.diff(us) / 1e6
-        return g.assign(**{out_col: delta})
+    sort_cols = [key_col, ts_col, *(order_cols or [])]
 
-    return ds.groupby(key_col).map_groups(gaps, batch_format="pandas")
+    def gaps(g: pa.Table) -> pa.Table:
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        delta = (_pl_us(t, ts_col).diff().over(key_col)
+                 .cast(pl.Float64) / 1e6)
+        return t.with_columns(delta.alias(out_col)).to_arrow()
+
+    return (_with_bucket(ds, key_col, num_buckets)
+            .groupby("_b").map_groups(gaps, batch_format="pyarrow"))
 
 
 def transition_counts(ds, ts_col: str, key_col: str, state_col: str,
-                      order_cols: Optional[List[str]] = None):
+                      order_cols: Optional[List[str]] = None,
+                      num_buckets: int = 64):
     """Per-key state-transition (Markov) counts: for each key's events
     in time order, count (state → next state) pairs — the
     ``lead() OVER (PARTITION BY key ORDER BY ts)`` shape, folded to a
     global (from_state, to_state, n) table.
 
-    Per-key ``map_groups`` pairs consecutive states vectorized and
-    emits the group's OWN transition counts (≤ states² rows per key),
-    so the final ``groupby([from, to]).sum`` is transition-matrix-sized
-    — never event-sized. Same partitioning assumption as
-    `session_windows`.
+    Scale shape (see `lag_deltas`): bucket-keyed — each bucket pairs
+    consecutive states for ALL its keys in one vectorized polars
+    ``shift(-1).over(key)`` and emits its OWN transition counts
+    (≤ states² rows per bucket), so the final ``groupby([from,
+    to]).sum`` is transition-matrix-sized — never event-sized. States
+    are assumed non-null (null next-state marks each key's last event).
     """
-    import pandas as pd
+    import polars as pl
     from ray.data.aggregate import Sum
 
-    sort_cols = [ts_col, *(order_cols or [])]
+    sort_cols = [key_col, ts_col, *(order_cols or [])]
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="stable")
-        st = g[state_col].to_numpy()
-        if len(st) < 2:
-            return pd.DataFrame({"from_state": [], "to_state": [],
-                                 "n": pd.array([], dtype="int64")})
-        t = pd.DataFrame({"from_state": st[:-1], "to_state": st[1:]})
-        out = (t.groupby(["from_state", "to_state"], sort=False)
-               .size().reset_index(name="n"))
-        out["n"] = out["n"].astype("int64")
-        return out
+    def pairs(g: pa.Table) -> pa.Table:
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        out = (t.with_columns(
+                   pl.col(state_col).shift(-1).over(key_col).alias("_to"))
+               .filter(pl.col("_to").is_not_null())
+               .group_by([state_col, "_to"])
+               .agg(pl.len().cast(pl.Int64).alias("n"))
+               .select([pl.col(state_col).alias("from_state"),
+                        pl.col("_to").alias("to_state"), pl.col("n")]))
+        return out.to_arrow()
 
-    return (ds.groupby(key_col).map_groups(pairs, batch_format="pandas")
+    return (_with_bucket(ds, key_col, num_buckets)
+            .groupby("_b").map_groups(pairs, batch_format="pyarrow")
             .groupby(["from_state", "to_state"])
             .aggregate(Sum("n", alias_name="n")))
 
 
 def cumulative_aggregate(ds, ts_col: str, key_col: str, value_col: str,
-                         order_cols: Optional[List[str]] = None):
+                         order_cols: Optional[List[str]] = None,
+                         num_buckets: int = 64):
     """Per-key running count and running sum in event-time order — the
     SQL window-function shape ``sum(v) OVER (PARTITION BY key ORDER BY
     ts [, order_cols] ROWS UNBOUNDED PRECEDING)``, emitted as one row
     per input event.
 
-    ``groupby(key).map_groups``: each group sorts by (ts, order_cols)
-    and takes one vectorized ``cumsum`` — the accumulation order is
-    exactly the frame order, so an integer value column matches the
-    SQL mirror bit-for-bit (pre-scale money to cents for exactness,
-    the `_add_cents` pattern). Partitioning assumption (as
-    `session_windows`): one key's events fit one group.
+    Scale shape (see `lag_deltas`): bucket-keyed, one vectorized polars
+    ``sort(key, ts) + cum_sum().over(key)`` per bucket — the
+    accumulation order within a key is exactly the sort order, so an
+    integer value column matches the SQL mirror bit-for-bit (pre-scale
+    money to cents for exactness, the `_add_cents` pattern).
     """
-    sort_cols = [ts_col, *(order_cols or [])]
+    import polars as pl
 
-    def accumulate(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="stable")
-        return g.assign(
-            running_n=np.arange(1, len(g) + 1, dtype=np.int64),
-            running_sum=g[value_col].to_numpy().cumsum(),
-        )
+    sort_cols = [key_col, ts_col, *(order_cols or [])]
 
-    return ds.groupby(key_col).map_groups(accumulate, batch_format="pandas")
+    def accumulate(g: pa.Table) -> pa.Table:
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        return t.with_columns(
+            pl.int_range(1, pl.len() + 1, dtype=pl.Int64)
+              .over(key_col).alias("running_n"),
+            pl.col(value_col).cum_sum().over(key_col).alias("running_sum"),
+        ).to_arrow()
+
+    return (_with_bucket(ds, key_col, num_buckets)
+            .groupby("_b").map_groups(accumulate, batch_format="pyarrow"))
 
 
 def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
@@ -276,38 +325,39 @@ def funnel_counts(ds, ts_col: str, key_col: str, stage_col: str,
 
 
 def session_windows(ds, ts_col: str, key_col: str, gap_s: int,
-                    order_cols: Optional[List[str]] = None):
+                    order_cols: Optional[List[str]] = None,
+                    num_buckets: int = 64):
     """Gap-based sessionization per key.
 
-    ``groupby(key).map_groups``: sort the group by (ts, order_cols),
-    open a new session when the gap to the previous event exceeds
-    ``gap_s``. Emits (key, session_id, n_events, session_start,
-    session_end). Session ids are 1-based in ts order — matching a SQL
-    ``sum(is_new) over (partition by key order by ts)`` oracle.
-    Partitioning assumption: one key's events fit one group (true for
-    per-user web logs; shard hot keys by day first if not).
+    Scale shape (see `lag_deltas`): bucket-keyed — each bucket opens a
+    new session when a key's gap to its previous event exceeds
+    ``gap_s`` (one vectorized polars ``diff().over(key) + cum_sum``),
+    then folds sessions with one ``group_by(key, session_id)``. Emits
+    (key, session_id, n_events, session_start, session_end); session
+    ids are 1-based in ts order — matching a SQL ``sum(is_new) over
+    (partition by key order by ts)`` oracle. Partitioning assumption:
+    one key's events fit one bucket task (true for per-user web logs;
+    raise ``num_buckets`` to shrink bucket tasks).
     """
+    import polars as pl
+
     gap_us = gap_s * _US
-    sort_cols = [ts_col, *(order_cols or [])]
+    sort_cols = [key_col, ts_col, *(order_cols or [])]
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="stable")
-        us = g[ts_col].astype("int64").to_numpy()
-        new = np.ones(len(g), dtype=np.int64)
-        if len(us) > 1:
-            new[1:] = (np.diff(us) > gap_us).astype(np.int64)
-        sid = np.cumsum(new)
-        g = g.assign(session_id=sid)
-        out = (
-            g.groupby("session_id", sort=True)
-            .agg(
-                n_events=(ts_col, "size"),
-                session_start=(ts_col, "min"),
-                session_end=(ts_col, "max"),
-            )
-            .reset_index()
-        )
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+    def sessionize(g: pa.Table) -> pa.Table:
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        us = _pl_us(t, ts_col)
+        new = ((us.diff().over(key_col) > gap_us)
+               .fill_null(True).cast(pl.Int64))
+        out = (t.with_columns(new.cum_sum().over(key_col)
+                              .alias("session_id"))
+               .group_by([key_col, "session_id"])
+               .agg(pl.len().cast(pl.Int64).alias("n_events"),
+                    pl.col(ts_col).min().alias("session_start"),
+                    pl.col(ts_col).max().alias("session_end"))
+               .select([key_col, "session_id", "n_events",
+                        "session_start", "session_end"]))
+        return out.to_arrow()
 
-    return ds.groupby(key_col).map_groups(sessionize, batch_format="pandas")
+    return (_with_bucket(ds, key_col, num_buckets)
+            .groupby("_b").map_groups(sessionize, batch_format="pyarrow"))

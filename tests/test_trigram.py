@@ -141,3 +141,52 @@ def test_append_and_crash_invisibility(ray_session, tmp_path):
     assert sorted(got2["doc_id"]) == df2["doc_id"].tolist()  # unchanged
     removed = idx.repair()
     assert removed == [debris] and not os.path.exists(debris)
+
+
+def test_regex_inline_ignorecase_no_false_negatives(ray_session, tmp_path):
+    """A global '(?i)' pattern must NOT be literal-pruned: docs whose
+    only hits are case variants of the extracted literal still match."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions.trigram import _required_literal
+
+    assert _required_literal("(?i)merge batch") is None
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["please Merge Batch seven", "merge batch now",
+                 "MERGE BATCH", "nothing relevant"],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+    idx = TrigramIndex(str(tmp_path / "tri-ci"), n_shards=4).build(ds)
+    got = idx.search_regex(ds, "(?i)merge batch").to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1, 2]
+    # scoped-group flags stay prunable and stay correct
+    got2 = idx.search_regex(ds, "(?i:merge) batch").to_pandas()
+    assert sorted(got2["doc_id"]) == [1]
+
+
+def test_candidates_rarest_pruning(ray_session, tmp_path):
+    """Hot-trigram pruning: only the max_tris rarest posting lists are
+    read; results stay a superset and exact search parity holds."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    # every doc carries the stopword-class filler; two carry the needle
+    filler = "the and the for the with the "
+    texts = [filler + " ".join(rng.choice(["aa", "bb", "cc"], 5))
+             for _ in range(300)]
+    texts[17] += " the xylophone quartet"
+    texts[203] += " the xylophone quartet"
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    idx = TrigramIndex(str(tmp_path / "tri-hot"), n_shards=4).build(ds)
+    needle = "the xylophone quartet"  # hot head, rare tail
+    c_all = idx.candidates(needle, max_tris=10**9)
+    c_pruned = idx.candidates(needle, max_tris=4)
+    assert set(c_all.tolist()) <= set(c_pruned.tolist())  # superset
+    assert {17, 203} <= set(c_pruned.tolist())
+    got = idx.search(ds, "xylophone quartet").to_pandas()
+    assert sorted(got["doc_id"]) == [17, 203]
+    # a corpus-absent trigram short-circuits to zero candidates
+    assert idx.candidates("zzzqqqvvv").size == 0
