@@ -82,18 +82,45 @@ class WindowBucketState:
     state is BOUNDED — windows whose end falls at or before the
     watermark are finalized (emitted and dropped from memory), and
     events arriving for an already-finalized window are counted as
-    late instead of corrupting emitted results. Accumulation is
-    vectorized (pandas groupby per ingest)."""
+    late instead of corrupting emitted results. State is COLUMNAR (a
+    polars frame keyed by (key, window)): each ingest is one
+    vectorized group_by over the slice, and partials fold into the
+    state with one amortized concat+group_by — no per-(key, window)
+    Python, even at ~10⁶ distinct pairs per batch."""
+
+    #: compact the pending per-ingest partials into ``state`` once
+    #: they outgrow this many rows — keeps each ingest O(batch) and
+    #: the (amortized) merge one vectorized group_by, never per-pair
+    _COMPACT_ROWS = 262_144
 
     def __init__(self, size_us: int):
+        import polars as pl
+
         self.size = int(size_us)
-        self.state: Dict = {}   # (key, window_start_us) -> [n, sum]
+        self._schema = {"k": pl.Utf8, "s": pl.Int64,
+                        "n": pl.Int64, "v": pl.Float64}
+        self.state = pl.DataFrame(schema=self._schema)  # one row per (k, s)
+        self._pending: List = []        # pre-aggregated ingest partials
+        self._pending_rows = 0
         self.finalized_before = -(1 << 62)  # highest finalized watermark
         self.late = 0
 
-    def ingest(self, keys: np.ndarray, ts_us: np.ndarray,
+    def _compact(self):
+        import polars as pl
+
+        if self._pending:
+            self.state = (pl.concat([self.state, *self._pending])
+                          .group_by(["k", "s"])
+                          .agg(pl.col("n").sum(), pl.col("v").sum()))
+            self._pending = []
+            self._pending_rows = 0
+
+    def ingest(self, keys, ts_us: np.ndarray,
                vals: np.ndarray) -> int:
-        import pandas as pd
+        """``keys`` may be an Arrow string array (preferred — crosses
+        the actor boundary and enters polars without per-string Python
+        objects) or a numpy object array."""
+        import polars as pl
 
         starts = (ts_us // self.size) * self.size
         # events for windows already finalized are LATE: the window's
@@ -103,39 +130,58 @@ class WindowBucketState:
         ok = ~late
         if not ok.any():
             return 0
-        df = pd.DataFrame({"k": keys[ok], "s": starts[ok], "v": vals[ok]})
-        agg = df.groupby(["k", "s"], sort=False)["v"].agg(["count", "sum"])
-        for (k, s), row in agg.iterrows():
-            cur = self.state.get((k, int(s)))
-            if cur is None:
-                self.state[(k, int(s))] = [int(row["count"]), float(row["sum"])]
-            else:
-                cur[0] += int(row["count"])
-                cur[1] += float(row["sum"])
-        return len(df)
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            k_ser = (pl.from_arrow(keys.filter(pa.array(ok)))
+                     .cast(pl.Utf8).rename("k"))
+        else:
+            k_ser = pl.Series("k", keys[ok], dtype=pl.Utf8)
+        # columnar, fully vectorized: ONE group_by over the slice, the
+        # partial appended as a frame; merging into the running state
+        # is a single vectorized concat+group_by amortized across
+        # ingests (never a Python loop per distinct (key, window))
+        part = (pl.DataFrame({
+                    "k": k_ser,
+                    "s": pl.Series("s", starts[ok], dtype=pl.Int64),
+                    "v": pl.Series("v", vals[ok], dtype=pl.Float64)})
+                .group_by(["k", "s"])
+                .agg(pl.len().cast(pl.Int64).alias("n"),
+                     pl.col("v").sum().alias("v"))
+                .select(["k", "s", "n", "v"]))
+        self._pending.append(part)
+        self._pending_rows += part.height
+        if self._pending_rows > self._COMPACT_ROWS:
+            self._compact()
+        return int(ok.sum())
 
-    def advance(self, watermark_us: int) -> List:
+    def advance(self, watermark_us: int) -> Optional[pa.Table]:
         """Finalize every window ending at or before the watermark:
-        emit its rows and DROP the state (the bounded-memory half of
-        the contract)."""
+        emit them (as one Arrow table — columnar end to end, never a
+        list of Python tuples) and DROP the state (the bounded-memory
+        half of the contract)."""
+        import polars as pl
+
         watermark_us = int(watermark_us)
         if watermark_us <= self.finalized_before:
-            return []
+            return None
         self.finalized_before = watermark_us
-        done = [(k, s, n, v) for (k, s), (n, v) in self.state.items()
-                if s + self.size <= watermark_us]
-        for k, s, _, _ in done:
-            del self.state[(k, s)]
-        return done
+        self._compact()
+        done_mask = pl.col("s") + self.size <= watermark_us
+        done = self.state.filter(done_mask)
+        self.state = self.state.filter(~done_mask)
+        return done.to_arrow() if done.height else None
 
     def drain(self) -> Dict:
-        """End of stream: emit everything still open + the late count.
-        ``open_windows`` is the count that was still open at drain —
-        the bounded-memory metric this class exists to provide."""
-        rows = [(k, s, n, v) for (k, s), (n, v) in self.state.items()]
-        self.state = {}
+        """End of stream: emit everything still open (Arrow table) +
+        the late count. ``open_windows`` is the count that was still
+        open at drain — the bounded-memory metric this class exists to
+        provide."""
+        import polars as pl
+
+        self._compact()
+        rows = self.state.to_arrow()
+        self.state = pl.DataFrame(schema=self._schema)
         return {"rows": rows, "late": self.late,
-                "open_windows": len(rows)}
+                "open_windows": rows.num_rows}
 
 
 def stream_windowed_aggregate(ds, ts_col: str, key_col: str, value_col: str,
@@ -189,15 +235,16 @@ def _stream_windowed_run(ds, actors, ts_col, key_col, value_col, size_us,
                         .cast(pa.int64()))
         if ts.size == 0:
             continue
-        keys = np.asarray(batch.column(key_col).cast(pa.large_string()))
+        key_arr = batch.column(key_col).cast(pa.large_string()).combine_chunks()
         vals = np.asarray(batch.column(value_col), dtype=np.float64)
-        buckets = hash64(batch.column(key_col).cast(pa.large_string()),
-                         0x57AB1E) % np.uint64(n_buckets)
+        buckets = hash64(key_arr, 0x57AB1E) % np.uint64(n_buckets)
         for b in range(n_buckets):
             sel = np.flatnonzero(buckets == b)
             if sel.size:
-                pending.append(actors[b].ingest.remote(keys[sel], ts[sel],
-                                                       vals[sel]))
+                # keys cross the actor boundary as an Arrow slice —
+                # no per-string Python objects in transit
+                pending.append(actors[b].ingest.remote(
+                    key_arr.take(pa.array(sel)), ts[sel], vals[sel]))
         batch_max = int(ts.max())
         max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
         n_batches += 1
@@ -205,12 +252,14 @@ def _stream_windowed_run(ds, actors, ts_col, key_col, value_col, size_us,
             ray.get(pending)  # ingest-before-advance ordering barrier
             pending = []
             wm = max_ts - late_us
-            for rows in ray.get([a.advance.remote(wm) for a in actors]):
-                finalized.extend(rows)
+            for t in ray.get([a.advance.remote(wm) for a in actors]):
+                if t is not None:
+                    finalized.append(t)
     ray.get(pending)
     n_late = 0
     for snap in ray.get([a.drain.remote() for a in actors]):
-        finalized.extend(snap["rows"])
+        if snap["rows"].num_rows:
+            finalized.append(snap["rows"])
         n_late += snap["late"]
     if not finalized:
         return (pd.DataFrame({"key": pd.Series([], dtype=object),
@@ -218,8 +267,9 @@ def _stream_windowed_run(ds, actors, ts_col, key_col, value_col, size_us,
                               "n_events": pd.Series([], dtype="int64"),
                               "sum_value": pd.Series([], dtype="float64")}),
                 n_late)
-    df = pd.DataFrame(finalized,
-                      columns=["key", "window_start", "n_events", "sum_value"])
+    df = (pa.concat_tables(finalized)
+          .rename_columns(["key", "window_start", "n_events", "sum_value"])
+          .to_pandas())
     df = df.sort_values(["key", "window_start"]).reset_index(drop=True)
     df["window_start"] = df["window_start"].astype("int64")
     df["n_events"] = df["n_events"].astype("int64")
