@@ -1361,10 +1361,15 @@ def minhash_join(a_ds, b_ds, *, threshold: float = 0.8,
                            batch_size=None)
     b_t = b_ds.map_batches(_tag(1), batch_format="pyarrow",
                            batch_size=None)
+    # min_est=threshold arms the derived band-collision screen and the
+    # in-shuffle estimate filter, so sub-threshold candidates are
+    # discarded BEFORE dragging signatures through the verification
+    # shuffles (cross_only's est >= threshold below is then a no-op
+    # safety filter) — the same scale contract as the single-corpus path
     pairs = lsh_candidate_pairs(
         a_t.union(b_t), num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, text_col=text_col, id_col="_tid",
-        n_parts=n_parts, pair_cutoff=pair_cutoff)
+        n_parts=n_parts, pair_cutoff=pair_cutoff, min_est=threshold)
 
     def cross_only(b: pa.Table) -> pa.Table:
         x = np.asarray(b.column("a"), dtype=np.int64)

@@ -52,6 +52,15 @@ def exact_heavy_hitters(ds, col: str, k: int = 10, *,
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    sch = ds.schema()
+    t = dict(zip(sch.names, sch.types)).get(col)
+    if t is not None and (pa.types.is_binary(t)
+                          or pa.types.is_large_binary(t)):
+        # the MG summary keys are canonical strings (str() of the
+        # normalized element) — raw bytes would round-trip through
+        # repr and silently zero the recount
+        raise ValueError("exact_heavy_hitters: binary columns are not "
+                         "supported; decode or hash to string first")
     C = int(capacity) if capacity is not None else 64 * k
     if C < k:
         raise ValueError(f"capacity {C} < k {k}")
@@ -70,13 +79,18 @@ def exact_heavy_hitters(ds, col: str, k: int = 10, *,
         return pd.DataFrame({"item": pd.Series([], dtype=object),
                              "n": pd.Series([], dtype=np.int64),
                              "certified": pd.Series([], dtype=bool)})
-    cand_arr = pa.array(sorted(cand), type=pa.string())
+    cand_arr = pa.array(sorted(cand), type=pa.large_string())
     C_eff = len(cand_arr)
 
     def recount(b: pa.Table) -> pa.Table:
-        colv = b.column(col)
-        if isinstance(colv, pa.ChunkedArray):
-            colv = colv.combine_chunks()
+        from ..sketches.hashing import normalize_elements
+
+        # run the recount column through the SAME canonical-string
+        # path the sketch used to produce the candidates — a raw
+        # index_in would rely on Arrow's cast agreeing with the
+        # sketch's element model (booleans: 'true' vs 'True'), and a
+        # disagreement silently zeroes the recount
+        colv = normalize_elements(b.column(col)).combine_chunks()
         idx = pc.index_in(colv, value_set=cand_arr)
         ii = np.asarray(idx.cast(pa.int64()).fill_null(-1))
         ii = ii[ii >= 0]

@@ -106,18 +106,21 @@ def shuffled_export(ds, out_dir: str, id_col: str, *,
     return manifest
 
 
-def read_shuffled(out_dir: str, columns: Optional[list] = None):
+def read_shuffled(out_dir: str, columns: Optional[list] = None,
+                  preserve_order: bool = True):
     """Read a :func:`shuffled_export` directory back as a Dataset in
     the exact global shuffle order (shard files in shard order; rows
     within a file are already sorted).
 
     Ray's streaming executor reorders completed blocks under load
     unless ``preserve_order`` is on — and order IS this dataset's
-    contract — so this sets
-    ``DataContext.execution_options.preserve_order = True`` for the
-    session (sticky; ordered consumption is the point of the export,
-    and the flag only constrains scheduling, not correctness, for
-    everything else)."""
+    contract — so by default the flag is set ON while the dataset is
+    created and restored immediately after: a Dataset snapshots
+    (copies) the ambient ``DataContext`` at creation, so the returned
+    dataset keeps ordered execution without constraining scheduling
+    for any unrelated dataset in the session. Pass
+    ``preserve_order=False`` to opt out (e.g. feeding a downstream
+    op that re-sorts anyway)."""
     import glob as _glob
 
     import ray.data as rd
@@ -130,5 +133,12 @@ def read_shuffled(out_dir: str, columns: Optional[list] = None):
             f"shuffled export at {out_dir} is incomplete: "
             f"{len(paths)} files vs manifest "
             f"{len(manifest['shards_written'])}")
-    rd.DataContext.get_current().execution_options.preserve_order = True
-    return rd.read_parquet(paths, columns=columns)
+    if not preserve_order:
+        return rd.read_parquet(paths, columns=columns)
+    opts = rd.DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        return rd.read_parquet(paths, columns=columns)
+    finally:
+        opts.preserve_order = prev

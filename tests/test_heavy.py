@@ -72,3 +72,26 @@ def test_depleted_summary_not_certified(ray_session):
     assert not soft["certified"].any()
     with pytest.raises(RuntimeError):
         exact_heavy_hitters(ds, "w", k=50, capacity=60)
+
+
+def test_non_string_recount_normalized(ray_session):
+    """Non-string columns recount through the sketch's own canonical
+    element form — a raw index_in would zero the recount for booleans
+    (Arrow 'true' vs Python 'True')."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"flag": np.r_[np.ones(700, bool),
+                                     np.zeros(300, bool)]})
+    out = exact_heavy_hitters(rd.from_pandas(df).repartition(3),
+                              "flag", k=2)
+    assert out["item"].tolist() == ["true", "false"]
+    assert out["n"].tolist() == [700, 300]
+    assert out["certified"].all()
+
+
+def test_binary_column_rejected(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"b": b"\x00\x01"}] * 10)
+    with pytest.raises(ValueError, match="binary columns"):
+        exact_heavy_hitters(ds, "b", k=1)
