@@ -3988,6 +3988,35 @@ def _webpages_suite(sf_dir: str):
     })
 
 
+def _embed_documents_hashed(sf_dir: str):
+    """Embedding GENERATION (functions/embed.py embed_documents): the
+    actor-pool stage appends a deterministic feature-hashed trigram
+    embedding (model loads once per actor; the hashed projection is
+    the in-container stand-in — a real sentence-transformers model
+    rides the same stage behind its try-import). The query unnests
+    the nonzero (doc_id, dim, value) triples so the DuckDB oracle
+    pins EVERY component exactly."""
+    from presto_bloomfilter_ray.functions import embed_documents
+
+    dim = 16
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = embed_documents(ds, dim=dim, concurrency=2)
+
+    def unnest(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        vals = np.asarray(b.column("embedding").combine_chunks().flatten()
+                          ).reshape(n, dim).astype(np.int64)
+        doc = np.repeat(np.asarray(b.column("doc_id")), dim)
+        idx = np.tile(np.arange(dim, dtype=np.int64), n)
+        flat = vals.reshape(-1)
+        keep = flat != 0
+        return pa.table({"doc_id": pa.array(doc[keep]),
+                         "dim_idx": pa.array(idx[keep]),
+                         "val": pa.array(flat[keep])})
+
+    return emb.map_batches(unnest, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- contract
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: per-lang grouped
@@ -4117,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_regex_documents": _trigram_regex_documents,
         "minhash_join_crawls": _minhash_join_crawls,
         "shuffled_export_order": _shuffled_export_order,
+        "embed_documents_hashed": _embed_documents_hashed,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
         "pq_topk_refined": _pq_topk_refined,
@@ -5287,6 +5317,25 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS est_ge_threshold
             FROM n x JOIN n y ON x.t = y.t
             WHERE x.doc_id % 3 != 0 AND y.doc_id % 3 = 0
+        """,
+        "embed_documents_hashed": """
+            WITH pos AS (
+              SELECT d.doc_id, d.text,
+                     unnest(range(1, length(d.text) - 1)) AS i
+              FROM documents d
+              WHERE length(d.text) >= 3
+            ),
+            tri AS (
+              SELECT doc_id,
+                     unicode(substr(text, CAST(i AS INT), 1)) * 65536
+                   + unicode(substr(text, CAST(i AS INT) + 1, 1)) * 256
+                   + unicode(substr(text, CAST(i AS INT) + 2, 1)) AS code
+              FROM pos
+            )
+            SELECT doc_id, CAST(code % 16 AS BIGINT) AS dim_idx,
+                   CAST(SUM(CASE WHEN (code // 16) % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS val
+            FROM tri GROUP BY doc_id, dim_idx HAVING val != 0
         """,
         "shuffled_export_order": """
             SELECT CAST(ROW_NUMBER() OVER (

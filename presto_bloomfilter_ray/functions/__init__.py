@@ -26,6 +26,7 @@ from .dedup import (
     simhash_candidates,
 )
 from .budget import token_budget_cutoffs, token_budget_select
+from .embed import DocumentEmbedder, embed_documents
 from .heavy import exact_heavy_hitters
 from .shuffle import read_shuffled, shuffled_export
 from .trigram import TrigramIndex
