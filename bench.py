@@ -125,7 +125,7 @@ def run_bench() -> dict:
         "exact_dedup_documents", "text_stats_by_lang",
         "hll_distinct_custkey", "quantiles_textlen",
         "minhash_dedup_documents", "ann_topk_cosine",
-        "bloom_decontaminate")
+        "bloom_decontaminate", "events_sessions")
     q = entrymod.queries()
     for name in names:
         t0 = time.perf_counter()

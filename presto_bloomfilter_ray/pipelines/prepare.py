@@ -93,6 +93,7 @@ def prepare_corpus(
     collect_metrics: bool = True,
     checkpoint_dir: Optional[str] = None,
     materialize_stages: bool = True,
+    keep_stages: str = "all",
 ):
     """Run the five-stage preparation chain over ``docs``.
 
@@ -105,18 +106,31 @@ def prepare_corpus(
     crash-safe resume (module docstring). On a multi-node cluster it
     must point at storage every worker can reach (object store / NFS),
     like any Ray Data write path.
+
+    ``keep_stages``: ``"all"`` keeps every stage's checkpoint data
+    (any mid-chain parameter change can re-run from its predecessor);
+    ``"latest"`` garbage-collects a stage's data directory once its
+    SUCCESSOR commits (manifests stay — the resume prefix check is
+    intact). Crash-resume only ever reads the LAST committed stage,
+    so "latest" halves-to-fifths the checkpoint footprint (a 100 TB
+    corpus cannot afford five full copies); the trade is that
+    changing a mid-chain parameter then requires recomputing from the
+    start instead of from that stage's predecessor.
     """
     import ray
 
+    if keep_stages not in ("all", "latest"):
+        raise ValueError("keep_stages must be 'all' or 'latest'")
     metrics: List[dict] = []
     # rolling signature of the stage chain: any parameter change
     # invalidates that stage's checkpoint and every later one
     sig = hashlib.sha256(b"prepare_corpus/v1").hexdigest()
     idx = 0
     resuming = checkpoint_dir is not None  # inside the committed prefix
+    prev_data: Optional[str] = None  # last committed stage's data dir
 
     def run_stage(name: str, params: dict, compute) -> None:
-        nonlocal docs, sig, idx, resuming
+        nonlocal docs, sig, idx, resuming, prev_data
         sig = hashlib.sha256(
             (sig + name + json.dumps(params, sort_keys=True)).encode()
         ).hexdigest()
@@ -144,13 +158,29 @@ def prepare_corpus(
             with open(man) as f:
                 m = json.load(f)
             if m.get("sig") == sig:
-                docs = ray.data.read_parquet(os.path.join(d, "data"))
+                data_dir = os.path.join(d, "data")
+                if os.path.exists(data_dir):
+                    docs = ray.data.read_parquet(data_dir)
+                    prev_data = d
+                # else: keep_stages="latest" GC'd this stage's data —
+                # only the LAST committed stage's data is ever needed,
+                # and GC ordering guarantees that one still has it
                 metrics.append({"stage": name, "rows": int(m["rows"]),
                                 "wall_s": round(time.time() - t0, 2),
                                 "resumed": True})
                 idx += 1
                 return
         # first uncommitted (or invalidated) stage: recompute from here on
+        if resuming and idx > 0 and prev_data is None:
+            # an INVALIDATED mid-chain stage whose predecessor's data
+            # was GC'd (keep_stages="latest"): recomputing from the
+            # surviving older checkpoint would silently skip the
+            # stages between — refuse loudly instead
+            raise RuntimeError(
+                f"stage {idx:02d}-{name} is invalidated but its "
+                f"predecessor's checkpoint data was garbage-collected "
+                f"(keep_stages='latest'); clear {checkpoint_dir} and "
+                f"re-run from scratch")
         resuming = False
         if os.path.exists(d):
             shutil.rmtree(d)  # crashed partial write or stale params
@@ -165,6 +195,13 @@ def prepare_corpus(
         with open(mtmp, "w") as f:
             json.dump({"sig": sig, "rows": rows, "stage": name}, f)
         os.rename(mtmp, man)  # manifest last = the commit marker
+        if keep_stages == "latest" and prev_data is not None:
+            # successor is committed → the predecessor's data is dead
+            # weight (its manifest stays: the resume prefix check and
+            # row metrics survive the GC)
+            shutil.rmtree(os.path.join(prev_data, "data"),
+                          ignore_errors=True)
+        prev_data = d
         metrics.append({"stage": name, "rows": rows,
                         "wall_s": round(time.time() - t0, 2),
                         "resumed": False})

@@ -125,3 +125,45 @@ def test_prepare_checkpoint_resume(ray_session, tmp_path):
     out4, m4 = prepare_corpus(_mini_docs(), **kw2)
     assert [m["resumed"] for m in m4] == [True, False, False, False, False]
     assert m4[0]["rows"] == m1[0]["rows"]
+
+
+def test_prepare_keep_latest_gc(ray_session, tmp_path):
+    """keep_stages='latest' drops every committed stage's data once
+    its successor commits (manifests stay), crash-resume still works
+    from the surviving latest checkpoint, and a mid-chain parameter
+    change against a GC'd predecessor refuses loudly."""
+    import pytest as _pytest
+
+    from presto_bloomfilter_ray.pipelines import prepare_corpus
+
+    ck = str(tmp_path / "ck")
+    kw = dict(id_col="doc_id", text_col="text", url_col="url",
+              blocked_hosts=["h0.example.com"], host_cap=10,
+              work_dir=str(tmp_path / "w"), checkpoint_dir=ck,
+              keep_stages="latest")
+    out1, m1 = prepare_corpus(_mini_docs(), **kw)
+    assert [m["resumed"] for m in m1] == [False] * 5
+    # only the LAST stage keeps data; every manifest survives
+    for i, m in enumerate(m1):
+        d = os.path.join(ck, f"{i:02d}-{m['stage']}")
+        assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
+        assert os.path.exists(os.path.join(d, "data")) == (i == 4)
+    ids1 = sorted(r["doc_id"]
+                  for r in out1.select_columns(["doc_id"]).take_all())
+
+    # crash mid-stage-5 leaves stages 0-3 committed with stage 3's
+    # data intact (GC fires only on the SUCCESSOR's commit): emulate
+    # by running the 4-stage chain, then finishing the 5-stage one
+    ck2 = str(tmp_path / "ck2")
+    kw2 = dict(kw, checkpoint_dir=ck2)
+    prepare_corpus(_mini_docs(), **dict(kw2, host_cap=None))
+    assert os.path.exists(os.path.join(ck2, "03-minhash_dedup", "data"))
+    out3, m3 = prepare_corpus(_mini_docs(), **kw2)
+    assert [m["resumed"] for m in m3] == [True, True, True, True, False]
+    ids3 = sorted(r["doc_id"]
+                  for r in out3.select_columns(["doc_id"]).take_all())
+    assert ids3 == ids1
+
+    # a mid-chain parameter change with GC'd predecessors must refuse
+    with _pytest.raises(RuntimeError, match="garbage-collected"):
+        prepare_corpus(_mini_docs(), **dict(kw, quality_min=0.01))
