@@ -240,7 +240,8 @@ class TrigramIndex:
         return counts
 
     def candidates(self, needle: str,
-                   max_tris: int = 8) -> Optional[np.ndarray]:
+                   max_tris: int = 8,
+                   hot_cap: int = 8_000_000) -> Optional[np.ndarray]:
         """Doc ids containing EVERY selected trigram of ``needle`` (a
         superset of true substring matches — never a false negative).
         Returns None for needles under 3 bytes (no pruning possible).
@@ -251,7 +252,18 @@ class TrigramIndex:
         stopword-class posting lists (``" th"`` is O(corpus)) are
         never pulled; cost is bounded by the rare-list sizes. A needle
         trigram absent from the corpus short-circuits to zero
-        candidates without reading any posting list."""
+        candidates without reading any posting list.
+
+        ``hot_cap`` bounds the DRIVER, not just the rank order: any
+        trigram whose total posting count exceeds it is never read at
+        all (dropping a required trigram only widens the candidate
+        superset — verification stays exact). If EVERY trigram of the
+        needle is that hot (an all-stopword needle like ``"the and"``
+        on a web corpus), this returns None and the caller runs the
+        distributed full-verify scan — streaming O(corpus) through
+        workers instead of materializing O(corpus) posting ids on one
+        machine. Driver memory is thus ≤ max_tris × hot_cap ids
+        regardless of needle or corpus."""
         nb = needle.encode("utf-8")
         if len(nb) < 3:
             return None
@@ -264,9 +276,13 @@ class TrigramIndex:
         if counts is not None:
             if (counts == 0).any():
                 return np.empty(0, dtype=np.int64)
+            cool = counts <= hot_cap
+            if not cool.any():
+                return None  # all-hot needle → distributed full scan
+            codes, counts = codes[cool], counts[cool]
             if codes.size > max_tris:
-                codes = np.sort(codes[np.argsort(counts,
-                                                 kind="stable")[:max_tris]])
+                keep = np.argsort(counts, kind="stable")[:max_tris]
+                codes = np.sort(codes[keep])
         need = len(codes)
 
         import pyarrow.parquet as pq
@@ -296,12 +312,14 @@ class TrigramIndex:
         return ud[tot.astype(np.int64) == need]
 
     def search(self, ds, needle: str, text_col: str = "text",
-               id_col: str = "doc_id"):
+               id_col: str = "doc_id", max_tris: int = 8,
+               hot_cap: int = 8_000_000):
         """Exact substring search: index-pruned candidates, then one
         verification pass over ONLY the candidate docs (full scan
-        fallback for sub-trigram needles). Returns a Dataset of
-        matching ``(id_col,)`` rows."""
-        cand = self.candidates(needle)
+        fallback for sub-trigram or all-hot needles). Returns a
+        Dataset of matching ``(id_col,)`` rows."""
+        cand = self.candidates(needle, max_tris=max_tris,
+                               hot_cap=hot_cap)
 
         def verify(b: pa.Table) -> pa.Table:
             ids = np.asarray(b.column(id_col), dtype=np.int64)
@@ -371,14 +389,16 @@ def _required_literal(pattern: str):
 
 
 def _search_regex(self, ds, pattern: str, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", max_tris: int = 8,
+                  hot_cap: int = 8_000_000):
     """Regex search with trigram pruning: if the pattern has a
     mandatory literal ≥ 3 bytes, prune to its posting candidates
     first; verify with RE2 (``match_substring_regex``) either way.
     Sound: candidates are a superset of true matches because every
     match must contain the extracted literal."""
     lit = _required_literal(pattern)
-    cand = self.candidates(lit) if lit is not None else None
+    cand = (self.candidates(lit, max_tris=max_tris, hot_cap=hot_cap)
+            if lit is not None else None)
 
     def verify(b: pa.Table) -> pa.Table:
         ids = np.asarray(b.column(id_col), dtype=np.int64)

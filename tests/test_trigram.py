@@ -190,3 +190,38 @@ def test_candidates_rarest_pruning(ray_session, tmp_path):
     assert sorted(got["doc_id"]) == [17, 203]
     # a corpus-absent trigram short-circuits to zero candidates
     assert idx.candidates("zzzqqqvvv").size == 0
+
+
+def test_hot_cap_bounds_driver(ray_session, tmp_path):
+    """hot_cap: posting lists above the cap are never read. Partially
+    hot needles stay pruned (superset via the cool lists only);
+    all-hot needles return None → distributed full-verify scan, and
+    search stays exact either way."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    filler = "the and the for the with the "  # hot in every doc
+    texts = [filler + " ".join(rng.choice(["aa", "bb", "cc"], 5))
+             for _ in range(300)]
+    texts[42] += " the xylophone quartet"
+    texts[99] += " the xylophone quartet"
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    idx = TrigramIndex(str(tmp_path / "tri-cap"), n_shards=4).build(ds)
+
+    # partially hot: cap excludes the ~300-count stopword lists but
+    # keeps the 2-count rare ones — still a pruning superset
+    c = idx.candidates("the xylophone quartet", hot_cap=10)
+    assert c is not None and {42, 99} <= set(c.tolist())
+    assert c.size < 300  # genuinely pruned, not a full-corpus list
+
+    # all-hot: every trigram above the cap → None (full-scan signal)
+    assert idx.candidates("the and the", hot_cap=1) is None
+
+    # end-to-end exactness under both regimes
+    got = idx.search(ds, "xylophone quartet", hot_cap=10).to_pandas()
+    assert sorted(got["doc_id"]) == [42, 99]
+    got2 = idx.search(ds, "the and the for", hot_cap=1).to_pandas()
+    exp2 = df[df["text"].str.contains("the and the for", regex=False)]
+    assert sorted(got2["doc_id"]) == sorted(exp2["doc_id"])
