@@ -3000,6 +3000,68 @@ def _shuffled_export_order(sf_dir: str):
     })
 
 
+def _zonemap_pruned_orders(sf_dir: str):
+    """Zone-map read pruning (functions/zonemap.py): orders are laid
+    out one parquet partition per order-year (the layout a
+    date-partitioned ingest produces), a footer-only min/max zone map
+    is built DISTRIBUTED over the files, and a 2-year revenue query
+    reads ONLY the files the map cannot rule out — with the predicate
+    re-applied per fragment, so stats are never trusted for
+    exactness. At 100 TB this is the read-pruning catalog: footers
+    once, a tiny stats table per corpus, a fraction of the files per
+    range query. The run raises if the map failed to actually prune
+    the year layout. Money sums ride scaled int64 cents (exact,
+    associative) like q1."""
+    import shutil
+    import uuid
+
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import (
+        build_zonemap,
+        pruned_read,
+        zonemap_prune,
+    )
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_totalprice", "o_orderdate"])
+
+    def add_year(b: pa.Table) -> pa.Table:
+        return b.append_column("o_year", pc.year(b["o_orderdate"]))
+
+    out = f"/tmp/zonemap-orders-{uuid.uuid4().hex[:8]}"
+    try:
+        orders.map_batches(add_year, batch_format="pyarrow") \
+              .write_parquet(out, partition_cols=["o_year"])
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-12-31")
+        z = build_zonemap(out, "o_orderdate")
+        kept = zonemap_prune(z, lo, hi)
+        n_files = len(set(z.column("path").to_pylist()))
+        if not (0 < len(kept) < n_files):
+            raise RuntimeError(
+                f"zone map did not prune: kept {len(kept)}/{n_files}")
+
+        def cents(b: pa.Table) -> pa.Table:
+            return b.append_column("_c", pc.round(pc.multiply(
+                b["o_totalprice"], pa.scalar(100.0))).cast(pa.int64()))
+
+        agg = (
+            pruned_read(out, "o_orderdate", lo, hi, zonemap=z,
+                        columns=["o_orderstatus", "o_totalprice",
+                                 "o_orderdate"])
+            .map_batches(cents, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("_c", alias_name="_tc"))
+        )
+        df = agg.to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    df["total_price"] = (df["_tc"] / 100.0).round(2)
+    return df[["o_orderstatus", "n_orders", "total_price"]] \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def _token_budget_by_lang(sf_dir: str):
     """Per-domain token-budget selection (functions/budget.py): keep
     each language's largest deterministic-hash-order prefix whose
@@ -4146,6 +4208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_regex_documents": _trigram_regex_documents,
         "minhash_join_crawls": _minhash_join_crawls,
         "shuffled_export_order": _shuffled_export_order,
+        "zonemap_pruned_orders": _zonemap_pruned_orders,
         "embed_documents_hashed": _embed_documents_hashed,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -4609,6 +4672,16 @@ def oracle_sql() -> dict[str, str]:
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents
             GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "zonemap_pruned_orders": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <= TIMESTAMP '1997-12-31'
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "exact_dedup_documents": """
             SELECT lang, count(*) AS n_docs FROM (

@@ -30,6 +30,7 @@ from .embed import DocumentEmbedder, embed_documents
 from .heavy import exact_heavy_hitters
 from .shuffle import read_shuffled, shuffled_export
 from .trigram import TrigramIndex
+from .zonemap import build_zonemap, prune as zonemap_prune, pruned_read
 from .pq import (
     IVFPQIndex,
     pq_encode,

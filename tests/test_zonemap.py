@@ -1,0 +1,97 @@
+"""Zone-map read pruning: footer-only stats, sound file pruning
+(never a false exclusion), exact parity with a full-scan filter."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from presto_bloomfilter_ray.functions import (
+    build_zonemap,
+    pruned_read,
+    zonemap_prune,
+)
+
+
+@pytest.fixture()
+def sharded_dir(tmp_path):
+    """Four files with disjoint value ranges + one stats-less file."""
+    root = tmp_path / "zm"
+    root.mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(4):
+        lo = i * 100
+        v = rng.permutation(np.arange(lo, lo + 100, dtype=np.int64))
+        t = pa.table({"v": v, "tag": np.full(100, i, dtype=np.int32)})
+        pq.write_table(t, root / f"part-{i}.parquet", row_group_size=40)
+    blind = pa.table({"v": np.array([55, 999], dtype=np.int64),
+                      "tag": np.array([9, 9], dtype=np.int32)})
+    pq.write_table(blind, root / "blind.parquet", write_statistics=False)
+    return str(root)
+
+
+def test_zonemap_stats_footer_only(ray_session, sharded_dir):
+    z = build_zonemap(sharded_dir, "v")
+    df = z.to_pandas()
+    # 4 files × 3 row groups (100 rows / 40) + 1 stats-less group
+    assert len(df) == 13
+    assert not df[df["path"].str.contains("blind")]["has_stats"].any()
+    p0 = df[df["path"].str.contains("part-0")]
+    assert p0["vmin"].min() == 0 and p0["vmax"].max() == 99
+    assert df["num_rows"].sum() == 402
+
+
+def test_prune_sound_and_tight(ray_session, sharded_dir):
+    z = build_zonemap(sharded_dir, "v")
+    kept = zonemap_prune(z, 150, 249)
+    names = [p.rsplit("/", 1)[1] for p in kept]
+    # ranges [100,199] and [200,299] intersect; blind always kept
+    assert names == ["blind.parquet", "part-1.parquet", "part-2.parquet"]
+    # unbounded side
+    assert len(zonemap_prune(z, 350, None)) == 2  # part-3 + blind
+    # fully outside every range: only the stats-less file survives
+    assert [p.rsplit("/", 1)[1] for p in zonemap_prune(z, 5000, 6000)] \
+        == ["blind.parquet"]
+
+
+def test_pruned_read_matches_full_scan(ray_session, sharded_dir):
+    ds = pruned_read(sharded_dir, "v", 150, 420)
+    got = ds.to_pandas().sort_values("v").reset_index(drop=True)
+    # truth: every v in [150, 420] including the stats-less file's 55? no
+    # — 55 < 150; 999 > 420; so [150..399] from parts 1-3
+    exp = np.arange(150, 400, dtype=np.int64)
+    assert got["v"].to_numpy().tolist() == exp.tolist()
+    # residual filter screened the blind file's rows (soundness both ways)
+    ds2 = pruned_read(sharded_dir, "v", 900, 2000)
+    assert ds2.to_pandas()["v"].tolist() == [999]
+
+
+def test_pruned_read_empty_keeps_schema(ray_session, tmp_path):
+    root = tmp_path / "zz"
+    root.mkdir()
+    pq.write_table(pa.table({"v": np.arange(10, dtype=np.int64),
+                             "s": [f"x{i}" for i in range(10)]}),
+                   root / "a.parquet")
+    ds = pruned_read(str(root), "v", 100, 200)
+    # assert on Dataset schema: Ray's to_pandas() drops columns on
+    # genuinely empty datasets, but downstream operators see the schema
+    assert ds.schema().names == ["v", "s"]
+    assert ds.count() == 0
+
+
+def test_timestamp_column(ray_session, tmp_path):
+    root = tmp_path / "ts"
+    root.mkdir()
+    for i, year in enumerate((1995, 1997, 1999)):
+        d = pd.date_range(f"{year}-01-01", periods=50, freq="7D")
+        pq.write_table(pa.table({"d": pa.array(d, pa.timestamp("us")),
+                                 "k": np.arange(50, dtype=np.int64)}),
+                       root / f"y{i}.parquet")
+    z = build_zonemap(str(root), "d")
+    kept = zonemap_prune(z, pd.Timestamp("1997-02-01"),
+                         pd.Timestamp("1997-06-30"))
+    assert [p.rsplit("/", 1)[1] for p in kept] == ["y1.parquet"]
+    got = pruned_read(str(root), "d", pd.Timestamp("1997-02-01"),
+                      pd.Timestamp("1997-06-30")).to_pandas()
+    assert (got["d"] >= "1997-02-01").all() and \
+        (got["d"] <= "1997-06-30").all() and len(got) > 0
