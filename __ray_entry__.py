@@ -3062,6 +3062,29 @@ def _zonemap_pruned_orders(sf_dir: str):
         .sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _edit_neighbors_customer(sf_dir: str):
+    """Edit-distance similarity self-join (functions/editjoin.py):
+    q-gram count/length filtering (Gravano/Ed-Join family) generates
+    candidates inside gram-hash buckets, texts attach through two
+    co-partitioned shuffles (never broadcast), and survivors are
+    verified with a batch-vectorized banded Levenshtein DP. Exactness
+    is asserted in-run: the hot-gram cap counter must be zero. The
+    oracle is DuckDB's levenshtein over the brute-force self-join."""
+    from presto_bloomfilter_ray.functions import edit_distance_pairs
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey"]) \
+        .filter(expr="c_nationkey == 3")
+    pairs, stats = edit_distance_pairs(
+        cust, max_dist=1, q=3, id_col="c_custkey", text_col="c_name",
+        n_parts=8, num_buckets=16)
+    df = pairs.to_pandas()
+    if stats["capped_grams"]:
+        raise RuntimeError("hot-gram cap fired — result not exact")
+    df["dist"] = df["dist"].astype(np.int64)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _token_budget_by_lang(sf_dir: str):
     """Per-domain token-budget selection (functions/budget.py): keep
     each language's largest deterministic-hash-order prefix whose
@@ -4209,6 +4232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_join_crawls": _minhash_join_crawls,
         "shuffled_export_order": _shuffled_export_order,
         "zonemap_pruned_orders": _zonemap_pruned_orders,
+        "edit_neighbors_customer": _edit_neighbors_customer,
         "embed_documents_hashed": _embed_documents_hashed,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -4672,6 +4696,14 @@ def oracle_sql() -> dict[str, str]:
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents
             GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "edit_neighbors_customer": """
+            SELECT x.c_custkey AS a, y.c_custkey AS b,
+                   levenshtein(x.c_name, y.c_name) AS dist
+            FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+            WHERE x.c_nationkey = 3 AND y.c_nationkey = 3
+              AND levenshtein(x.c_name, y.c_name) <= 1
+            ORDER BY a, b
         """,
         "zonemap_pruned_orders": """
             SELECT o_orderstatus,

@@ -31,6 +31,7 @@ from .heavy import exact_heavy_hitters
 from .shuffle import read_shuffled, shuffled_export
 from .trigram import TrigramIndex
 from .zonemap import build_zonemap, prune as zonemap_prune, pruned_read
+from .editjoin import banded_levenshtein, edit_distance_pairs
 from .pq import (
     IVFPQIndex,
     pq_encode,
