@@ -22,19 +22,27 @@ driver):
 
 1. one map pass emits distinct ``(gram, doc)`` rows (vectorized
    rolling byte windows over the Arrow buffer, per-doc dedup via one
-   ``np.unique``);
-2. gram-hash-bucketed ``map_groups`` expands within-gram pairs (the
+   ``np.unique``); a ``bucket_fold`` counts global gram frequencies;
+2. PREFIX FILTERING (Ed-Join / the prefix-filter theorem): under any
+   global total order of grams, two strings within distance d must
+   share a gram among their ``q*d + 1`` smallest-ranked grams — so
+   only those are emitted as blocking keys, cutting posting volume
+   from O(corpus bytes) to O(docs * (qd+1)) and starving the
+   quadratic expansion that full-gram blocking suffers on common
+   grams. Rank is rarest-first when the gram vocabulary fits the
+   broadcast budget, else a deterministic hash order (soundness needs
+   only consistency);
+3. gram-hash-bucketed ``map_groups`` expands within-gram pairs (the
    containment module's run-rank expansion), hot grams above
-   ``hot_gram_cap`` dropped LOUDLY via the returned stats;
-3. a ``bucket_fold`` sums shared-distinct-gram counts per packed
-   ``(a, b)`` key;
+   ``hot_gram_cap`` dropped LOUDLY via the returned stats; a
+   ``bucket_fold`` dedupes pairs;
 4. two co-partitioned shuffles (the `_verify_pairs` shape from
-   :mod:`~.dedup`) attach each side's ``(text, n_grams)`` to its
-   edges — each doc's text crosses the wire once per phase — apply
-   the count/length filters, and verify survivors with a
-   BATCH-VECTORIZED banded Levenshtein: the DP iterates byte rows in
-   Python but each row is one numpy op over ``[pairs, 2d+1]``, so
-   per-pair cost is C-speed regardless of candidate volume.
+   :mod:`~.dedup`) attach each side's text to its edges — each doc's
+   text crosses the wire once per phase — apply the length filter,
+   and verify survivors with a BATCH-VECTORIZED banded Levenshtein:
+   the DP iterates byte rows in Python but each row is one numpy op
+   over ``[pairs, 2d+1]``, so per-pair cost is C-speed regardless of
+   candidate volume.
 """
 
 from __future__ import annotations
@@ -182,10 +190,16 @@ def _doc_qgrams(b: pa.Table, id_col: str, text_col: str, q: int):
     ok = (doc_of >= 0) & (doc_of < len(arr))
     ok &= (idx + q) <= offs[safe + 1]
     row = safe[ok]
-    # per-doc distinct grams via one unique on packed (row << 56 | gram)
-    packed = np.unique((row.astype(np.int64) << np.int64(56)) | code[ok])
-    prow = (packed >> np.int64(56)).astype(np.int64)
-    gh = packed & ((np.int64(1) << np.int64(56)) - np.int64(1))
+    # per-doc distinct grams via lexsort + run heads (overflow-free
+    # for any batch size and any q — packing row<<56|gram would wrap
+    # int64 past 128 rows)
+    codev = code[ok]
+    order = np.lexsort((codev, row))
+    r_s, c_s = row[order], codev[order]
+    first = np.ones(r_s.size, dtype=bool)
+    if r_s.size > 1:
+        first[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    prow, gh = r_s[first], c_s[first]
     u, c = np.unique(prow, return_counts=True)
     ng[u] = c
     grams = pa.table({"gh": pa.array(gh), "doc": pa.array(ids[prow])})
@@ -207,14 +221,23 @@ class _CapCounter:
 
 def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        *, hot_gram_cap: int = 100_000,
+                        *, hot_gram_cap: int = 20_000,
                         num_buckets: int = 64, n_parts: int = 32,
-                        short_pool_cap: int = 200_000):
+                        short_pool_cap: int = 200_000,
+                        freq_vocab_limit: int = 4_000_000):
     """All pairs ``(a, b, dist)`` with ``a < b`` and byte-level
     Levenshtein ``dist <= max_dist``. Returns ``(pairs_ds, stats)``;
     ``stats['capped_grams']`` counts hot grams dropped — 0 means the
     result is EXACT; a non-zero count means pairs whose every shared
-    gram was hot may be missing (loud, never silent).
+    gram was hot may be missing (loud, never silent). A single gram
+    with a posting list of length L expands to L²/2 candidate pairs,
+    so ``hot_gram_cap`` bounds worst-case pair volume per gram.
+
+    SIZE ``q`` TO THE CORPUS: gram selectivity is what bounds the
+    candidate count, and a fixed gram vocabulary dilutes linearly as
+    the corpus grows — q=3 suits ~10^5 short strings; use q=4–5 at
+    10^6+ (measured: 1M strings from a 50k-word vocabulary are
+    quadratic at q=3 and linear at q=4).
 
     Ids must be unique, non-negative and < 2^31. ``q`` in [2, 7]."""
     import polars as pl
@@ -232,6 +255,60 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
     grams = ds.map_batches(
         lambda b: _doc_qgrams(b, id_col, text_col, q)[0],
         batch_format="pyarrow", batch_size=None)
+
+    # ---- prefix filtering (Ed-Join / Chaudhuri prefix-filter theorem)
+    # Two strings within distance d share >= max(|Da|,|Db|) - q*d
+    # distinct grams, so under ANY global total order of grams their
+    # (q*d + 1)-prefixes must intersect: emitting only each doc's
+    # q*d+1 smallest-ranked grams keeps candidates a provable superset
+    # while cutting posting volume from O(bytes) to O(docs * (qd+1)).
+    # Rank = global frequency (rarest first — minimizes collisions)
+    # when the gram vocabulary fits the broadcast budget, else a
+    # deterministic hash order (still sound: the theorem only needs
+    # consistency, frequency is a performance heuristic).
+    freq = bucket_fold(grams, ["gh"], [(None, "count", "n")],
+                       num_buckets=num_buckets)
+    n_vocab = freq.count()
+    _freq_parts = [t for t in ray.get(freq.to_arrow_refs())
+                   if t.num_columns and t.num_rows]
+    if n_vocab <= freq_vocab_limit and _freq_parts:
+        ft = pa.concat_tables(_freq_parts)
+        vg = np.asarray(ft.column("gh"), dtype=np.int64)
+        vn = np.asarray(ft.column("n"), dtype=np.int64)
+        o = np.argsort(vg)
+        rank_ref = ray.put((vg[o], vn[o]))
+
+        def rank_of(gh: np.ndarray) -> np.ndarray:
+            vgs, vns = ray.get(rank_ref)
+            return vns[np.searchsorted(vgs, gh)]
+    else:
+        rank_ref = None
+
+        def rank_of(gh: np.ndarray) -> np.ndarray:
+            z = (gh.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+            z = ((z ^ (z >> np.uint64(30)))
+                 * np.uint64(0xBF58476D1CE4E5B9))
+            return (z ^ (z >> np.uint64(27))).astype(np.int64) & \
+                np.int64((1 << 62) - 1)
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        t, _ = _doc_qgrams(b, id_col, text_col, q)
+        gh = np.asarray(t.column("gh"), dtype=np.int64)
+        doc = np.asarray(t.column("doc"), dtype=np.int64)
+        if gh.size == 0:
+            return t
+        r = rank_of(gh)
+        order = np.lexsort((gh, r, doc))  # by doc, then rank, then gh
+        doc_s, gh_s = doc[order], gh[order]
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        lens = np.diff(np.append(starts, doc_s.size))
+        within = np.arange(doc_s.size) - np.repeat(starts, lens)
+        keep = within <= qd  # first q*d + 1 grams per doc
+        return pa.table({"gh": pa.array(gh_s[keep]),
+                         "doc": pa.array(doc_s[keep])})
+
+    prefix_grams = ds.map_batches(prefix_rows, batch_format="pyarrow",
+                                  batch_size=None)
 
     def doc_rows(b: pa.Table) -> pa.Table:
         _, st = _doc_qgrams(b, id_col, text_col, q)
@@ -296,8 +373,8 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
             pl.len().cast(pl.Int64).alias("inter"))
         return kt.to_arrow()
 
-    inter = (grams.map_batches(bucket_of, batch_format="pyarrow",
-                               batch_size=None)
+    inter = (prefix_grams.map_batches(bucket_of, batch_format="pyarrow",
+                                      batch_size=None)
              .groupby("_b").map_groups(pairs_of, batch_format="pyarrow"))
     inter = bucket_fold(inter, ["key"], [("inter", "sum", "inter")],
                         num_buckets=num_buckets)
@@ -358,7 +435,7 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
             "other": edge_t.column("key"),
             "inter": edge_t.column("inter"),
             "ng": pa.nulls(n, pa.int64()),
-            "ng_o": pa.array(dng[pos]),
+            "ng_o": pa.nulls(n, pa.int64()),
             "txt": pa.nulls(n, pa.large_string()),
             "txt_o": dtxt.take(pa.array(pos)),
             "part": pc.bit_wise_and(bkey.cast(pa.int64()), n_parts - 1),
@@ -373,14 +450,11 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
             return empty
         bkey = np.asarray(edge_t.column("key"))
         pos = np.searchsorted(dkeys, bkey)
-        it = np.asarray(edge_t.column("inter"), dtype=np.int64)
-        nga = np.asarray(edge_t.column("ng_o"), dtype=np.int64)
-        ngb = dng[pos]
         A, la = _padded_bytes(edge_t.column("txt_o"))
         B, lb = _padded_bytes(dtxt.take(pa.array(pos)))
-        # count filter on DISTINCT grams (the sound bound) + length
-        keep = (np.abs(la - lb) <= d) & \
-               (it >= np.maximum(np.maximum(nga, ngb) - qd, 1))
+        # length filter (the count filter is subsumed by prefix
+        # filtering upstream; the banded DP itself is the exact check)
+        keep = np.abs(la - lb) <= d
         if not keep.any():
             return empty
         av = np.asarray(edge_t.column("other"))[keep]
