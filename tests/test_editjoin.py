@@ -137,3 +137,21 @@ def test_short_pool_cap_raises(ray_session):
     ds = rd.from_arrow(pa.Table.from_pandas(df))
     with pytest.raises(ValueError, match="short-string pool"):
         edit_distance_pairs(ds, max_dist=1, short_pool_cap=5)
+
+
+def test_banded_fuzz_hypothesis():
+    """Property: banded DP == full-matrix reference, clamped at d+1,
+    for arbitrary byte strings including empty and multibyte."""
+    from hypothesis import given, settings, strategies as st
+
+    bs = st.binary(min_size=0, max_size=24)
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=bs, b=bs, d=st.integers(min_value=0, max_value=4))
+    def prop(a, b, d):
+        A, la = _padded_bytes(pa.array([a], type=pa.binary()))
+        B, lb = _padded_bytes(pa.array([b], type=pa.binary()))
+        got = banded_levenshtein(A, la, B, lb, d)[0]
+        assert got == min(_ref_lev(a, b), d + 1)
+
+    prop()
