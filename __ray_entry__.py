@@ -3062,6 +3062,43 @@ def _zonemap_pruned_orders(sf_dir: str):
         .sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _snapshot_delta_documents(sf_dir: str):
+    """Crawl-to-crawl snapshot delta (functions/reconcile.py
+    snapshot_delta): two deterministic snapshots of the documents
+    table (old drops doc_id%7==0; new drops doc_id%5==0 and rewrites
+    text for doc_id%11==0) are diffed by exchanging ONLY
+    (key, side, value-hash) rows — text never crosses the wire.
+    Exact complement to the IBLT path (iblt_reconcile_custkeys):
+    handles arbitrarily large diffs and VALUE changes. The oracle is
+    the full outer join."""
+    from presto_bloomfilter_ray.functions import snapshot_delta
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep_mod(m: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array(ids % m != 0))
+        return fn
+
+    old = docs.map_batches(keep_mod(7), batch_format="pyarrow",
+                           batch_size=None)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        ch = ids % 11 == 0
+        txt = b.column("text").to_pandas()
+        txt[ch] = txt[ch] + " v2"
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(txt, type=pa.string())})
+
+    new = docs.map_batches(keep_mod(5), batch_format="pyarrow",
+                           batch_size=None) \
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+    out = snapshot_delta(old, new, "doc_id", "text").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _edit_neighbors_customer(sf_dir: str):
     """Edit-distance similarity self-join (functions/editjoin.py):
     q-gram count/length filtering (Gravano/Ed-Join family) generates
@@ -4233,6 +4270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_export_order": _shuffled_export_order,
         "zonemap_pruned_orders": _zonemap_pruned_orders,
         "edit_neighbors_customer": _edit_neighbors_customer,
+        "snapshot_delta_documents": _snapshot_delta_documents,
         "embed_documents_hashed": _embed_documents_hashed,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -4696,6 +4734,23 @@ def oracle_sql() -> dict[str, str]:
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents
             GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "snapshot_delta_documents": """
+            WITH old AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+            ), new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+            ORDER BY doc_id
         """,
         "edit_neighbors_customer": """
             SELECT x.c_custkey AS a, y.c_custkey AS b,

@@ -108,7 +108,7 @@ from .features import (
 )
 from .histogram import histogram
 from .profile import profile_table
-from .reconcile import DecodeError, dataset_diff
+from .reconcile import DecodeError, dataset_diff, snapshot_delta
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .graph import (
     bfs_distances,

@@ -68,3 +68,83 @@ def dataset_diff(
     only_b = ds_b.map_batches(_probe(np.sort(b_fp), col),
                               batch_format="pyarrow", batch_size=None)
     return only_a, only_b
+
+
+def snapshot_delta(ds_old, ds_new, key_col: str, val_col: str, *,
+                   num_buckets: int = 64,
+                   include_unchanged: bool = False):
+    """Exact snapshot diff: a Dataset of ``(key_col, status)`` with
+    status in ``added`` / ``removed`` / ``changed`` (and ``unchanged``
+    when requested) — the crawl-to-crawl delta.
+
+    Complement to :func:`dataset_diff`: the IBLT path is O(diff)
+    memory but needs the diff to fit the peeling capacity and only
+    sees key PRESENCE; this path handles arbitrarily large diffs AND
+    value changes, at the cost of one bucketed exchange of
+    ``(key, side, value-hash)`` rows — the value itself (html/text)
+    NEVER crosses the wire, so the exchange is O(rows × key width),
+    not O(corpus bytes). Value equality is 64-bit-hash equality
+    (collision odds 2^-64 per key; use a wider fingerprint column if
+    that matters).
+
+    Keys must be unique within each side (snapshot semantics);
+    duplicates fail LOUDLY."""
+    import polars as pl
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            t = pl.from_arrow(b.select([key_col, val_col]))
+            vh = t.select(
+                pl.col(val_col).hash(seed=7).alias("vh"))["vh"].to_numpy()
+            return pa.table({
+                key_col: b.column(key_col),
+                "_new": pa.array(
+                    np.full(b.num_rows, side, dtype=np.int8)),
+                "_vh": pa.array(vh.astype(np.uint64)),
+            })
+        return fn
+
+    tagged = ds_old.map_batches(tag(0), batch_format="pyarrow",
+                                batch_size=None) \
+        .union(ds_new.map_batches(tag(1), batch_format="pyarrow",
+                                  batch_size=None))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b)
+        h = t.select(pl.struct([key_col]).hash(seed=41)
+                     .alias("h"))["h"].to_numpy()
+        mixed = (h.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column("_b", pa.array(
+            (mixed % np.uint64(num_buckets)).astype(np.int64)))
+
+    def decide(g: pa.Table) -> pa.Table:
+        t = (pl.from_arrow(g.drop_columns(["_b"]))
+             .group_by(key_col)
+             .agg(n=pl.len().cast(pl.Int64),
+                  s=pl.col("_new").cast(pl.Int64).sum(),
+                  vmin=pl.col("_vh").min(),
+                  vmax=pl.col("_vh").max()))
+        dup = t.filter((pl.col("n") > 2) |
+                       ((pl.col("n") == 2) & (pl.col("s") != 1)))
+        if dup.height:
+            raise ValueError(
+                f"duplicate keys within one snapshot side, e.g. "
+                f"{dup[key_col][0]!r} — snapshot_delta needs unique "
+                "keys per side")
+        t = t.with_columns(
+            pl.when((pl.col("n") == 1) & (pl.col("s") == 1))
+            .then(pl.lit("added"))
+            .when((pl.col("n") == 1) & (pl.col("s") == 0))
+            .then(pl.lit("removed"))
+            .when(pl.col("vmin") != pl.col("vmax"))
+            .then(pl.lit("changed"))
+            .otherwise(pl.lit("unchanged"))
+            .alias("status"))
+        if not include_unchanged:
+            t = t.filter(pl.col("status") != "unchanged")
+        return t.select([key_col, "status"]).to_arrow()
+
+    return (tagged.map_batches(bucket, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("_b").map_groups(decide, batch_format="pyarrow"))
