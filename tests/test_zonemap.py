@@ -95,3 +95,31 @@ def test_timestamp_column(ray_session, tmp_path):
                       pd.Timestamp("1997-06-30")).to_pandas()
     assert (got["d"] >= "1997-02-01").all() and \
         (got["d"] <= "1997-06-30").all() and len(got) > 0
+
+
+def test_string_column_with_truncated_stats(ray_session, tmp_path):
+    """Parquet truncates long string min/max stats (stored max is
+    incremented to stay an upper bound) — pruning must stay sound."""
+    root = tmp_path / "str"
+    root.mkdir()
+    long_a = "aaaa" * 50  # 200 chars, beyond stat truncation width
+    rows = {
+        "f0": ["apple", "apricot", long_a + "tail"],
+        "f1": ["mango", "melon", "mulberry"],
+        "f2": ["zebra", "zucchini", "zzz" * 80],
+    }
+    for name, vals in rows.items():
+        pq.write_table(pa.table({"s": vals,
+                                 "k": np.arange(len(vals),
+                                                dtype=np.int64)}),
+                       root / f"{name}.parquet")
+    z = build_zonemap(str(root), "s")
+    kept = zonemap_prune(z, "m", "n")
+    assert any("f1" in p for p in kept)
+    assert not any("f2" in p for p in kept)  # all > "n"
+    got = pruned_read(str(root), "s", "m", "n").to_pandas()
+    assert sorted(got["s"]) == ["mango", "melon", "mulberry"]
+    # range inside the truncated long-string file still finds its row
+    # ("apple"/"apricot" sort above "ab" and are correctly excluded)
+    got2 = pruned_read(str(root), "s", "aaaa", "ab").to_pandas()
+    assert set(got2["s"]) == {long_a + "tail"}
