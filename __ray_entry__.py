@@ -3062,6 +3062,46 @@ def _zonemap_pruned_orders(sf_dir: str):
         .sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _clustered_read_orders(sf_dir: str):
+    """Range-clustered ingest + catalog-served query
+    (functions/zonemap.py cluster_by / read_clustered): orders are
+    laid out as non-overlapping o_totalprice ranges (one sorted file
+    per range, catalog + manifest-last commit), then a price-band
+    revenue query is answered from the PERSISTED catalog — no footer
+    reads at query time, only intersecting files stream. Exact money
+    via scaled int64 cents. Oracle: plain range filter."""
+    import shutil
+    import uuid
+
+    from ray.data.aggregate import Count, Sum
+
+    from presto_bloomfilter_ray.functions import cluster_by, read_clustered
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_totalprice"])
+    out = f"/tmp/clustered-orders-{uuid.uuid4().hex[:8]}"
+    try:
+        cluster_by(orders, "o_totalprice", out, n_files=8)
+
+        def cents(b: pa.Table) -> pa.Table:
+            return b.append_column("_c", pc.round(pc.multiply(
+                b["o_totalprice"], pa.scalar(100.0))).cast(pa.int64()))
+
+        agg = (
+            read_clustered(out, 50_000.0, 150_000.0)
+            .map_batches(cents, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("_c", alias_name="_tc"))
+        )
+        df = agg.to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    df["total_price"] = (df["_tc"] / 100.0).round(2)
+    return df[["o_orderstatus", "n_orders", "total_price"]] \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def _snapshot_delta_documents(sf_dir: str):
     """Crawl-to-crawl snapshot delta (functions/reconcile.py
     snapshot_delta): two deterministic snapshots of the documents
@@ -4271,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_pruned_orders": _zonemap_pruned_orders,
         "edit_neighbors_customer": _edit_neighbors_customer,
         "snapshot_delta_documents": _snapshot_delta_documents,
+        "clustered_read_orders": _clustered_read_orders,
         "embed_documents_hashed": _embed_documents_hashed,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -4734,6 +4775,15 @@ def oracle_sql() -> dict[str, str]:
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents
             GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "clustered_read_orders": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+            FROM orders
+            WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "snapshot_delta_documents": """
             WITH old AS (

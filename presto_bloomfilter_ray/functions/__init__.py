@@ -30,7 +30,13 @@ from .embed import DocumentEmbedder, embed_documents
 from .heavy import exact_heavy_hitters
 from .shuffle import read_shuffled, shuffled_export
 from .trigram import TrigramIndex
-from .zonemap import build_zonemap, prune as zonemap_prune, pruned_read
+from .zonemap import (
+    build_zonemap,
+    cluster_by,
+    prune as zonemap_prune,
+    pruned_read,
+    read_clustered,
+)
 from .editjoin import banded_levenshtein, edit_distance_pairs
 from .pq import (
     IVFPQIndex,

@@ -35,7 +35,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["build_zonemap", "prune", "pruned_read"]
+__all__ = ["build_zonemap", "prune", "pruned_read", "cluster_by",
+           "read_clustered"]
 
 
 def _expand(paths: Union[str, Sequence[str]]) -> List[str]:
@@ -168,3 +169,134 @@ def pruned_read(paths: Union[str, Sequence[str]], column: str,
                                 for c in read_kwargs["columns"]])
         return rd.from_arrow(schema.empty_table())
     return rd.read_parquet(kept, filter=expr, **read_kwargs)
+
+
+def _sortable(v: np.ndarray) -> np.ndarray:
+    """Numpy view usable with searchsorted (timestamps → int64 µs)."""
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[us]").view(np.int64)
+    return v
+
+
+def cluster_by(ds, col: str, out_dir: str, *, n_files: int = 64,
+               sample_cap: int = 200_000) -> dict:
+    """Range-cluster ``ds`` on ``col``: one sorted parquet file per
+    contiguous value range + a persisted zone-map catalog — the
+    ingest-time layout that makes :func:`pruned_read` effective.
+
+    Boundaries come from a bounded per-block sample (approximately
+    equal file sizes; correctness of the layout never depends on the
+    sample — ANY boundaries yield non-overlapping ranges). One
+    ``groupby`` exchange places rows (inherent to clustering); each
+    file is written atomically and sorted by ``col``; the catalog
+    (``catalog.parquet``) and then the manifest (LAST — the commit
+    point) follow, so :func:`read_clustered` refuses a torn layout
+    loudly and a rerun overwrites it.
+
+    Returns the manifest dict. 100 TB shape: the exchange is the one
+    unavoidable all-to-all; files = key ranges means every later range
+    query reads only intersecting files via the catalog, and a failed
+    ingest is detected by the missing manifest, never by silently
+    missing rows."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    if n_files < 1:
+        raise ValueError("n_files must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    for stale in _glob.glob(os.path.join(out_dir, "range-*.parquet")):
+        os.remove(stale)
+    cpath = os.path.join(out_dir, "catalog.parquet")
+    if os.path.exists(cpath):
+        os.remove(cpath)
+
+    per_block = max(64, sample_cap // max(1, n_files * 4))
+
+    def sample(b: pa.Table) -> pa.Table:
+        v = b.column(col).combine_chunks()
+        n = len(v)
+        if n > per_block:
+            idx = np.linspace(0, n - 1, per_block).astype(np.int64)
+            v = v.take(pa.array(idx))
+        return pa.table({col: v})
+
+    samp = pa.concat_tables([t for t in ray.get(
+        ds.map_batches(sample, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs())
+        if t.num_columns and t.num_rows])
+    sv = np.sort(_sortable(np.asarray(samp.column(col))))
+    if sv.size == 0:
+        raise ValueError("cluster_by: empty input")
+    qs = np.linspace(0, 1, n_files + 1)[1:-1]
+    bounds = np.unique(sv[(qs * (sv.size - 1)).astype(np.int64)])
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = _sortable(np.asarray(b.column(col)))
+        shard = np.searchsorted(bounds, v, side="right")
+        return b.append_column("_shard", pa.array(shard.astype(np.int64)))
+
+    def write_range(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"shard": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        s = int(g.column("_shard")[0].as_py())
+        order = np.argsort(_sortable(np.asarray(g.column(col))),
+                           kind="stable")
+        g = g.take(pa.array(order)).drop_columns(["_shard"])
+        tmp = os.path.join(out_dir, f".range-{s:05d}.tmp")
+        pq.write_table(g, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"range-{s:05d}.parquet"))
+        return pa.table({"shard": pa.array([s], type=pa.int64()),
+                         "rows": pa.array([g.num_rows], type=pa.int64())})
+
+    stats = (ds.map_batches(assign, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("_shard")
+             .map_groups(write_range, batch_format="pyarrow")
+             .to_pandas())
+
+    # catalog from the explicit range-file list (the directory also
+    # holds the catalog itself on rerun — never glob it into the stats)
+    z = build_zonemap(
+        [os.path.join(out_dir, f"range-{int(s):05d}.parquet")
+         for s in stats["shard"]], col)
+    ztmp = os.path.join(out_dir, ".catalog.tmp")
+    pq.write_table(z, ztmp)
+    os.replace(ztmp, os.path.join(out_dir, "catalog.parquet"))
+
+    manifest = {"col": col, "rows": int(stats["rows"].sum()),
+                "files": sorted(int(s) for s in stats["shard"])}
+    tmp = os.path.join(out_dir, ".manifest.tmp")
+    import json as _json
+
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def read_clustered(out_dir: str, lo=None, hi=None, **read_kwargs):
+    """Range query over a :func:`cluster_by` layout using its
+    PERSISTED catalog — no footer reads at query time. Refuses a torn
+    layout (missing manifest) loudly."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    mpath = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"{out_dir} has no manifest.json — torn or foreign layout")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    z = pq.read_table(os.path.join(out_dir, "catalog.parquet"))
+    return pruned_read(
+        [os.path.join(out_dir, f"range-{s:05d}.parquet")
+         for s in manifest["files"]],
+        manifest["col"], lo, hi, zonemap=z, **read_kwargs)

@@ -123,3 +123,58 @@ def test_string_column_with_truncated_stats(ray_session, tmp_path):
     # ("apple"/"apricot" sort above "ab" and are correctly excluded)
     got2 = pruned_read(str(root), "s", "aaaa", "ab").to_pandas()
     assert set(got2["s"]) == {long_a + "tail"}
+
+
+def test_cluster_by_roundtrip(ray_session, tmp_path):
+    """cluster_by: non-overlapping file ranges, catalog-served range
+    reads exact vs brute filter, torn layout refused, rerun clean."""
+    import os
+
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import cluster_by, read_clustered
+
+    rng = np.random.default_rng(4)
+    v = rng.permutation(np.arange(10_000, dtype=np.int64))
+    t = pa.table({"v": v, "w": rng.integers(0, 100, 10_000)})
+    ds = rd.from_arrow(t).repartition(8)
+    out = str(tmp_path / "clustered")
+    man = cluster_by(ds, "v", out, n_files=8)
+    assert man["rows"] == 10_000
+
+    z = pq.read_table(f"{out}/catalog.parquet").to_pandas()
+    per_file = z.groupby("path").agg(lo=("vmin", "min"),
+                                     hi=("vmax", "max")).sort_values("lo")
+    los, his = per_file["lo"].to_numpy(), per_file["hi"].to_numpy()
+    assert (los[1:] > his[:-1]).all()  # disjoint, ordered ranges
+
+    got = read_clustered(out, 2_500, 3_499).to_pandas()
+    assert sorted(got["v"]) == list(range(2_500, 3_500))
+
+    # torn layout: missing manifest is refused
+    os.rename(f"{out}/manifest.json", f"{out}/manifest.bak")
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        read_clustered(out, 0, 1)
+    os.rename(f"{out}/manifest.bak", f"{out}/manifest.json")
+
+    # rerun overwrites deterministically and stays readable
+    cluster_by(ds, "v", out, n_files=8)
+    assert read_clustered(out, 9_990, None).count() == 10
+
+
+def test_cluster_by_timestamps(ray_session, tmp_path):
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import cluster_by, read_clustered
+
+    d = pd.date_range("2020-01-01", periods=5_000, freq="h")
+    t = pa.table({"ts": pa.array(d, pa.timestamp("us")),
+                  "k": np.arange(5_000, dtype=np.int64)})
+    ds = rd.from_arrow(t).repartition(4)
+    out = str(tmp_path / "ts-clustered")
+    cluster_by(ds, "ts", out, n_files=4)
+    got = read_clustered(out, pd.Timestamp("2020-03-01"),
+                         pd.Timestamp("2020-03-02")).to_pandas()
+    exp = [x for x in d if pd.Timestamp("2020-03-01") <= x
+           <= pd.Timestamp("2020-03-02")]
+    assert sorted(got["ts"]) == exp
