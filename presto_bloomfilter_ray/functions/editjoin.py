@@ -404,12 +404,11 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
         edge_t = g.filter(is_edge)
         dkeys = np.asarray(doc_t.column("key"))
         order = np.argsort(dkeys)
-        take = pa.array(order)
-        return (dkeys[order], doc_t.column("txt").take(take),
-                np.asarray(doc_t.column("ng"))[order], edge_t)
+        return (dkeys[order], doc_t.column("txt").take(pa.array(order)),
+                edge_t)
 
     def attach_a(g: pa.Table) -> pa.Table:
-        dkeys, dtxt, dng, edge_t = _split(g)
+        dkeys, dtxt, edge_t = _split(g)
         n = edge_t.num_rows
         if n == 0:
             return edge_t.select(["key", "other", "inter", "ng",
@@ -442,7 +441,7 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
         })
 
     def verify_b(g: pa.Table) -> pa.Table:
-        dkeys, dtxt, dng, edge_t = _split(g)
+        dkeys, dtxt, edge_t = _split(g)
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
                           "dist": pa.array([], pa.int32())})

@@ -273,10 +273,8 @@ def cluster_by(ds, col: str, out_dir: str, *, n_files: int = 64,
     manifest = {"col": col, "rows": int(stats["rows"].sum()),
                 "files": sorted(int(s) for s in stats["shard"])}
     tmp = os.path.join(out_dir, ".manifest.tmp")
-    import json as _json
-
     with open(tmp, "w") as f:
-        _json.dump(manifest, f)
+        json.dump(manifest, f)
     os.replace(tmp, mpath)
     return manifest
 
