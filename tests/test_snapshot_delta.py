@@ -83,3 +83,37 @@ def test_string_keys(ray_session):
     assert list(zip(got["u"], got["status"])) == [
         ("a.com/1", "removed"), ("a.com/2", "changed"),
         ("c.com/9", "added")]
+
+
+def test_fuzz_vs_duckdb(ray_session):
+    """Property-style sweep: random snapshots (random drops, changes,
+    duplicate value collisions) always match the full outer join."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    for trial in range(5):
+        n = int(rng.integers(20, 400))
+        keys = rng.choice(np.arange(n * 2, dtype=np.int64), size=n,
+                          replace=False)
+        vals = rng.integers(0, 5, n)  # heavy value collisions
+        old = pd.DataFrame({"k": keys, "v": vals}) \
+            .sample(frac=0.8, random_state=trial).reset_index(drop=True)
+        new = pd.DataFrame({"k": keys, "v": vals}) \
+            .sample(frac=0.8, random_state=trial + 99).reset_index(drop=True)
+        flip = rng.random(len(new)) < 0.15
+        new.loc[flip, "v"] = new.loc[flip, "v"] + 100
+        got = snapshot_delta(
+            rd.from_arrow(pa.Table.from_pandas(old)).repartition(3),
+            rd.from_arrow(pa.Table.from_pandas(new)).repartition(2),
+            "k", "v").to_pandas().sort_values("k").reset_index(drop=True)
+        exp = duckdb.sql("""
+            SELECT COALESCE(o.k, n.k) AS k,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.k = n.k
+            WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
+            ORDER BY k
+        """).df()
+        assert got["k"].tolist() == exp["k"].astype(int).tolist(), trial
+        assert got["status"].tolist() == exp["status"].tolist(), trial
