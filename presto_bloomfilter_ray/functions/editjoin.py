@@ -269,9 +269,13 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
     freq = bucket_fold(grams, ["gh"], [(None, "count", "n")],
                        num_buckets=num_buckets)
     n_vocab = freq.count()
-    _freq_parts = [t for t in ray.get(freq.to_arrow_refs())
-                   if t.num_columns and t.num_rows]
-    if n_vocab <= freq_vocab_limit and _freq_parts:
+    # collect the vocabulary ONLY when it fits the broadcast budget —
+    # pulling it first and checking after would OOM the driver at
+    # exactly the scale the hash-rank fallback exists for
+    _freq_parts = ([t for t in ray.get(freq.to_arrow_refs())
+                    if t.num_columns and t.num_rows]
+                   if n_vocab <= freq_vocab_limit else [])
+    if _freq_parts:
         ft = pa.concat_tables(_freq_parts)
         vg = np.asarray(ft.column("gh"), dtype=np.int64)
         vn = np.asarray(ft.column("n"), dtype=np.int64)
@@ -311,37 +315,40 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
                                   batch_size=None)
 
     def doc_rows(b: pa.Table) -> pa.Table:
-        _, st = _doc_qgrams(b, id_col, text_col, q)
-        ids = st.column("doc").cast(pa.int64())
+        ids = b.column(id_col).cast(pa.int64())
         return pa.table({
             "key": ids,
             "other": pa.nulls(b.num_rows, pa.int64()),
             "inter": pa.nulls(b.num_rows, pa.int64()),
-            "ng": st.column("ng"),
-            "ng_o": pa.nulls(b.num_rows, pa.int64()),
             "txt": b.column(text_col).cast(pa.large_string()),
             "txt_o": pa.nulls(b.num_rows, pa.large_string()),
             "part": pc.bit_wise_and(ids, n_parts - 1),
         })
 
     # docs_tag is corpus-sized: deliberately NOT materialized — each
-    # consumer re-streams the (cheap) map from the source rather than
-    # pinning the whole corpus's text in the object store
+    # consumer re-streams the (cheap) tag map from the source rather
+    # than pinning the whole corpus's text in the object store
     docs_tag = ds.map_batches(doc_rows, batch_format="pyarrow")
 
     # ---- short pool: <= q*d distinct grams can match sharing none
+    # (its own gram pass over ds — the tag map above stays gram-free)
     def pool_rows(b: pa.Table) -> pa.Table:
-        m = pc.less_equal(b.column("ng"), pa.scalar(qd, pa.int64()))
-        kept = b.filter(m)
-        return pa.table({"key": kept.column("key"),
-                         "txt": kept.column("txt")})
+        _, st = _doc_qgrams(b, id_col, text_col, q)
+        m = pc.less_equal(st.column("ng"), pa.scalar(qd, pa.int64()))
+        kept = st.filter(m)
+        pos = pc.index_in(kept.column("doc"),
+                          value_set=b.column(id_col).cast(pa.int64()))
+        return pa.table({
+            "key": kept.column("doc"),
+            "txt": b.column(text_col).cast(pa.large_string()).take(pos),
+        })
 
     _pool_schema = pa.schema([("key", pa.int64()),
                               ("txt", pa.large_string())])
     # empty upstream blocks surface as zero-column tables — drop them
     _pool_parts = [t for t in ray.get(
-        docs_tag.map_batches(pool_rows, batch_format="pyarrow",
-                             batch_size=None).to_arrow_refs())
+        ds.map_batches(pool_rows, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs())
         if t.num_columns]
     pool_t = (pa.concat_tables(_pool_parts) if _pool_parts
               else _pool_schema.empty_table())
@@ -386,8 +393,6 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
             "key": a,
             "other": pa.array(key % int(_PACK)),
             "inter": b.column("inter").cast(pa.int64()),
-            "ng": pa.nulls(b.num_rows, pa.int64()),
-            "ng_o": pa.nulls(b.num_rows, pa.int64()),
             "txt": pa.nulls(b.num_rows, pa.large_string()),
             "txt_o": pa.nulls(b.num_rows, pa.large_string()),
             "part": pc.bit_wise_and(a, n_parts - 1),
@@ -411,8 +416,8 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
         dkeys, dtxt, edge_t = _split(g)
         n = edge_t.num_rows
         if n == 0:
-            return edge_t.select(["key", "other", "inter", "ng",
-                                  "ng_o", "txt", "txt_o", "part"])
+            return edge_t.select(["key", "other", "inter",
+                                  "txt", "txt_o", "part"])
         a = np.asarray(edge_t.column("key"))
         bb = np.asarray(edge_t.column("other"))
         # pool-pool pairs are handled exhaustively by the short pool —
@@ -423,8 +428,8 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
             if both.any():
                 edge_t = edge_t.filter(pa.array(~both))
                 if edge_t.num_rows == 0:
-                    return edge_t.select(["key", "other", "inter", "ng",
-                                          "ng_o", "txt", "txt_o", "part"])
+                    return edge_t.select(["key", "other", "inter",
+                                          "txt", "txt_o", "part"])
                 a = np.asarray(edge_t.column("key"))
         n = edge_t.num_rows
         pos = np.searchsorted(dkeys, a)
@@ -433,8 +438,6 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
             "key": bkey,  # re-key by b for phase B
             "other": edge_t.column("key"),
             "inter": edge_t.column("inter"),
-            "ng": pa.nulls(n, pa.int64()),
-            "ng_o": pa.nulls(n, pa.int64()),
             "txt": pa.nulls(n, pa.large_string()),
             "txt_o": dtxt.take(pa.array(pos)),
             "part": pc.bit_wise_and(bkey.cast(pa.int64()), n_parts - 1),
@@ -474,21 +477,79 @@ def edit_distance_pairs(ds, max_dist: int = 1, q: int = 3,
         .groupby("part").map_groups(verify_b, batch_format="pyarrow")
     )
 
-    # ---- short pool: all-pairs among the (tiny, capped) pool
+    # ---- short pool: all-pairs among the (capped) pool. The DP runs
+    # over DISTINCT strings (short strings collide massively) in
+    # bounded tiles, never one triu over the raw rows — 100k identical
+    # "ab" rows cost one 1-string DP plus the (semantically required)
+    # id-pair expansion of the matching string groups.
     if pool_t.num_rows >= 2:
         ids = np.asarray(pool_t.column("key"), dtype=np.int64)
-        M, ln = _padded_bytes(pool_t.column("txt"))
-        ii, jj = np.triu_indices(len(ids), k=1)
-        if ii.size:
-            dist = banded_levenshtein(M[ii], ln[ii], M[jj], ln[jj], d)
-            ok = dist <= d
-            aa = np.minimum(ids[ii][ok], ids[jj][ok])
-            bb2 = np.maximum(ids[ii][ok], ids[jj][ok])
+        raw = np.asarray(pool_t.column("txt"), dtype=object)
+        ustr, inv = np.unique(raw, return_inverse=True)
+        U = len(ustr)
+        if U > 20_000:
+            raise ValueError(
+                f"{U} DISTINCT gram-poor strings in the short pool — "
+                "the all-pairs verify is quadratic in distinct "
+                "strings; pre-filter or raise q")
+        M, ln = _padded_bytes(pa.array(ustr.tolist(),
+                                       type=pa.large_string()))
+        # matched distinct-string pairs (ui < uj), tiled to bound memory
+        TILE = 2048
+        mi, mj, md = [], [], []
+        for i0 in range(0, U, TILE):
+            i1 = min(i0 + TILE, U)
+            for j0 in range(i0, U, TILE):
+                j1 = min(j0 + TILE, U)
+                ii, jj = np.meshgrid(np.arange(i0, i1),
+                                     np.arange(j0, j1), indexing="ij")
+                ii, jj = ii.ravel(), jj.ravel()
+                m = ii < jj
+                ii, jj = ii[m], jj[m]
+                if not ii.size:
+                    continue
+                lf = np.abs(ln[ii] - ln[jj]) <= d  # length pre-filter
+                ii, jj = ii[lf], jj[lf]
+                if not ii.size:
+                    continue
+                dist = banded_levenshtein(M[ii], ln[ii], M[jj], ln[jj], d)
+                ok = dist <= d
+                mi.append(ii[ok]); mj.append(jj[ok]); md.append(dist[ok])
+        # expand matched string pairs (and same-string groups, dist 0)
+        # back to id pairs
+        order = np.argsort(inv, kind="stable")
+        inv_s, ids_s = inv[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        ends = np.append(starts[1:], inv_s.size)
+        group_of = np.full(U, -1, dtype=np.int64)
+        group_of[inv_s[starts]] = np.arange(starts.size)
+        aa_l, bb_l, dd_l = [], [], []
+        ui_all = np.concatenate(mi) if mi else np.array([], np.int64)
+        uj_all = np.concatenate(mj) if mj else np.array([], np.int64)
+        dd_all = np.concatenate(md) if md else np.array([], np.int32)
+        for ui, uj, dv in zip(ui_all, uj_all, dd_all):
+            gi, gj = group_of[ui], group_of[uj]
+            a_ids = ids_s[starts[gi]:ends[gi]]
+            b_ids = ids_s[starts[gj]:ends[gj]]
+            X, Y = np.meshgrid(a_ids, b_ids, indexing="ij")
+            aa_l.append(np.minimum(X.ravel(), Y.ravel()))
+            bb_l.append(np.maximum(X.ravel(), Y.ravel()))
+            dd_l.append(np.full(X.size, dv, dtype=np.int32))
+        for u in range(U):  # same-string groups: dist 0 within group
+            g = group_of[u]
+            grp = ids_s[starts[g]:ends[g]]
+            if grp.size >= 2:
+                X, Y = np.triu_indices(grp.size, k=1)
+                aa_l.append(np.minimum(grp[X], grp[Y]))
+                bb_l.append(np.maximum(grp[X], grp[Y]))
+                dd_l.append(np.zeros(X.size, dtype=np.int32))
+        if aa_l:
             import ray.data as rd
 
             pool_ds = rd.from_arrow(pa.table({
-                "a": pa.array(aa), "b": pa.array(bb2),
-                "dist": pa.array(dist[ok].astype(np.int32))}))
+                "a": pa.array(np.concatenate(aa_l)),
+                "b": pa.array(np.concatenate(bb_l)),
+                "dist": pa.array(np.concatenate(dd_l))}))
             verified = verified.union(pool_ds)
 
     n_cap, cap_rows = ray.get(cap_counter.get.remote())

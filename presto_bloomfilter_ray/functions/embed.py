@@ -100,7 +100,12 @@ class DocumentEmbedder:
             d = safe[ok]
             bucket = t % self.dim
             sign = 1 - 2 * ((t // self.dim) & 1)   # +1 / -1
-            np.add.at(out, (d, bucket), sign)     # per-occurrence scatter
+            # bincount beats np.add.at's unbuffered scatter ~10-30x;
+            # integer-exact equivalent
+            out = np.bincount(d * self.dim + bucket,
+                              weights=sign.astype(np.float64),
+                              minlength=n * self.dim) \
+                .astype(np.int64).reshape(n, self.dim)
         vals = out.astype(np.float32)
         if self.normalize:
             nrm = np.linalg.norm(vals, axis=1, keepdims=True)

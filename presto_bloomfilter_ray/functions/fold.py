@@ -35,7 +35,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["bucket_fold"]
+__all__ = ["append_bucket", "bucket_fold"]
 
 #: ops supported: (polars map-side expr, polars combine-side expr)
 _OPS = {"sum", "min", "max", "count"}
@@ -57,6 +57,25 @@ def _exprs(aggs: Sequence[Tuple[Optional[str], str, str]], combine: bool):
             e = getattr(pl.col(src), op)()
         out.append(e.alias(alias))
     return out
+
+
+def append_bucket(b: pa.Table, key_cols, num_buckets: int,
+                  alias: str = "_b") -> pa.Table:
+    """Append ``alias = mixed_hash(struct(key_cols)) % num_buckets``.
+
+    THE canonical co-location bucket for every bucket-keyed exchange
+    in this package (fold, windows, snapshot delta): polars struct
+    hash (seed 41) then a Fibonacci avalanche so sequential/clustered
+    keys spread evenly. All rows of equal keys land in one bucket."""
+    import polars as pl
+
+    h = (pl.from_arrow(b.select(list(key_cols)))
+         .select(pl.struct(list(key_cols)).hash(seed=41)
+                 .alias("h"))["h"].to_numpy())
+    mixed = (h.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return b.append_column(alias, pa.array(
+        (mixed % np.uint64(num_buckets)).astype(np.int64)))
 
 
 def bucket_fold(ds, keys: Sequence[str],
@@ -85,13 +104,7 @@ def bucket_fold(ds, keys: Sequence[str],
 
     def prefold(b: pa.Table) -> pa.Table:
         t = pl.from_arrow(b).group_by(keys).agg(map_exprs)
-        h = t.select(pl.struct(keys).hash(seed=41).alias("h"))["h"].to_numpy()
-        # avalanche then bucket: sequential/clustered keys spread evenly
-        mixed = (h.astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        out = t.to_arrow().append_column(
-            "_b", pa.array((mixed % np.uint64(num_buckets)).astype(np.int64)))
-        return out
+        return append_bucket(t.to_arrow(), keys, num_buckets)
 
     def fold(g: pa.Table) -> pa.Table:
         t = (pl.from_arrow(g.drop_columns(["_b"]))

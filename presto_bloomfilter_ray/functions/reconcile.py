@@ -109,14 +109,10 @@ def snapshot_delta(ds_old, ds_new, key_col: str, val_col: str, *,
         .union(ds_new.map_batches(tag(1), batch_format="pyarrow",
                                   batch_size=None))
 
+    from .fold import append_bucket
+
     def bucket(b: pa.Table) -> pa.Table:
-        t = pl.from_arrow(b)
-        h = t.select(pl.struct([key_col]).hash(seed=41)
-                     .alias("h"))["h"].to_numpy()
-        mixed = (h.astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return b.append_column("_b", pa.array(
-            (mixed % np.uint64(num_buckets)).astype(np.int64)))
+        return append_bucket(b, [key_col], num_buckets)
 
     def decide(g: pa.Table) -> pa.Table:
         t = (pl.from_arrow(g.drop_columns(["_b"]))

@@ -38,17 +38,10 @@ def _with_bucket(ds, key_col: str, num_buckets: int):
     Exchange volume and key co-location are identical — every row of a
     key lands in that key's bucket (the `functions/fold.py` pattern,
     generalized to ordered windows)."""
-    import polars as pl
+    from .fold import append_bucket
 
     def add_b(b: pa.Table) -> pa.Table:
-        h = (pl.from_arrow(b.select([key_col]))
-             .select(pl.col(key_col).hash(seed=41).alias("h"))["h"]
-             .to_numpy())
-        # avalanche then bucket: sequential/clustered keys spread evenly
-        mixed = (h.astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return b.append_column(
-            "_b", pa.array((mixed % np.uint64(num_buckets)).astype(np.int64)))
+        return append_bucket(b, [key_col], num_buckets)
 
     return ds.map_batches(add_b, batch_format="pyarrow", batch_size=None)
 
@@ -154,7 +147,8 @@ def lag_deltas(ds, ts_col: str, key_col: str,
     sort_cols = [key_col, ts_col, *(order_cols or [])]
 
     def gaps(g: pa.Table) -> pa.Table:
-        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(
+            sort_cols, maintain_order=True)
         delta = (_pl_us(t, ts_col).diff().over(key_col)
                  .cast(pl.Float64) / 1e6)
         return t.with_columns(delta.alias(out_col)).to_arrow()
@@ -184,7 +178,8 @@ def transition_counts(ds, ts_col: str, key_col: str, state_col: str,
     sort_cols = [key_col, ts_col, *(order_cols or [])]
 
     def pairs(g: pa.Table) -> pa.Table:
-        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(
+            sort_cols, maintain_order=True)
         out = (t.with_columns(
                    pl.col(state_col).shift(-1).over(key_col).alias("_to"))
                .filter(pl.col("_to").is_not_null())
@@ -219,7 +214,8 @@ def cumulative_aggregate(ds, ts_col: str, key_col: str, value_col: str,
     sort_cols = [key_col, ts_col, *(order_cols or [])]
 
     def accumulate(g: pa.Table) -> pa.Table:
-        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(
+            sort_cols, maintain_order=True)
         return t.with_columns(
             pl.int_range(1, pl.len() + 1, dtype=pl.Int64)
               .over(key_col).alias("running_n"),
@@ -345,7 +341,8 @@ def session_windows(ds, ts_col: str, key_col: str, gap_s: int,
     sort_cols = [key_col, ts_col, *(order_cols or [])]
 
     def sessionize(g: pa.Table) -> pa.Table:
-        t = pl.from_arrow(g.drop_columns(["_b"])).sort(sort_cols)
+        t = pl.from_arrow(g.drop_columns(["_b"])).sort(
+            sort_cols, maintain_order=True)
         us = _pl_us(t, ts_col)
         new = ((us.diff().over(key_col) > gap_us)
                .fill_null(True).cast(pl.Int64))

@@ -128,9 +128,10 @@ def prepare_corpus(
     idx = 0
     resuming = checkpoint_dir is not None  # inside the committed prefix
     prev_data: Optional[str] = None  # last committed stage's data dir
+    docs_at = -1  # index of the committed stage whose output docs holds
 
     def run_stage(name: str, params: dict, compute) -> None:
-        nonlocal docs, sig, idx, resuming, prev_data
+        nonlocal docs, sig, idx, resuming, prev_data, docs_at
         sig = hashlib.sha256(
             (sig + name + json.dumps(params, sort_keys=True)).encode()
         ).hexdigest()
@@ -162,24 +163,31 @@ def prepare_corpus(
                 if os.path.exists(data_dir):
                     docs = ray.data.read_parquet(data_dir)
                     prev_data = d
+                    docs_at = idx
                 # else: keep_stages="latest" GC'd this stage's data —
-                # only the LAST committed stage's data is ever needed,
-                # and GC ordering guarantees that one still has it
+                # docs_at stays behind, so a later invalidated stage
+                # can DETECT that docs is not its true predecessor
+                # output (the guard below) instead of silently
+                # recomputing from a non-adjacent older checkpoint
                 metrics.append({"stage": name, "rows": int(m["rows"]),
                                 "wall_s": round(time.time() - t0, 2),
                                 "resumed": True})
                 idx += 1
                 return
-        # first uncommitted (or invalidated) stage: recompute from here on
-        if resuming and idx > 0 and prev_data is None:
-            # an INVALIDATED mid-chain stage whose predecessor's data
-            # was GC'd (keep_stages="latest"): recomputing from the
-            # surviving older checkpoint would silently skip the
-            # stages between — refuse loudly instead
+        # first uncommitted (or invalidated) stage: recompute from here
+        # on — but ONLY if docs is the true output of stage idx-1. A
+        # bare "prev_data is not None" check is NOT enough: with
+        # keep_stages="latest" an OLDER stage may still hold data (a
+        # prior keep_stages="all" run) while the immediate
+        # predecessor's data was GC'd, and recomputing from that
+        # non-adjacent checkpoint would silently skip the stages
+        # between and commit a wrong corpus under a valid signature.
+        if resuming and idx > 0 and docs_at != idx - 1:
             raise RuntimeError(
-                f"stage {idx:02d}-{name} is invalidated but its "
-                f"predecessor's checkpoint data was garbage-collected "
-                f"(keep_stages='latest'); clear {checkpoint_dir} and "
+                f"stage {idx:02d}-{name} is invalidated but docs "
+                f"holds stage {docs_at} output, not its predecessor's "
+                f"(stage {idx - 1}'s data was garbage-collected, "
+                f"keep_stages='latest'); clear {checkpoint_dir} and "
                 f"re-run from scratch")
         resuming = False
         if os.path.exists(d):
@@ -198,10 +206,21 @@ def prepare_corpus(
         if keep_stages == "latest" and prev_data is not None:
             # successor is committed → the predecessor's data is dead
             # weight (its manifest stays: the resume prefix check and
-            # row metrics survive the GC)
-            shutil.rmtree(os.path.join(prev_data, "data"),
-                          ignore_errors=True)
+            # row metrics survive the GC). Rename-then-delete: the
+            # rename is atomic, so a crash mid-GC leaves either the
+            # complete data dir or none — never a partial dir a later
+            # resume would read as a complete checkpoint. Dot-prefixed
+            # debris is never read (loaders look only for "data").
+            dead = os.path.join(prev_data,
+                                f".data-gc-{uuid.uuid4().hex[:8]}")
+            try:
+                os.rename(os.path.join(prev_data, "data"), dead)
+            except FileNotFoundError:
+                pass
+            else:
+                shutil.rmtree(dead, ignore_errors=True)
         prev_data = d
+        docs_at = idx
         metrics.append({"stage": name, "rows": rows,
                         "wall_s": round(time.time() - t0, 2),
                         "resumed": False})

@@ -167,3 +167,33 @@ def test_prepare_keep_latest_gc(ray_session, tmp_path):
     # a mid-chain parameter change with GC'd predecessors must refuse
     with _pytest.raises(RuntimeError, match="garbage-collected"):
         prepare_corpus(_mini_docs(), **dict(kw, quality_min=0.01))
+
+
+def test_prepare_nonadjacent_checkpoint_refused(ray_session, tmp_path):
+    """Mixed GC state: an OLD stage still has data (keep_stages='all'
+    run) while the immediate predecessor's data was GC'd by a later
+    keep_stages='latest' commit. Invalidating a stage after the gap
+    must refuse loudly — recomputing from the non-adjacent older
+    checkpoint would silently skip the stages between."""
+    import pytest as _pytest
+
+    from presto_bloomfilter_ray.pipelines import prepare_corpus
+
+    ck = str(tmp_path / "ck")
+    kw = dict(id_col="doc_id", text_col="text", url_col="url",
+              blocked_hosts=["h0.example.com"], host_cap=10,
+              work_dir=str(tmp_path / "w"), checkpoint_dir=ck)
+    # run 1: keep everything
+    prepare_corpus(_mini_docs(), **dict(kw, keep_stages="all"))
+    # run 2: invalidate the LAST stage under keep_stages='latest' —
+    # its commit GC's stage 3's data while stages 0-2 keep theirs
+    prepare_corpus(_mini_docs(), **dict(kw, keep_stages="latest",
+                                        host_cap=9))
+    assert os.path.exists(os.path.join(ck, "02-exact_dedup", "data"))
+    assert not os.path.exists(os.path.join(ck, "03-minhash_dedup",
+                                           "data"))
+    # run 3: invalidate the last stage AGAIN — docs now holds stage
+    # 2's output when stage 4 recomputes, NOT stage 3's. Must refuse.
+    with _pytest.raises(RuntimeError, match="holds stage 2 output"):
+        prepare_corpus(_mini_docs(), **dict(kw, keep_stages="latest",
+                                            host_cap=8))
