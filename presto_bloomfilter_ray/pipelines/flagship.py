@@ -220,6 +220,9 @@ def run_suite(
     import os
 
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:  # gen-style layouts nest files one directory down
+        files = sorted(glob.glob(
+            os.path.join(input_dir, "**", "*.parquet"), recursive=True))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_dir}")
     # shard = one file (stable resume identity); large deployments would
