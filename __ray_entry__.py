@@ -3062,6 +3062,23 @@ def _zonemap_pruned_orders(sf_dir: str):
         .sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _skew_report_events(sf_dir: str):
+    """Shuffle-skew diagnostic (functions/profile.py skew_report):
+    exact per-key group-size percentiles + deterministic heaviest
+    keys for a prospective groupby key — the straggler forecast run
+    BEFORE committing to the shuffle. Only a 16 B/row bucket_fold
+    exchange; quantiles via sort-free histogram narrowing; top keys
+    via per-block partial folds. Oracle recomputes everything from
+    the plain GROUP BY."""
+    from presto_bloomfilter_ray.functions import skew_report
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    report, tops = skew_report(ev, "user_id", top_k=1)
+    report["top1_key"] = np.int64(tops["user_id"][0])
+    report["top1_cnt"] = np.int64(tops["cnt"][0])
+    return report
+
+
 def _clustered_read_orders(sf_dir: str):
     """Range-clustered ingest + catalog-served query
     (functions/zonemap.py cluster_by / read_clustered): orders are
@@ -4312,6 +4329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_neighbors_customer": _edit_neighbors_customer,
         "snapshot_delta_documents": _snapshot_delta_documents,
         "clustered_read_orders": _clustered_read_orders,
+        "skew_report_events": _skew_report_events,
         "embed_documents_hashed": _embed_documents_hashed,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -4775,6 +4793,21 @@ def oracle_sql() -> dict[str, str]:
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents
             GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "skew_report_events": """
+            WITH c AS (SELECT user_id, count(*) AS cnt
+                       FROM events GROUP BY user_id)
+            SELECT count(*) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   max(cnt) AS max_cnt,
+                   quantile_disc(cnt, 0.5) AS p50,
+                   quantile_disc(cnt, 0.9) AS p90,
+                   quantile_disc(cnt, 0.99) AS p99,
+                   (SELECT user_id FROM c
+                    ORDER BY cnt DESC, user_id ASC LIMIT 1) AS top1_key,
+                   (SELECT cnt FROM c
+                    ORDER BY cnt DESC, user_id ASC LIMIT 1) AS top1_cnt
+            FROM c
         """,
         "clustered_read_orders": """
             SELECT o_orderstatus,

@@ -113,7 +113,7 @@ from .features import (
     standardize_by_key,
 )
 from .histogram import histogram
-from .profile import profile_table
+from .profile import profile_table, skew_report
 from .reconcile import DecodeError, dataset_diff, snapshot_delta
 from .urls import canonicalize_sql, canonicalize_url, host_filter, url_parts
 from .graph import (

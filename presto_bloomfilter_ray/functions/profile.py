@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 __all__ = ["profile_table"]
@@ -80,3 +81,60 @@ def profile_table(ds, columns: Optional[List[str]] = None):
     out = out.rename(columns={"col": "column"})
     return (out[["column", "n_rows", "n_null", "n_distinct"]]
             .sort_values("column").reset_index(drop=True))
+
+
+def skew_report(ds, key_col: str, *, quantiles=(0.5, 0.9, 0.99),
+                top_k: int = 5, num_buckets: int = 64):
+    """Group-size skew diagnostic for a prospective groupby/shuffle
+    key: ``(report_row, top_keys)``.
+
+    ``report_row`` is a one-row pandas frame (n_keys, n_rows, max_cnt,
+    one EXACT pXX per requested quantile of the per-key counts);
+    ``top_keys`` is a pandas frame of the ``top_k`` heaviest keys with
+    counts, tie-broken (cnt DESC, key ASC) deterministically. Run it
+    BEFORE committing to a groupby/repartition on ``key_col`` — the
+    p99/max vs p50 ratio is the straggler forecast, and the top keys
+    are the salting candidates.
+
+    Scale shape: the only exchange is the `bucket_fold` count
+    (16 B/row); the counts table (one row per DISTINCT key) is
+    materialized — bounded by key cardinality, not corpus rows — and
+    quantiles over it use the sort-free histogram narrowing of
+    :func:`~.quantiles.exact_quantile`. Top keys come from per-block
+    partial top-k folds, never a global sort."""
+    import polars as pl
+    from ray.data.aggregate import Max
+
+    from .fold import bucket_fold
+    from .quantiles import exact_quantile
+
+    counts = bucket_fold(ds.select_columns([key_col]), [key_col],
+                         [(None, "count", "cnt")],
+                         num_buckets=num_buckets).materialize()
+    n_keys = counts.count()
+    if n_keys == 0:
+        raise ValueError(f"skew_report: no rows under key {key_col!r}")
+    n_rows = int(counts.sum("cnt"))
+    max_cnt = int(counts.aggregate(Max("cnt"))["max(cnt)"])
+    qv = exact_quantile(counts, "cnt", list(quantiles))
+
+    def blk_top(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b).sort(
+            ["cnt", key_col], descending=[True, False]).head(top_k)
+        return t.to_arrow()
+
+    import ray
+
+    parts = [t for t in ray.get(
+        counts.map_batches(blk_top, batch_format="pyarrow",
+                           batch_size=None).to_arrow_refs())
+        if t.num_columns and t.num_rows]
+    tops = (pl.from_arrow(pa.concat_tables(parts))
+            .sort(["cnt", key_col], descending=[True, False])
+            .head(top_k).to_pandas())
+
+    row = {"n_keys": np.int64(n_keys), "n_rows": np.int64(n_rows),
+           "max_cnt": np.int64(max_cnt)}
+    for q, v in zip(quantiles, qv):
+        row[f"p{int(round(q * 100))}"] = np.int64(v)
+    return pd.DataFrame([row]), tops
