@@ -3062,6 +3062,38 @@ def _zonemap_pruned_orders(sf_dir: str):
         .sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def _curriculum_export_documents(sf_dir: str):
+    """Deterministic curriculum training order (functions/shuffle.py
+    curriculum_export): quality bands first (exact-quantile cutoffs on
+    n_chars — longest-document band leads), the hash-shuffle
+    pseudo-random order within each band; band/shard-sharded atomic
+    write, manifest last, concatenated files ARE the order. Returns
+    the first 20 rows WITH rank so the driver's sorted compare pins
+    the order; the oracle recomputes the identical banding from
+    quantile_disc cutoffs and the identical hash window."""
+    import shutil
+    import uuid
+
+    from presto_bloomfilter_ray.functions import (
+        curriculum_export,
+        read_curriculum,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = f"/tmp/curriculum-{uuid.uuid4().hex[:8]}"
+    try:
+        curriculum_export(docs, out, "doc_id", "n_chars",
+                          n_bands=4, n_shards=8)
+        head = read_curriculum(out).take(20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pd.DataFrame({
+        "rank": np.arange(1, 21, dtype=np.int64),
+        "doc_id": [int(r["doc_id"]) for r in head],
+        "n_chars": [int(r["n_chars"]) for r in head],
+    })
+
+
 def _skew_report_events(sf_dir: str):
     """Shuffle-skew diagnostic (functions/profile.py skew_report):
     exact per-key group-size percentiles + deterministic heaviest
@@ -4330,6 +4362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta_documents": _snapshot_delta_documents,
         "clustered_read_orders": _clustered_read_orders,
         "skew_report_events": _skew_report_events,
+        "curriculum_export_documents": _curriculum_export_documents,
         "embed_documents_hashed": _embed_documents_hashed,
         "token_budget_by_lang": _token_budget_by_lang,
         "ann_topk_cosine": _ann_topk_cosine,
@@ -4793,6 +4826,21 @@ def oracle_sql() -> dict[str, str]:
         "top_sources": """
             SELECT source, count(*) AS n_docs FROM documents
             GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "curriculum_export_documents": """
+            WITH c AS (
+                SELECT quantile_disc(n_chars, 0.25) c1,
+                       quantile_disc(n_chars, 0.50) c2,
+                       quantile_disc(n_chars, 0.75) c3 FROM documents
+            )
+            SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+                   doc_id, n_chars
+            FROM documents, c
+            WINDOW w AS (
+                ORDER BY 3 - ((n_chars >= c1)::int + (n_chars >= c2)::int
+                              + (n_chars >= c3)::int),
+                         (doc_id * 2654435761) % 4294967296, doc_id)
+            ORDER BY rank LIMIT 20
         """,
         "skew_report_events": """
             WITH c AS (SELECT user_id, count(*) AS cnt

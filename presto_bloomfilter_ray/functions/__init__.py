@@ -28,7 +28,12 @@ from .dedup import (
 from .budget import token_budget_cutoffs, token_budget_select
 from .embed import DocumentEmbedder, embed_documents
 from .heavy import exact_heavy_hitters
-from .shuffle import read_shuffled, shuffled_export
+from .shuffle import (
+    curriculum_export,
+    read_curriculum,
+    read_shuffled,
+    shuffled_export,
+)
 from .trigram import TrigramIndex
 from .zonemap import (
     build_zonemap,

@@ -36,7 +36,8 @@ import pyarrow as pa
 
 from .sampling import SAMPLE_MULT, _MOD
 
-__all__ = ["shuffled_export", "read_shuffled"]
+__all__ = ["curriculum_export", "read_curriculum",
+           "shuffled_export", "read_shuffled"]
 
 
 def shuffled_export(ds, out_dir: str, id_col: str, *,
@@ -133,6 +134,119 @@ def read_shuffled(out_dir: str, columns: Optional[list] = None,
             f"shuffled export at {out_dir} is incomplete: "
             f"{len(paths)} files vs manifest "
             f"{len(manifest['shards_written'])}")
+    if not preserve_order:
+        return rd.read_parquet(paths, columns=columns)
+    opts = rd.DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        return rd.read_parquet(paths, columns=columns)
+    finally:
+        opts.preserve_order = prev
+
+
+def curriculum_export(ds, out_dir: str, id_col: str, score_col: str, *,
+                      n_bands: int = 4, n_shards: int = 16) -> dict:
+    """Deterministic CURRICULUM training order: quality bands first
+    (highest ``score_col`` band leads), the :func:`shuffled_export`
+    pseudo-random hash order within each band.
+
+    Band cutoffs are the exact ``quantile_disc`` values of
+    ``score_col`` (sort-free histogram narrowing,
+    :func:`~.quantiles.exact_quantile`), so any SQL engine recomputes
+    the identical banding: ``band_rank = (n_bands-1) - Σ(score >=
+    cutoff_i)`` (0 = best band, emitted first; NULL scores land in a
+    trailing band). One groupby exchange places rows; each
+    ``band-<rank>-shard-<s>.parquet`` is written atomically, sorted by
+    ``(h, id)``; manifest LAST. Reading files in sorted filename order
+    IS the curriculum order (:func:`read_curriculum`)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from .quantiles import exact_quantile
+
+    if n_bands < 1 or n_shards < 1:
+        raise ValueError("n_bands and n_shards must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    for stale in _glob.glob(os.path.join(out_dir, "band-*.parquet")):
+        os.remove(stale)
+
+    qs = [i / n_bands for i in range(1, n_bands)]
+    cuts = np.asarray(exact_quantile(ds, score_col, qs)
+                      if qs else [], dtype=np.float64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col), dtype=np.int64)
+        if (ids < 0).any():
+            raise ValueError("curriculum_export requires non-negative ids")
+        sc_col = b.column(score_col)
+        null = np.asarray(pc.is_null(sc_col))
+        sc = np.asarray(pc.fill_null(sc_col, 0)).astype(np.float64)
+        idx = (sc[:, None] >= cuts[None, :]).sum(axis=1) if cuts.size \
+            else np.zeros(len(ids), dtype=np.int64)
+        rank = (n_bands - 1) - idx
+        rank = np.where(null, n_bands, rank)  # nulls trail
+        h = (ids * SAMPLE_MULT) % _MOD
+        shard = (h * n_shards // _MOD).astype(np.int64)
+        return b.append_column("_h", pa.array(h)) \
+                .append_column("_g", pa.array(rank * n_shards + shard))
+
+    def write_piece(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        gid = int(g.column("_g")[0].as_py())
+        rank, s = divmod(gid, n_shards)
+        h = np.asarray(g.column("_h"))
+        ids = np.asarray(g.column(id_col))
+        order = np.lexsort((ids, h))
+        g = g.take(pa.array(order)).drop_columns(["_h", "_g"])
+        import pyarrow.parquet as pq
+
+        name = f"band-{rank:02d}-shard-{s:05d}.parquet"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        pq.write_table(g, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"g": pa.array([gid], type=pa.int64()),
+                         "rows": pa.array([g.num_rows], type=pa.int64())})
+
+    stats = (ds.map_batches(assign, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("_g").map_groups(write_piece,
+                                       batch_format="pyarrow")
+             .to_pandas())
+    manifest = {"n_bands": n_bands, "n_shards": n_shards,
+                "cutoffs": [float(c) for c in cuts],
+                "rows": int(stats["rows"].sum()),
+                "pieces_written": sorted(int(x) for x in stats["g"])}
+    tmp = os.path.join(out_dir, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def read_curriculum(out_dir: str, columns: Optional[list] = None,
+                    preserve_order: bool = True):
+    """Read a :func:`curriculum_export` directory in curriculum order
+    (best band first, hash order within). Same order/`preserve_order`
+    contract as :func:`read_shuffled`; refuses a torn export."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    paths = sorted(_glob.glob(os.path.join(out_dir, "band-*.parquet")))
+    if len(paths) != len(manifest["pieces_written"]):
+        raise FileNotFoundError(
+            f"curriculum export at {out_dir} is incomplete: "
+            f"{len(paths)} files vs manifest "
+            f"{len(manifest['pieces_written'])}")
     if not preserve_order:
         return rd.read_parquet(paths, columns=columns)
     opts = rd.DataContext.get_current().execution_options
