@@ -178,3 +178,34 @@ def test_cluster_by_timestamps(ray_session, tmp_path):
     exp = [x for x in d if pd.Timestamp("2020-03-01") <= x
            <= pd.Timestamp("2020-03-02")]
     assert sorted(got["ts"]) == exp
+
+
+def test_cluster_by_fuzz_vs_filter(ray_session, tmp_path):
+    """Property sweep: random value distributions (duplicates, skew,
+    negatives) and file counts — read_clustered always equals the
+    brute filter, and the layout always covers every row."""
+    import ray.data as rd
+
+    from presto_bloomfilter_ray.functions import cluster_by, read_clustered
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n = int(rng.integers(500, 4_000))
+        kind = trial % 3
+        if kind == 0:
+            v = rng.integers(-1000, 1000, n)  # negatives + dups
+        elif kind == 1:
+            v = rng.zipf(1.4, n).astype(np.int64)  # heavy skew
+        else:
+            v = np.full(n, 7, dtype=np.int64)  # single value
+        t = pa.table({"v": v, "i": np.arange(n, dtype=np.int64)})
+        ds = rd.from_arrow(t).repartition(int(rng.integers(1, 6)))
+        out = str(tmp_path / f"fz{trial}")
+        man = cluster_by(ds, "v", out,
+                         n_files=int(rng.integers(1, 9)))
+        assert man["rows"] == n
+        lo, hi = sorted(rng.integers(-1000, 1000, 2).tolist())
+        got = read_clustered(out, lo, hi).to_pandas()
+        exp = t.to_pandas().query("v >= @lo and v <= @hi")
+        got_i = sorted(got["i"]) if len(got) else []  # empty drops cols
+        assert got_i == sorted(exp["i"]), (trial, lo, hi)
